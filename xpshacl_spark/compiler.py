@@ -1,0 +1,598 @@
+"""Shape compiler: declarative shapes -> violation-row DataFrame plans.
+
+Replaces the reference's validate-then-reparse pipeline
+(/root/reference/src/extended_shacl_validator.py:161-318) with plans in
+which violations are *born* structured. Scale design (SURVEY.md §7):
+
+* ALL row-level constraints across ALL shapes are fused into ONE scan:
+  each (shape, constraint) contributes a `when(violated, struct(...))`
+  element of an array that is filtered and exploded. One pass over the
+  input, whole-stage codegen, column pruning to the union of referenced
+  columns, zero shuffles.
+* Group constraints sharing a group-by key share ONE hash aggregation
+  (map-side partial aggregation makes counts skew-safe; an optional
+  explicit two-phase salted aggregation is provided for extreme keys).
+* Ordering constraints sharing (partition, order) share ONE window
+  (one shuffle + sort).
+* Referential constraints compile to broadcast LEFT ANTI joins.
+* Distribution constraints share ONE single-pass histogram aggregation;
+  KS/PSI is computed on the driver from the tiny merged bin counts.
+
+The resulting plan has at most: 1 row-check scan + 1 shuffle per
+distinct group key + 1 shuffle per distinct window spec + anti-joins
+(broadcast, no shuffle) + 1 profiling scan — independent of the number
+of shapes.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xpshacl_spark.model import VIOLATION_COLUMNS, ViolationType
+from xpshacl_spark.shapes import (
+    Drift,
+    ForeignKey,
+    GroupMaxCount,
+    GroupMinCount,
+    Monotonic,
+    RowConstraint,
+    Shape,
+    SqlCheck,
+    Unique,
+)
+
+_CTX_TYPE = "map<string,string>"
+
+
+def _violation_struct(
+    shape: Shape,
+    constraint,
+    value: Column,
+    context: Optional[Column] = None,
+    message: Optional[str] = None,
+) -> Column:
+    """The canonical violation payload struct (SURVEY.md §1.3)."""
+    return F.struct(
+        F.lit(shape.shape_id).alias("shape_id"),
+        F.lit(constraint.component()).alias("constraint_component"),
+        F.lit(constraint.violation_type()).alias("violation_type"),
+        F.lit(constraint.property_path()).cast("string").alias("property_path"),
+        value.cast("string").alias("value"),
+        F.lit(message or shape.default_message(constraint)).alias("message"),
+        F.lit(shape.severity).alias("severity"),
+        (context if context is not None else F.lit(None).cast(_CTX_TYPE)).alias(
+            "context"
+        ),
+    )
+
+
+def _target_col(shape: Shape) -> Column:
+    if shape.target:
+        return F.coalesce(F.expr(shape.target), F.lit(False))
+    return F.lit(True)
+
+
+def _ctx_map(cols: dict[str, Column]) -> Optional[Column]:
+    if not cols:
+        return None
+    kv = []
+    for k, v in cols.items():
+        kv.append(F.lit(k))
+        kv.append(v.cast("string"))
+    return F.create_map(*kv)
+
+
+class ValidationReport:
+    """Result of a validation run.
+
+    `violations` is a lazy DataFrame with schema
+    (key cols..., focus_node string, *VIOLATION_COLUMNS).
+    `conforms` mirrors the reference's is_valid
+    (extended_shacl_validator.py:161-181) and short-circuits the
+    explanation stages (main.py:128-136).
+    """
+
+    def __init__(self, violations: DataFrame, key_cols: Sequence[str], metrics=None):
+        self.violations = violations
+        self.key_cols = list(key_cols)
+        self.metrics = metrics or {}
+
+    @property
+    def conforms(self) -> bool:
+        return self.violations.isEmpty()
+
+    def ordered(self) -> DataFrame:
+        """Deterministic output ordering (Spark gives none implicitly)."""
+        return self.violations.orderBy(
+            "shape_id", "constraint_component", *self.key_cols
+        )
+
+    def counts(self) -> DataFrame:
+        return (
+            self.violations.groupBy(
+                "shape_id", "constraint_component", "violation_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .orderBy("shape_id", "constraint_component")
+        )
+
+
+class ValidationEngine:
+    """Compiles shapes and evaluates them against a DataFrame.
+
+    dims: named dimension tables for ForeignKey / GroupMinCount.universe
+    (the reference's rdf:type membership lookups, SURVEY.md §2A #4).
+    """
+
+    def __init__(self, spark: SparkSession, dims: Optional[dict] = None):
+        self.spark = spark
+        self.dims: dict[str, DataFrame] = dict(dims or {})
+
+    def register_dim(self, name: str, df: DataFrame) -> None:
+        self.dims[name] = df
+
+    def _dim(self, name: str) -> DataFrame:
+        if name not in self.dims:
+            raise KeyError(
+                f"dimension table '{name}' is not registered; known dims: "
+                f"{sorted(self.dims) or '(none)'} — pass dims= to "
+                "ValidationEngine or call register_dim()"
+            )
+        return self.dims[name]
+
+    # ------------------------------------------------------------------
+    # public entry point
+    # ------------------------------------------------------------------
+
+    def validate(
+        self,
+        df: DataFrame,
+        shapes: Sequence[Shape],
+        key_cols: Sequence[str],
+        salt_partitions: int = 0,
+    ) -> ValidationReport:
+        """Evaluate all shapes; return the violations relation.
+
+        salt_partitions > 0 enables the explicit two-phase salted
+        aggregation for group counts (hot-key mitigation; counts are
+        algebraic so the two-phase result is exact).
+        """
+        key_cols = list(key_cols)
+        t0 = time.monotonic()
+        parts: list[DataFrame] = []
+
+        row_df = self._compile_row_checks(df, shapes, key_cols)
+        if row_df is not None:
+            parts.append(row_df)
+        parts.extend(self._compile_group_checks(df, shapes, key_cols, salt_partitions))
+        parts.extend(self._compile_unique_checks(df, shapes, key_cols))
+        parts.extend(self._compile_monotonic_checks(df, shapes, key_cols))
+        parts.extend(self._compile_fk_checks(df, shapes, key_cols))
+        parts.extend(self._compile_drift_checks(df, shapes, key_cols))
+        parts.extend(self._compile_sql_checks(df, shapes, key_cols))
+
+        if parts:
+            violations = reduce(lambda a, b: a.unionByName(b), parts)
+        else:
+            violations = self._empty_violations(df, key_cols)
+
+        violations = self._with_focus_node(violations, key_cols)
+        metrics = {
+            "n_shapes": len(shapes),
+            "n_plan_parts": len(parts),
+            "compile_sec": time.monotonic() - t0,
+        }
+        return ValidationReport(violations, key_cols, metrics)
+
+    # ------------------------------------------------------------------
+    # row-level: ONE fused scan for every row constraint of every shape
+    # ------------------------------------------------------------------
+
+    def _compile_row_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> Optional[DataFrame]:
+        structs: list[Column] = []
+        for shape in shapes:
+            target = _target_col(shape)
+            for c in shape.row_constraints():
+                violated = target & F.coalesce(c.violated(df), F.lit(False))
+                structs.append(
+                    F.when(
+                        violated,
+                        _violation_struct(
+                            shape, c, c.value_col(df), _ctx_map(c.context_cols(df))
+                        ),
+                    )
+                )
+        if not structs:
+            return None
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        # explode drops rows with empty arrays -> conforming rows vanish
+        # before any downstream operator sees them.
+        out = df.select(*key_cols, F.explode(arr).alias("_v"))
+        return out.select(*key_cols, "_v.*")
+
+    # ------------------------------------------------------------------
+    # group-level cardinality: shared aggregation per group key
+    # ------------------------------------------------------------------
+
+    def _compile_group_checks(
+        self,
+        df: DataFrame,
+        shapes: Sequence[Shape],
+        key_cols: list[str],
+        salt_partitions: int,
+    ) -> list[DataFrame]:
+        # bucket (shape, constraint) pairs by group key tuple
+        by_key: dict[tuple, list] = {}
+        for shape in shapes:
+            for c in shape.group_constraints():
+                if isinstance(c, (GroupMinCount, GroupMaxCount)):
+                    by_key.setdefault(tuple(c.group_by), []).append((shape, c))
+        outs = []
+        for gkey, pairs in by_key.items():
+            outs.append(
+                self._group_count_plan(df, list(gkey), pairs, key_cols, salt_partitions)
+            )
+        return outs
+
+    def _group_count_plan(
+        self,
+        df: DataFrame,
+        gkey: list[str],
+        pairs: list,
+        key_cols: list[str],
+        salt_partitions: int,
+    ) -> DataFrame:
+        aggs = []
+        for i, (shape, c) in enumerate(pairs):
+            cond = _target_col(shape)
+            if c.where:
+                cond = cond & F.coalesce(F.expr(c.where), F.lit(False))
+            aggs.append((f"_n{i}", cond))
+
+        if salt_partitions > 1:
+            # explicit two-phase salted aggregation: counts are algebraic,
+            # so groupBy(key, salt) partials then groupBy(key) finals are
+            # exact. Spark's hash-agg partial combine already does this
+            # implicitly; the explicit form guards extreme single-key skew
+            # where one reducer would still receive a monster partition.
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(salt_partitions))
+            partial = (
+                df.withColumn("_salt", salt)
+                .groupBy(*gkey, "_salt")
+                .agg(*[F.count(F.when(cond, 1)).alias(name) for name, cond in aggs])
+            )
+            counts = partial.groupBy(*gkey).agg(
+                *[F.sum(name).alias(name) for name, _ in aggs]
+            )
+        else:
+            counts = df.groupBy(*gkey).agg(
+                *[F.count(F.when(cond, 1)).alias(name) for name, cond in aggs]
+            )
+
+        # key-universe join for min-count: a group with ZERO matching rows
+        # may be entirely absent from `counts` (or absent from df); join
+        # against the declared universe so empty groups are still flagged
+        # (SURVEY.md §7.3 hard part 3).
+        universes = {c.universe for _, c in pairs if isinstance(c, GroupMinCount) and c.universe}
+        if universes:
+            uni_name = sorted(universes)[0]
+            uni = self._dim(uni_name).select(*gkey).dropDuplicates()
+            counts = uni.join(counts, on=gkey, how="left").select(
+                *gkey,
+                *[F.coalesce(F.col(name), F.lit(0)).alias(name) for name, _ in aggs],
+            )
+
+        structs = []
+        for i, (shape, c) in enumerate(pairs):
+            n = F.col(f"_n{i}")
+            if isinstance(c, GroupMinCount):
+                violated = n < F.lit(c.min_count)
+                ctx = F.create_map(
+                    F.lit("minCount"),
+                    F.lit(str(c.min_count)),
+                    F.lit("actualCount"),
+                    n.cast("string"),
+                )
+            else:
+                violated = n > F.lit(c.max_count)
+                ctx = F.create_map(
+                    F.lit("maxCount"),
+                    F.lit(str(c.max_count)),
+                    F.lit("actualCount"),
+                    n.cast("string"),
+                )
+            structs.append(
+                F.when(violated, _violation_struct(shape, c, n, ctx))
+            )
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        out = counts.select(*gkey, F.explode(arr).alias("_v")).select(
+            *gkey, "_v.*"
+        )
+        return self._align_keys(out, df, key_cols, present=gkey)
+
+    # ------------------------------------------------------------------
+    # uniqueness: agg per unique-column tuple, one violation per dup key
+    # ------------------------------------------------------------------
+
+    def _compile_unique_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        outs = []
+        for shape in shapes:
+            for c in shape.group_constraints():
+                if not isinstance(c, Unique):
+                    continue
+                cols = list(c.columns)
+                target = _target_col(shape)
+                counts = (
+                    df.where(target)
+                    .groupBy(*cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > 1)
+                )
+                ctx = F.create_map(
+                    F.lit("actualCount"), F.col("_n").cast("string")
+                )
+                value = F.concat_ws(
+                    "|", *[F.col(x).cast("string") for x in cols]
+                )
+                out = counts.select(
+                    *cols,
+                    _violation_struct(shape, c, value, ctx).alias("_v"),
+                ).select(*cols, "_v.*")
+                outs.append(self._align_keys(out, df, key_cols, present=cols))
+        return outs
+
+    # ------------------------------------------------------------------
+    # ordering: shared window per (partition, order) spec
+    # ------------------------------------------------------------------
+
+    def _compile_monotonic_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        by_spec: dict[tuple, list] = {}
+        for shape in shapes:
+            for c in shape.group_constraints():
+                if isinstance(c, Monotonic):
+                    by_spec.setdefault((tuple(c.group_by), c.order_by), []).append(
+                        (shape, c)
+                    )
+        outs = []
+        for (gkey, order_by), pairs in by_spec.items():
+            w = Window.partitionBy(*gkey).orderBy(order_by)
+            structs = []
+            lag_cols = {}
+            proj = df
+            for i, (shape, c) in enumerate(pairs):
+                lag_name = f"_prev{i}"
+                proj = proj.withColumn(lag_name, F.lag(c.column).over(w))
+                lag_cols[i] = lag_name
+            for i, (shape, c) in enumerate(pairs):
+                prev = F.col(lag_cols[i])
+                cur = F.col(c.column)
+                if c.strict:
+                    bad = prev >= cur
+                else:
+                    bad = prev > cur
+                violated = (
+                    _target_col(shape)
+                    & prev.isNotNull()
+                    & cur.isNotNull()
+                    & bad
+                )
+                ctx = F.create_map(
+                    F.lit("previous"),
+                    prev.cast("string"),
+                    F.lit("orderBy"),
+                    F.lit(order_by),
+                )
+                structs.append(
+                    F.when(violated, _violation_struct(shape, c, cur, ctx))
+                )
+            arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+            out = proj.select(*key_cols, F.explode(arr).alias("_v")).select(
+                *key_cols, "_v.*"
+            )
+            outs.append(out)
+        return outs
+
+    # ------------------------------------------------------------------
+    # referential integrity: broadcast LEFT ANTI joins
+    # ------------------------------------------------------------------
+
+    def _compile_fk_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        outs = []
+        for shape in shapes:
+            for c in shape.join_constraints():
+                dim = self._dim(c.ref_table)
+                # rename dim cols to fk names so the anti join is an equi
+                # join on the fk columns themselves
+                sel = [
+                    F.col(rc).alias(fk)
+                    for fk, rc in zip(c.columns, c.ref_columns)
+                ]
+                dim_keys = dim.select(*sel).dropDuplicates()
+                cond = _target_col(shape)
+                for fk in c.columns:
+                    cond = cond & F.col(fk).isNotNull()
+                viol_rows = df.where(cond).join(
+                    F.broadcast(dim_keys), on=list(c.columns), how="left_anti"
+                )
+                value = F.concat_ws(
+                    "|", *[F.col(x).cast("string") for x in c.columns]
+                )
+                ctx = F.create_map(
+                    F.lit("refTable"), F.lit(c.ref_table),
+                    F.lit("refColumns"), F.lit(",".join(c.ref_columns)),
+                )
+                out = viol_rows.select(
+                    *key_cols, _violation_struct(shape, c, value, ctx).alias("_v")
+                ).select(*key_cols, "_v.*")
+                outs.append(out)
+        return outs
+
+    # ------------------------------------------------------------------
+    # distribution drift: ONE shared histogram pass, driver-side stats
+    # ------------------------------------------------------------------
+
+    def _compile_drift_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        pairs = []
+        for shape in shapes:
+            for c in shape.drift_constraints():
+                pairs.append((shape, c))
+        if not pairs:
+            return []
+
+        # single fused aggregation: bins+2 conditional counts per check
+        aggs = []
+        for i, (shape, c) in enumerate(pairs):
+            e = F.expr(c.expression)
+            width = (c.hi - c.lo) / c.bins
+            bucket = (
+                F.when(e.isNull(), F.lit(None))
+                .when(e < F.lit(c.lo), F.lit(-1))
+                .when(e >= F.lit(c.hi), F.lit(c.bins))
+                .otherwise(F.floor((e - F.lit(c.lo)) / F.lit(width)).cast("int"))
+            )
+            for b in range(-1, c.bins + 1):
+                aggs.append(
+                    F.count(F.when(bucket == F.lit(b), 1)).alias(f"_d{i}_b{b + 1}")
+                )
+        row = df.agg(*aggs).collect()[0].asDict()
+
+        from xpshacl_spark.operators.drift import ks_statistic, psi_statistic
+
+        viol_tuples = []
+        for i, (shape, c) in enumerate(pairs):
+            cur = [row[f"_d{i}_b{b + 1}"] for b in range(-1, c.bins + 1)]
+            base = list(c.baseline) if c.baseline else None
+            if base is None:
+                continue
+            if c.stat == "ks":
+                stat = ks_statistic(base, cur)
+            else:
+                stat = psi_statistic(base, cur)
+            if stat > c.threshold:
+                viol_tuples.append(
+                    (
+                        shape.shape_id,
+                        c.component(),
+                        c.violation_type(),
+                        c.property_path(),
+                        f"{stat:.6f}",
+                        shape.default_message(c),
+                        shape.severity,
+                        {
+                            "stat": c.stat,
+                            "threshold": str(c.threshold),
+                            "n": str(sum(cur)),
+                        },
+                    )
+                )
+        if not viol_tuples:
+            return []
+        schema = T.StructType(
+            [
+                T.StructField("shape_id", T.StringType()),
+                T.StructField("constraint_component", T.StringType()),
+                T.StructField("violation_type", T.StringType()),
+                T.StructField("property_path", T.StringType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("message", T.StringType()),
+                T.StructField("severity", T.StringType()),
+                T.StructField(
+                    "context", T.MapType(T.StringType(), T.StringType())
+                ),
+            ]
+        )
+        small = self.spark.createDataFrame(viol_tuples, schema)
+        return [self._align_keys(small, df, key_cols, present=[])]
+
+    # ------------------------------------------------------------------
+    # SQL escape hatch (sh:sparql analog)
+    # ------------------------------------------------------------------
+
+    def _compile_sql_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        outs = []
+        has_sql = any(shape.sql_constraints() for shape in shapes)
+        if not has_sql:
+            return outs
+        df.createOrReplaceTempView("this")
+        for name, dim in self.dims.items():
+            dim.createOrReplaceTempView(name)
+        for shape in shapes:
+            for c in shape.sql_constraints():
+                res = self.spark.sql(c.sql)
+                value = (
+                    F.col("value").cast("string")
+                    if "value" in res.columns
+                    else F.lit(None).cast("string")
+                )
+                present = [k for k in key_cols if k in res.columns]
+                out = res.select(
+                    *present,
+                    _violation_struct(shape, c, value).alias("_v"),
+                ).select(*present, "_v.*")
+                outs.append(self._align_keys(out, df, key_cols, present=present))
+        return outs
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _align_keys(
+        self,
+        part: DataFrame,
+        df: DataFrame,
+        key_cols: list[str],
+        present: list[str],
+    ) -> DataFrame:
+        """Pad a plan fragment addressed at coarser granularity (e.g. a
+        conv-level violation) with NULLs for the missing key columns, and
+        drop non-key grouping columns."""
+        src_types = dict(df.dtypes)
+        cols = []
+        for k in key_cols:
+            if k in present:
+                cols.append(F.col(k).cast(src_types[k]).alias(k))
+            else:
+                cols.append(F.lit(None).cast(src_types.get(k, "string")).alias(k))
+        return part.select(*cols, *VIOLATION_COLUMNS)
+
+    def _with_focus_node(self, v: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Human-readable focus identifier: 'k1=v1;k2=v2' of non-null keys
+        (replaces the reference's focus-node IRI, SURVEY.md §1.1)."""
+        parts = [
+            F.when(
+                F.col(k).isNotNull(),
+                F.concat(F.lit(f"{k}="), F.col(k).cast("string")),
+            )
+            for k in key_cols
+        ]
+        fn = F.concat_ws(";", *parts)
+        return v.select(*key_cols, fn.alias("focus_node"), *VIOLATION_COLUMNS)
+
+    def _empty_violations(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+        src_types = dict(df.dtypes)
+        fields = ", ".join(f"`{k}` {src_types[k]}" for k in key_cols)
+        schema = (
+            f"{fields}, shape_id string, constraint_component string, "
+            "violation_type string, property_path string, value string, "
+            "message string, severity string, context map<string,string>"
+        )
+        return self.spark.createDataFrame([], schema)

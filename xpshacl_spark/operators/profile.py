@@ -1,0 +1,106 @@
+"""Fused single-pass column profiler (north-rule requirement).
+
+One `df.agg()` carries, per profiled column: row count, null count,
+min, max, HyperLogLog distinct (approx_count_distinct) and optional
+fixed-bin histogram counts — a single job, single scan, map-side
+partial aggregation, no Python in the hot path (SURVEY.md §4 custom
+item 1). The reference has no profiler; this feeds the Drift checks
+and the baseline_profile fixture (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class HistSpec:
+    """Fixed equi-width bins [lo, hi) with an underflow and an overflow
+    bucket; bins are fixed up front so profiling stays single-pass and
+    drift statistics are deterministic."""
+
+    lo: float
+    hi: float
+    bins: int = 64
+
+
+@dataclass(frozen=True)
+class ProfileSpec:
+    name: str
+    expression: Optional[str] = None  # SQL expr; defaults to the column itself
+    hist: Optional[HistSpec] = None
+    rsd: float = 0.05  # HLL relative standard deviation
+
+    def expr_sql(self) -> str:
+        return self.expression or f"`{self.name}`"
+
+
+def _bucket_col(e, h: HistSpec):
+    width = (h.hi - h.lo) / h.bins
+    return (
+        F.when(e.isNull(), F.lit(None))
+        .when(e < F.lit(h.lo), F.lit(-1))
+        .when(e >= F.lit(h.hi), F.lit(h.bins))
+        .otherwise(F.floor((e - F.lit(h.lo)) / F.lit(width)).cast("int"))
+    )
+
+
+def profile(df: DataFrame, specs: Sequence[ProfileSpec]) -> dict:
+    """Profile columns in ONE aggregation pass.
+
+    Returns {name: {count, nulls, min, max, approx_distinct,
+    hist: [underflow, b0..b(n-1), overflow] or None, hist_spec}}.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, s in enumerate(specs):
+        e = F.expr(s.expr_sql())
+        aggs.append(F.count(e).alias(f"_c{i}"))
+        aggs.append(F.min(e).cast("string").alias(f"_min{i}"))
+        aggs.append(F.max(e).cast("string").alias(f"_max{i}"))
+        aggs.append(F.approx_count_distinct(e, rsd=s.rsd).alias(f"_d{i}"))
+        if s.hist:
+            b = _bucket_col(e, s.hist)
+            for j in range(-1, s.hist.bins + 1):
+                aggs.append(F.count(F.when(b == F.lit(j), 1)).alias(f"_h{i}_{j + 1}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out = {}
+    total = row["_total"]
+    for i, s in enumerate(specs):
+        non_null = row[f"_c{i}"]
+        rec = {
+            "count": total,
+            "non_null": non_null,
+            "nulls": total - non_null,
+            "min": row[f"_min{i}"],
+            "max": row[f"_max{i}"],
+            "approx_distinct": row[f"_d{i}"],
+            "hist": None,
+            "hist_spec": None,
+        }
+        if s.hist:
+            rec["hist"] = [
+                row[f"_h{i}_{j + 1}"] for j in range(-1, s.hist.bins + 1)
+            ]
+            rec["hist_spec"] = {
+                "lo": s.hist.lo,
+                "hi": s.hist.hi,
+                "bins": s.hist.bins,
+            }
+        out[s.name] = rec
+    return out
+
+
+def save_baseline(path: str, prof: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(prof, f, sort_keys=True)
+
+
+def load_baseline(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,757 @@
+"""Declarative constraint shapes.
+
+The reference stores shapes as an RDF shapes graph and pre-indexes them
+into dict caches (/root/reference/src/extended_shacl_validator.py:44-120).
+Here a shape is a plain Python dataclass tree that the compiler turns
+into DataFrame plans — the shapes *are not data*, they are program.
+
+Constraint classes map 1:1 onto the reference's recognized constraint
+predicate set (extended_shacl_validator.py:88-107) plus the north-rule
+additions (uniqueness, referential integrity, distribution drift).
+Every row-level constraint compiles to a pure `pyspark.sql.Column`
+predicate (JVM-side, whole-stage-codegen friendly); nothing row-at-a-time
+in Python.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xpshacl_spark.model import ViolationType, classify
+
+
+# --------------------------------------------------------------------------
+# base
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """Base class; concrete subclasses define component()/params()."""
+
+    def component(self) -> str:
+        raise NotImplementedError
+
+    def violation_type(self) -> str:
+        return classify(self.component())
+
+    def property_path(self) -> Optional[str]:
+        return getattr(self, "column", None)
+
+    def params(self) -> dict:
+        return {}
+
+    def describe(self) -> str:
+        p = self.params()
+        return f"{self.component()}({json.dumps(p, sort_keys=True, default=str)})"
+
+
+class RowConstraint(Constraint):
+    """A constraint evaluated independently per focus row.
+
+    ok(df) returns a Column that is True where the row CONFORMS.
+    NULL handling follows SHACL property-shape semantics: an absent
+    (NULL) value yields no value node, so value-testing constraints
+    pass vacuously on NULL — only NotNull/GroupMinCount flag absence.
+    """
+
+    def ok(self, df: DataFrame) -> Column:
+        raise NotImplementedError
+
+    def violated(self, df: DataFrame) -> Column:
+        return ~self.ok(df)
+
+    def value_col(self, df: DataFrame) -> Column:
+        col = self.property_path()
+        if col is None:
+            return F.lit(None).cast("string")
+        return F.col(col).cast("string")
+
+    def context_cols(self, df: DataFrame) -> dict[str, Column]:
+        return {}
+
+
+def _null_ok(col: str, cond: Column) -> Column:
+    """Vacuous pass on NULL value nodes (SHACL: no value -> no violation
+    for value-testing components; cardinality components handle absence)."""
+    return F.col(col).isNull() | cond
+
+
+# --------------------------------------------------------------------------
+# row-level value constraints  (SURVEY.md §2A #3, #5-#12)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Datatype(RowConstraint):
+    """sh:datatype analog: value parseability/castability check
+    (reference: extended_shacl_validator.py:91, example_shapes.ttl:13).
+
+    For typed columns, a NULL where the source column is non-null can't
+    happen, so the practical check is: value must be castable to
+    ``datatype`` (applied to string columns) and, when ``required``,
+    non-null (used for injected ts-null defects, FIXTURES.md r_datatype_ts).
+    """
+
+    column: str
+    datatype: str  # spark cast target: 'int','bigint','double','date','timestamp','string'
+    required: bool = True
+
+    def component(self) -> str:
+        return "DatatypeConstraintComponent"
+
+    def params(self) -> dict:
+        return {"datatype": self.datatype}
+
+    def ok(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        dt = dict(df.dtypes).get(self.column)
+        if dt == "string" and self.datatype != "string":
+            castable = c.cast(self.datatype).isNotNull()
+            cond = c.isNull() | castable
+        else:
+            cond = F.lit(True) if not self.required else c.isNotNull()
+            return cond
+        if self.required:
+            return c.isNotNull() & cond
+        return cond
+
+
+@dataclass(frozen=True)
+class NotNull(RowConstraint):
+    """Row-scoped sh:minCount 1 — on a flat table a property with
+    minCount>=1 per focus row means the column must be non-null
+    (reference cardinality semantics, extended_shacl_validator.py:89)."""
+
+    column: str
+
+    def component(self) -> str:
+        return "MinCountConstraintComponent"
+
+    def params(self) -> dict:
+        return {"minCount": 1}
+
+    def ok(self, df: DataFrame) -> Column:
+        return F.col(self.column).isNotNull()
+
+    def context_cols(self, df: DataFrame) -> dict[str, Column]:
+        return {
+            "minCount": F.lit("1"),
+            "actualCount": F.when(F.col(self.column).isNull(), F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+        }
+
+
+@dataclass(frozen=True)
+class MinInclusive(RowConstraint):
+    """sh:minInclusive (extended_shacl_validator.py:94; README worked
+    example README.md:176-210)."""
+
+    column: str
+    bound: object
+
+    def component(self) -> str:
+        return "MinInclusiveConstraintComponent"
+
+    def params(self) -> dict:
+        return {"minInclusive": self.bound}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column) >= F.lit(self.bound))
+
+
+@dataclass(frozen=True)
+class MaxInclusive(RowConstraint):
+    """sh:maxInclusive (extended_shacl_validator.py:96)."""
+
+    column: str
+    bound: object
+
+    def component(self) -> str:
+        return "MaxInclusiveConstraintComponent"
+
+    def params(self) -> dict:
+        return {"maxInclusive": self.bound}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column) <= F.lit(self.bound))
+
+
+@dataclass(frozen=True)
+class MinExclusive(RowConstraint):
+    """sh:minExclusive (extended_shacl_validator.py:93)."""
+
+    column: str
+    bound: object
+
+    def component(self) -> str:
+        return "MinExclusiveConstraintComponent"
+
+    def params(self) -> dict:
+        return {"minExclusive": self.bound}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column) > F.lit(self.bound))
+
+
+@dataclass(frozen=True)
+class MaxExclusive(RowConstraint):
+    """sh:maxExclusive (extended_shacl_validator.py:95)."""
+
+    column: str
+    bound: object
+
+    def component(self) -> str:
+        return "MaxExclusiveConstraintComponent"
+
+    def params(self) -> dict:
+        return {"maxExclusive": self.bound}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column) < F.lit(self.bound))
+
+
+@dataclass(frozen=True)
+class Pattern(RowConstraint):
+    """sh:pattern + sh:flags (extended_shacl_validator.py:97-98).
+
+    Flags are folded into the Java regex as an inline group, e.g.
+    flags='i' -> '(?i)pattern' — keep patterns in the common
+    Java/PCRE/ANSI subset so DuckDB oracles agree.
+    """
+
+    column: str
+    pattern: str
+    flags: Optional[str] = None
+
+    def component(self) -> str:
+        return "PatternConstraintComponent"
+
+    def params(self) -> dict:
+        p = {"pattern": self.pattern}
+        if self.flags:
+            p["flags"] = self.flags
+        return p
+
+    def _full_pattern(self) -> str:
+        if self.flags:
+            return f"(?{self.flags}){self.pattern}"
+        return self.pattern
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column).rlike(self._full_pattern()))
+
+
+@dataclass(frozen=True)
+class MinLength(RowConstraint):
+    """sh:minLength (exercised by the reference data generator,
+    data/synthetic_data_generator.py:83)."""
+
+    column: str
+    length: int
+
+    def component(self) -> str:
+        return "MinLengthConstraintComponent"
+
+    def params(self) -> dict:
+        return {"minLength": self.length}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.length(self.column) >= F.lit(self.length))
+
+
+@dataclass(frozen=True)
+class MaxLength(RowConstraint):
+    """sh:maxLength (data/synthetic_data_generator.py:84, overlong-string
+    injection :46-53)."""
+
+    column: str
+    length: int
+
+    def component(self) -> str:
+        return "MaxLengthConstraintComponent"
+
+    def params(self) -> dict:
+        return {"maxLength": self.length}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.length(self.column) <= F.lit(self.length))
+
+
+@dataclass(frozen=True)
+class InSet(RowConstraint):
+    """sh:in / sh:languageIn analog: membership in a small literal set
+    (data/synthetic_data_generator.py:97). For membership against a
+    *table*, use ForeignKey instead."""
+
+    column: str
+    values: tuple
+    language_in: bool = False
+
+    def component(self) -> str:
+        return (
+            "LanguageInConstraintComponent" if self.language_in else "InConstraintComponent"
+        )
+
+    def params(self) -> dict:
+        return {"in": list(self.values)}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column).isin(*self.values))
+
+
+@dataclass(frozen=True)
+class NodeKind(RowConstraint):
+    """sh:nodeKind analog: for flat columns, 'value is a well-formed
+    id/reference vs free text' via a regex (SURVEY.md §2A #5)."""
+
+    column: str
+    kind: str = "IRI"
+    id_pattern: str = r"^[A-Za-z][A-Za-z0-9_.:\-]*$"
+
+    def component(self) -> str:
+        return "NodeKindConstraintComponent"
+
+    def params(self) -> dict:
+        return {"nodeKind": self.kind}
+
+    def ok(self, df: DataFrame) -> Column:
+        return _null_ok(self.column, F.col(self.column).rlike(self.id_pattern))
+
+
+@dataclass(frozen=True)
+class Expr(RowConstraint):
+    """Arbitrary row predicate given as a SQL expression string that is
+    True where the row CONFORMS. Building block for logical composition
+    and the declarative escape hatch for one-off row rules."""
+
+    expression: str
+    column: Optional[str] = None
+    component_name: str = "ExprConstraintComponent"
+
+    def component(self) -> str:
+        return self.component_name
+
+    def params(self) -> dict:
+        return {"expr": self.expression}
+
+    def ok(self, df: DataFrame) -> Column:
+        return F.expr(self.expression)
+
+
+# --------------------------------------------------------------------------
+# property-pair constraints (same-row flavor; SURVEY.md §2A #13-#16)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Equals(RowConstraint):
+    """sh:equals (extended_shacl_validator.py:99)."""
+
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "EqualsConstraintComponent"
+
+    def params(self) -> dict:
+        return {"equals": self.other}
+
+    def ok(self, df: DataFrame) -> Column:
+        a, b = F.col(self.column), F.col(self.other)
+        return (a.isNull() & b.isNull()) | a.eqNullSafe(b)
+
+
+@dataclass(frozen=True)
+class Disjoint(RowConstraint):
+    """sh:disjoint (extended_shacl_validator.py:100)."""
+
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "DisjointConstraintComponent"
+
+    def params(self) -> dict:
+        return {"disjoint": self.other}
+
+    def ok(self, df: DataFrame) -> Column:
+        return ~F.col(self.column).eqNullSafe(F.col(self.other))
+
+
+@dataclass(frozen=True)
+class LessThan(RowConstraint):
+    """sh:lessThan (extended_shacl_validator.py:101)."""
+
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "LessThanConstraintComponent"
+
+    def params(self) -> dict:
+        return {"lessThan": self.other}
+
+    def ok(self, df: DataFrame) -> Column:
+        a, b = F.col(self.column), F.col(self.other)
+        return a.isNull() | b.isNull() | (a < b)
+
+
+@dataclass(frozen=True)
+class LessThanOrEquals(RowConstraint):
+    """sh:lessThanOrEquals (extended_shacl_validator.py:102)."""
+
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "LessThanOrEqualsConstraintComponent"
+
+    def params(self) -> dict:
+        return {"lessThanOrEquals": self.other}
+
+    def ok(self, df: DataFrame) -> Column:
+        a, b = F.col(self.column), F.col(self.other)
+        return a.isNull() | b.isNull() | (a <= b)
+
+
+# --------------------------------------------------------------------------
+# logical constraints (SURVEY.md §2A #17-#20)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Not(RowConstraint):
+    """sh:not: node must NOT conform to the inner constraint
+    (extended_shacl_validator.py:103)."""
+
+    inner: RowConstraint
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "NotConstraintComponent"
+
+    def params(self) -> dict:
+        return {"not": self.inner.describe()}
+
+    def property_path(self) -> Optional[str]:
+        return self.column or self.inner.property_path()
+
+    def ok(self, df: DataFrame) -> Column:
+        return ~self.inner.ok(df)
+
+
+@dataclass(frozen=True)
+class And(RowConstraint):
+    """sh:and: conform to ALL children (extended_shacl_validator.py:104)."""
+
+    children: tuple
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "AndConstraintComponent"
+
+    def params(self) -> dict:
+        return {"and": [c.describe() for c in self.children]}
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+    def ok(self, df: DataFrame) -> Column:
+        cond = F.lit(True)
+        for c in self.children:
+            cond = cond & c.ok(df)
+        return cond
+
+
+@dataclass(frozen=True)
+class Or(RowConstraint):
+    """sh:or: conform to at least one child
+    (extended_shacl_validator.py:105; data/synthetic_data_generator.py:124-129)."""
+
+    children: tuple
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "OrConstraintComponent"
+
+    def params(self) -> dict:
+        return {"or": [c.describe() for c in self.children]}
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+    def ok(self, df: DataFrame) -> Column:
+        cond = F.lit(False)
+        for c in self.children:
+            cond = cond | c.ok(df)
+        return cond
+
+
+@dataclass(frozen=True)
+class Xone(RowConstraint):
+    """sh:xone: conform to EXACTLY one child
+    (extended_shacl_validator.py:106; data/synthetic_data_generator.py:137-142)."""
+
+    children: tuple
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "XoneConstraintComponent"
+
+    def params(self) -> dict:
+        return {"xone": [c.describe() for c in self.children]}
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+    def ok(self, df: DataFrame) -> Column:
+        total = None
+        for c in self.children:
+            t = c.ok(df).cast("int")
+            total = t if total is None else total + t
+        return total == F.lit(1)
+
+
+# --------------------------------------------------------------------------
+# group-level constraints (one shuffle, shared across constraints)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GroupMinCount(Constraint):
+    """sh:minCount at group scope: each group (e.g. conv_id) must have
+    >= min_count rows matching `where` (SQL expr; None = all rows).
+
+    Compiled to a single shared groupBy over the group key with
+    map-side partial aggregation (skew-safe for counts); groups absent
+    from the data entirely are caught by joining against a key universe
+    when `universe` is set (the anti-join-vs-agg trap, SURVEY.md §7.3).
+    Reference: extended_shacl_validator.py:89, justification
+    justification_tree_builder.py:125-154.
+    """
+
+    group_by: tuple
+    min_count: int = 1
+    where: Optional[str] = None
+    column: Optional[str] = None  # property_path label for reports
+    universe: Optional[str] = None  # name of a registered dim providing all keys
+
+    def component(self) -> str:
+        return "MinCountConstraintComponent"
+
+    def params(self) -> dict:
+        p = {"minCount": self.min_count}
+        if self.where:
+            p["where"] = self.where
+        return p
+
+    def property_path(self) -> Optional[str]:
+        return self.column or (self.where or None)
+
+
+@dataclass(frozen=True)
+class GroupMaxCount(Constraint):
+    """sh:maxCount at group scope (extended_shacl_validator.py:90;
+    actualCount context mirrors :312-318)."""
+
+    group_by: tuple
+    max_count: int
+    where: Optional[str] = None
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "MaxCountConstraintComponent"
+
+    def params(self) -> dict:
+        p = {"maxCount": self.max_count}
+        if self.where:
+            p["where"] = self.where
+        return p
+
+    def property_path(self) -> Optional[str]:
+        return self.column or (self.where or None)
+
+
+@dataclass(frozen=True)
+class Unique(Constraint):
+    """North-rule uniqueness (template: sh:uniqueLang,
+    data/shark_shapes.ttl:37,45): the column tuple must identify at most
+    one row. Emits one violation per duplicated key with actualCount."""
+
+    columns: tuple
+
+    def component(self) -> str:
+        return "UniquenessConstraintComponent"
+
+    def params(self) -> dict:
+        return {"unique": list(self.columns)}
+
+    def property_path(self) -> Optional[str]:
+        return ",".join(self.columns)
+
+
+@dataclass(frozen=True)
+class Monotonic(Constraint):
+    """North-rule ordering check (sh:lessThanOrEquals analog across
+    consecutive rows): `column` must be non-decreasing in `order_by`
+    within each `group_by` group. Compiled to a lag() window
+    (SURVEY.md §2A #16)."""
+
+    group_by: tuple
+    order_by: str
+    column: str
+    strict: bool = False  # True -> strictly increasing
+
+    def component(self) -> str:
+        return "LessThanOrEqualsConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "monotonic": self.column,
+            "orderBy": self.order_by,
+            "strict": self.strict,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+
+@dataclass(frozen=True)
+class ForeignKey(Constraint):
+    """Referential integrity (generalizes sh:class membership,
+    extended_shacl_validator.py:92 / shark_shapes.ttl:182,193): the
+    column tuple must exist in dimension table `ref_table` columns
+    `ref_columns`. Compiled to a broadcast LEFT ANTI join; NULL FKs are
+    absent values and pass (use NotNull to forbid)."""
+
+    columns: tuple
+    ref_table: str
+    ref_columns: tuple
+
+    def component(self) -> str:
+        return "ClassConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "columns": list(self.columns),
+            "refTable": self.ref_table,
+            "refColumns": list(self.ref_columns),
+        }
+
+    def property_path(self) -> Optional[str]:
+        return ",".join(self.columns)
+
+
+@dataclass(frozen=True)
+class Drift(Constraint):
+    """North-rule distribution-drift check: KS / PSI of `expression`
+    (SQL expr over the row) vs a stored baseline histogram with fixed
+    equi-width bins. The per-bin counts are one shared single-pass agg;
+    the final statistic is computed driver-side from the tiny merged
+    bins (SURVEY.md §4 item 2)."""
+
+    expression: str  # numeric SQL expr, e.g. "length(text)"
+    lo: float
+    hi: float
+    bins: int = 64
+    stat: str = "psi"  # 'psi' | 'ks'
+    threshold: float = 0.2
+    baseline: Optional[tuple] = None  # per-bin baseline counts (len bins+2)
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "DistributionConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "expr": self.expression,
+            "lo": self.lo,
+            "hi": self.hi,
+            "bins": self.bins,
+            "stat": self.stat,
+            "threshold": self.threshold,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column or self.expression
+
+
+@dataclass(frozen=True)
+class SqlCheck(Constraint):
+    """sh:sparql analog — the declarative escape hatch
+    (data/synthetic_data_generator.py:145-177, shark_shapes.ttl:48-149):
+    arbitrary SQL whose result set IS the violating focus rows. The
+    focus table is registered as view `this`; dimension tables under
+    their registered names. Must project the focus key columns and may
+    project a `value` column."""
+
+    sql: str
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "SPARQLConstraintComponent"
+
+    def params(self) -> dict:
+        return {"sql": self.sql}
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+
+# --------------------------------------------------------------------------
+# Shape
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Shape:
+    """A named set of constraints over a target row population.
+
+    target: SQL boolean expr selecting focus rows (sh:targetClass /
+    targetNode analog, SURVEY.md §2A #22); None = whole table.
+    severity/message: sh:severity / sh:message metadata carried onto
+    every emitted violation row (extended_shacl_validator.py:232-233,
+    307-309).
+    name/description: sh:name / rdfs:comment used by the context
+    retriever (context_retriever.py:58-66).
+    """
+
+    shape_id: str
+    constraints: tuple
+    target: Optional[str] = None
+    severity: str = "Violation"
+    message: Optional[str] = None
+    name: Optional[str] = None
+    description: Optional[str] = None
+
+    def row_constraints(self) -> list[RowConstraint]:
+        return [c for c in self.constraints if isinstance(c, RowConstraint)]
+
+    def group_constraints(self) -> list[Constraint]:
+        return [
+            c
+            for c in self.constraints
+            if isinstance(c, (GroupMinCount, GroupMaxCount, Unique, Monotonic))
+        ]
+
+    def join_constraints(self) -> list[ForeignKey]:
+        return [c for c in self.constraints if isinstance(c, ForeignKey)]
+
+    def drift_constraints(self) -> list[Drift]:
+        return [c for c in self.constraints if isinstance(c, Drift)]
+
+    def sql_constraints(self) -> list[SqlCheck]:
+        return [c for c in self.constraints if isinstance(c, SqlCheck)]
+
+    def default_message(self, c: Constraint) -> str:
+        if self.message:
+            return self.message
+        return f"Value does not conform to {c.component()}"
