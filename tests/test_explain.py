@@ -1,0 +1,361 @@
+"""Explanation-layer tests ported from the reference unit suites:
+signature/cache identity (tests/test_violation_kg.py), justification
+tree phrasings (tests/test_justification_tree_builder.py), context
+retrieval incl. the similar-cases anti-join
+(tests/test_context_retriever.py)."""
+
+import json
+
+import pytest
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.explain.cache import ExplanationCache
+from xpshacl_spark.explain.context import DomainRule, domain_rules, similar_cases
+from xpshacl_spark.explain.pipeline import Explainer
+from xpshacl_spark.explain.signature import (
+    ViolationSignature,
+    signature_id_col,
+    signature_to_uri,
+    XSH,
+)
+from xpshacl_spark.explain.tree import build_justification_tree
+from xpshacl_spark.shapes import MinInclusive, Shape
+
+
+# ---------------------------------------------------------------------------
+# signature parity (reference: violation_kg.py:88-102)
+# ---------------------------------------------------------------------------
+
+
+def test_signature_md5_byte_parity():
+    sig = ViolationSignature(
+        constraint_id="test_constraint",
+        property_path="test_property",
+        violation_type="test_type",
+        constraint_params={"key": "value"},
+    )
+    # digest precomputed with the reference algorithm
+    assert signature_to_uri(sig) == f"{XSH}sig_e923851e4cac406a5fe9ce4c0a740429"
+
+
+def test_signature_distinct_uris_with_prefix():
+    """reference tests/test_violation_kg.py:106-125."""
+    s1 = ViolationSignature("test_constraint", "test_property", "test_type", {"key": "value"})
+    s2 = ViolationSignature("different_constraint", "different_property", "different_type", {"different": "params"})
+    u1, u2 = signature_to_uri(s1), signature_to_uri(s2)
+    assert u1 != u2
+    assert u1.startswith(XSH) and u2.startswith(XSH)
+
+
+def test_spark_signature_col_matches_python(spark):
+    """Driver-side md5 and the Spark Column expression must agree."""
+    df = spark.createDataFrame(
+        [("MinInclusiveConstraintComponent", "turn_idx", "value_range")],
+        "constraint_component string, property_path string, violation_type string",
+    )
+    got = df.select(signature_id_col().alias("h")).collect()[0]["h"]
+    assert got == "c79830f5a41da87fdfbd86e10aecbff4"
+    sig = ViolationSignature(
+        "MinInclusiveConstraintComponent", "turn_idx", "ViolationType.VALUE_RANGE"
+    )
+    assert signature_to_uri(sig) == f"{XSH}sig_{got}"
+
+
+def test_spark_signature_null_path(spark):
+    df = spark.createDataFrame(
+        [("C", None, "other")],
+        "constraint_component string, property_path string, violation_type string",
+    )
+    got = df.select(signature_id_col().alias("h")).collect()[0]["h"]
+    sig = ViolationSignature("C", None, "ViolationType.OTHER")
+    assert signature_to_uri(sig).endswith(got)
+
+
+# ---------------------------------------------------------------------------
+# cache semantics (reference: tests/test_violation_kg.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def sig():
+    return ViolationSignature(
+        constraint_id="test_constraint",
+        property_path="test_property",
+        violation_type="test_type",
+        constraint_params={"key": "value"},
+    )
+
+
+def test_cache_size_empty():
+    c = ExplanationCache()
+    c.clear()
+    assert c.size() == 0
+
+
+def test_add_violation_nine_facts(sig):
+    """reference tests/test_violation_kg.py:44-62: a full add yields
+    exactly 9 facts."""
+    c = ExplanationCache()
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": "Test explanation",
+            "correction_suggestions": ["Suggestion1", "Suggestion2"],
+        },
+    )
+    assert c.size() == 9
+
+
+def test_has_and_get_roundtrip(sig):
+    """reference tests/test_violation_kg.py:64-104."""
+    c = ExplanationCache()
+    assert not c.has_violation(sig)
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": "Test explanation",
+            "correction_suggestions": "Suggestion",
+        },
+    )
+    assert c.has_violation(sig)
+    got = c.get_explanation(sig)
+    assert got["natural_language_explanation"] == "Test explanation"
+    assert got["correction_suggestions"] == ["Suggestion"]
+
+
+def test_cache_language_isolation(sig):
+    c = ExplanationCache()
+    c.add_violation(sig, {"natural_language_explanation": "en text"}, "en")
+    assert c.has_violation(sig, "en")
+    assert not c.has_violation(sig, "de")
+    c.add_violation(sig, {"natural_language_explanation": "de text"}, "de")
+    assert c.get_explanation(sig, "de")["natural_language_explanation"] == "de text"
+
+
+def test_cache_persistence_roundtrip(sig, tmp_path):
+    p = str(tmp_path / "cache.parquet")
+    c = ExplanationCache(p)
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": "Persisted",
+            "correction_suggestions": ["A", "B"],
+        },
+    )
+    c.save()
+    c2 = ExplanationCache(p)
+    assert c2.has_violation(sig)
+    assert c2.get_explanation(sig)["correction_suggestions"] == ["A", "B"]
+    assert c2.size() == 9
+
+
+# ---------------------------------------------------------------------------
+# justification trees (reference: tests/test_justification_tree_builder.py)
+# ---------------------------------------------------------------------------
+
+
+def _tree_text(tree):
+    out = []
+
+    def walk(n):
+        out.append(n["statement"])
+        if n.get("evidence"):
+            out.append(n["evidence"])
+        for ch in n.get("children", []):
+            walk(ch)
+
+    walk(tree["justification"])
+    return "\n".join(out)
+
+
+def test_cardinality_tree_phrasing():
+    """reference :83-88 — observation 'has 1 values', inference
+    '1 < at least 2'."""
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:node1",
+            "shape_id": "ex:shape1",
+            "constraint_component": "MinCountConstraintComponent",
+            "violation_type": "cardinality",
+            "property_path": "ex:prop",
+            "value": None,
+            "context": {"minCount": "2", "actualCount": "1"},
+        }
+    )
+    text = _tree_text(tree)
+    assert "has 1 values" in text
+    assert "1 < at least 2" in text
+    assert tree["justification"]["type"] == "conclusion"
+    assert "fails to conform to" in tree["justification"]["statement"]
+
+
+def test_class_tree_phrasing():
+    """reference :103-109 — 'is not an instance'."""
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:node1",
+            "shape_id": "ex:shape1",
+            "constraint_component": "ClassConstraintComponent",
+            "violation_type": "value_type",
+            "property_path": "ex:prop",
+            "value": None,
+        }
+    )
+    assert "is not an instance" in _tree_text(tree)
+
+
+def test_range_tree_phrasing():
+    """reference :124-129 — the bound value appears in the inference."""
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:node1",
+            "shape_id": "ex:shape1",
+            "constraint_component": "MinInclusiveConstraintComponent",
+            "violation_type": "value_range",
+            "property_path": "turn_idx",
+            "value": "-3",
+            "params": {"minInclusive": 0},
+        }
+    )
+    text = _tree_text(tree)
+    assert "has value -3" in text
+    assert "minimum value restriction 0" in text
+
+
+def test_pattern_tree_phrasing():
+    """reference :147-156 — pattern and flags appear."""
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:node1",
+            "shape_id": "ex:shape1",
+            "constraint_component": "PatternConstraintComponent",
+            "violation_type": "pattern",
+            "property_path": "role",
+            "value": "USER",
+            "params": {"pattern": "^[a-z]+$", "flags": "i"},
+        }
+    )
+    text = _tree_text(tree)
+    assert "does not comply with the pattern ^[a-z]+$." in text
+    assert "The pattern uses flags i." in text
+
+
+def test_logical_not_tree_phrasing():
+    """reference :173-179 — negated shape appears."""
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:node1",
+            "shape_id": "ex:shape1",
+            "constraint_component": "NotConstraintComponent",
+            "violation_type": "logical",
+            "property_path": None,
+            "value": None,
+            "params": {"not": "ex:forbiddenShape"},
+        }
+    )
+    text = _tree_text(tree)
+    assert "includes a negation of the shape ex:forbiddenShape" in text
+    assert "cannot comply with the rules" in text
+
+
+def test_generic_tree_phrasing():
+    tree = build_justification_tree(
+        {
+            "focus_node": "ex:n",
+            "shape_id": "ex:s",
+            "constraint_component": "WeirdComponent",
+            "violation_type": "other",
+            "message": "strange things",
+        }
+    )
+    assert "Generic justification for violation: strange things" in _tree_text(tree)
+
+
+# ---------------------------------------------------------------------------
+# context (reference: tests/test_context_retriever.py)
+# ---------------------------------------------------------------------------
+
+
+def test_similar_cases_anti_join(spark):
+    """reference :85-102: node2 (lacks prop) in, node3 (has prop) out,
+    focus excluded."""
+    df = spark.createDataFrame(
+        [("n1", None), ("n2", None), ("n3", "x")],
+        "id string, prop string",
+    )
+    sims = similar_cases(
+        df, "prop", ["id"], exclude={"id": "n1"}, limit=10
+    )
+    nodes = {s["node"] for s in sims}
+    assert nodes == {"id=n2"}
+
+
+def test_domain_rule_formatting():
+    """reference :105-119: 'Rule <uri> (label): comment'."""
+    rules = [
+        DomainRule("http://x.org/r1", "age", label="AgeRule", comment="ages are positive"),
+        DomainRule("http://x.org/r2", "other_prop"),
+    ]
+    got = domain_rules(rules, "age")
+    assert got == ["Rule <http://x.org/r1> (AgeRule): ages are positive"]
+    assert domain_rules(rules, None) == []
+    bare = domain_rules([DomainRule("http://x.org/r3", "age")], "age")
+    assert bare == ["Rule <http://x.org/r3>: Applies to this property."]
+
+
+# ---------------------------------------------------------------------------
+# full pipeline: dedup -> template explain -> cache -> fan-out join
+# ---------------------------------------------------------------------------
+
+
+def test_explainer_end_to_end(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("c1", 0, -5), ("c1", 1, 3), ("c2", 0, -2), ("c2", 1, -9)],
+        "conv_id string, turn_idx int, score int",
+    )
+    shapes = [
+        Shape(
+            "ex:ScoreShape",
+            (MinInclusive("score", 0),),
+            name="ScoreShape",
+            description="score must be non-negative",
+        )
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
+    cache = ExplanationCache(str(tmp_path / "kg.parquet"))
+    ex = Explainer(spark, cache=cache)
+
+    expl = ex.explain(rep, shapes, df=df, languages=["en", "de"])
+    rows = expl.collect()
+    # ONE signature, two languages
+    assert len(rows) == 2
+    assert {r["language"] for r in rows} == {"en", "de"}
+    r = [x for x in rows if x["language"] == "en"][0]
+    assert r["constraint_component"] == "MinInclusiveConstraintComponent"
+    tree = json.loads(r["justification_tree"])
+    assert "minimum value restriction 0" in json.dumps(tree)
+    ctx = json.loads(r["retrieved_context"])
+    assert "Shape Name: ScoreShape" in ctx["shape_documentation"]
+
+    # fan-out: every violation instance gets its signature's explanation
+    full = ex.explain_full(rep, shapes, df=df, languages=["en"])
+    frows = full.collect()
+    assert len(frows) == 3  # 3 violating rows x 1 language
+    assert all(x["natural_language_explanation"] for x in frows)
+
+    # warm cache: second run hits the cache, no new entries
+    cache2 = ExplanationCache(str(tmp_path / "kg.parquet"))
+    before = cache2.size()
+    ex2 = Explainer(spark, cache=cache2)
+    expl2 = ex2.explain(rep, shapes, df=df, languages=["en", "de"])
+    assert expl2.count() == 2
+    assert cache2.size() == before
+    # cached text identical to the originally generated one
+    en1 = [x for x in rows if x["language"] == "en"][0]["natural_language_explanation"]
+    en2 = [
+        x
+        for x in expl2.collect()
+        if x["language"] == "en"
+    ][0]["natural_language_explanation"]
+    assert en1 == en2
