@@ -1,0 +1,99 @@
+"""Checkpoint/resume invariants (north rule): kill after k shapes,
+resume, identical final relation; manifest carries lineage + metrics.
+Plus shapes JSON round-trip."""
+
+import json
+import os
+
+import pytest
+
+from xpshacl_spark.checkpoint import CheckpointedRunner
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.datagen import roles_dim, tools_dim, transcripts
+from xpshacl_spark.shapes_io import load_shapes, save_shapes, shapes_from_json, shapes_to_json
+from xpshacl_spark.suites import transcript_shapes
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "t.parquet")
+    transcripts(spark, n_convs=120, seed=11).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _engine(spark):
+    return ValidationEngine(
+        spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
+    )
+
+
+def _rows(report):
+    return sorted(
+        (tuple(str(x) for x in r) for r in report.violations.drop("context").collect()),
+    )
+
+
+def test_kill_and_resume_identical(spark, tdf, tmp_path):
+    shapes = transcript_shapes()
+    keys = ["conv_id", "turn_idx"]
+
+    # uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    ref = CheckpointedRunner(_engine(spark), full_dir).run(tdf, shapes, keys)
+    ref_rows = _rows(ref)
+    assert len(ref_rows) > 0
+
+    # interrupted run: fail after 2 shapes, then resume
+    part_dir = str(tmp_path / "partial")
+    runner = CheckpointedRunner(_engine(spark), part_dir)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        runner.run(tdf, shapes, keys, fail_after=2)
+    assert len(runner.completed()) == 2
+
+    resumed = CheckpointedRunner(_engine(spark), part_dir).run(tdf, shapes, keys)
+    assert _rows(resumed) == ref_rows
+
+
+def test_resume_skips_completed(spark, tdf, tmp_path):
+    shapes = transcript_shapes()[:3]
+    keys = ["conv_id", "turn_idx"]
+    out = str(tmp_path / "skip")
+    r1 = CheckpointedRunner(_engine(spark), out)
+    r1.run(tdf, shapes, keys)
+    done = r1.completed()
+    stamps = {k: v["finished_unix"] for k, v in done.items()}
+    # second run must not recompute anything
+    r2 = CheckpointedRunner(_engine(spark), out)
+    r2.run(tdf, shapes, keys)
+    stamps2 = {k: v["finished_unix"] for k, v in r2.completed().items()}
+    assert stamps == stamps2
+
+
+def test_manifest_lineage_and_metrics(spark, tdf, tmp_path):
+    shapes = transcript_shapes()[:1]
+    out = str(tmp_path / "lineage")
+    runner = CheckpointedRunner(_engine(spark), out)
+    runner.run(tdf, shapes, ["conv_id", "turn_idx"])
+    rec = list(runner.completed().values())[0]
+    assert rec["status"] == "completed"
+    assert rec["n_violations"] > 0
+    assert rec["n_input_partitions"] > 0
+    assert any(f.endswith(".parquet") or "part-" in f for f in rec["input_files"])
+    assert rec["wall_sec"] > 0
+    assert os.path.isdir(rec["output_path"])
+
+
+def test_shapes_json_roundtrip(tmp_path):
+    shapes = transcript_shapes()
+    text = shapes_to_json(shapes)
+    back = shapes_from_json(text)
+    assert back == shapes
+    p = str(tmp_path / "shapes.json")
+    save_shapes(p, shapes)
+    assert load_shapes(p) == shapes
+    # sanity: the JSON mentions every constraint kind used
+    doc = json.loads(text)
+    kinds = {
+        c["kind"] for s in doc["shapes"] for c in s["constraints"]
+    }
+    assert {"MinInclusive", "Pattern", "ForeignKey", "Unique", "Monotonic"} <= kinds

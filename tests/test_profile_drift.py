@@ -1,0 +1,123 @@
+"""Fused profiler + KS/PSI drift statistics + Drift constraint e2e."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.operators.drift import ks_statistic, psi_statistic
+from xpshacl_spark.operators.profile import HistSpec, ProfileSpec, profile
+from xpshacl_spark.shapes import Drift, Shape
+
+
+def test_profile_single_pass_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "d"), (10, "e")],
+        "x int, s string",
+    )
+    prof = profile(
+        df,
+        [
+            ProfileSpec("x", hist=HistSpec(0.0, 10.0, 5)),
+            ProfileSpec("s"),
+            ProfileSpec("xlen", expression="x * 2"),
+        ],
+    )
+    px = prof["x"]
+    assert px["count"] == 5
+    assert px["non_null"] == 4
+    assert px["nulls"] == 1
+    assert px["min"] == "1"
+    assert px["max"] == "10"
+    # bins of width 2 over [0,10): 1->b0, 2->b1, 3->b1, 10->overflow
+    assert px["hist"] == [0, 1, 2, 0, 0, 0, 1]
+    ps = prof["s"]
+    assert ps["nulls"] == 1 and ps["min"] == "a" and ps["max"] == "e"
+    assert prof["xlen"]["max"] == "20"
+
+
+def test_profile_distinct_hll(spark):
+    df = spark.range(10000).select((F.col("id") % 100).alias("k"))
+    prof = profile(df, [ProfileSpec("k", rsd=0.02)])
+    assert abs(prof["k"]["approx_distinct"] - 100) <= 5
+
+
+def test_ks_psi_identical_is_zero():
+    h = [10, 20, 30, 20, 10]
+    assert ks_statistic(h, h) == 0.0
+    assert psi_statistic(h, h) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ks_disjoint_is_one():
+    assert ks_statistic([100, 0, 0, 0], [0, 0, 0, 100]) == pytest.approx(1.0)
+
+
+def test_psi_shift_detects():
+    base = [100, 100, 100, 0, 0]
+    cur = [0, 0, 100, 100, 100]
+    assert psi_statistic(base, cur) > 0.5
+    near = [95, 105, 100, 0, 0]
+    assert psi_statistic(base, near) < 0.05
+
+
+def test_drift_constraint_end_to_end(spark):
+    base_df = spark.range(5000).select((F.col("id") % 1000).alias("v"))
+    cur_df = spark.range(5000).select((F.col("id") % 1000 + 500).alias("v"))
+
+    # build the baseline histogram with the profiler (same binning)
+    from xpshacl_spark.operators.profile import profile as prof_fn
+
+    spec = ProfileSpec("v", hist=HistSpec(0.0, 2000.0, 32))
+    base_hist = prof_fn(base_df, [spec])["v"]["hist"]
+
+    engine = ValidationEngine(spark)
+    shape_drift = Shape(
+        "drift_shape",
+        (
+            Drift(
+                "v",
+                lo=0.0,
+                hi=2000.0,
+                bins=32,
+                stat="psi",
+                threshold=0.2,
+                baseline=tuple(base_hist),
+            ),
+        ),
+    )
+    # shifted data violates
+    rep = engine.validate(cur_df.withColumn("id2", F.col("v")), [shape_drift], ["id2"])
+    rows = rep.violations.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_component"] == "DistributionConstraintComponent"
+    assert rows[0]["violation_type"] == "distribution"
+    assert float(rows[0]["value"]) > 0.2
+
+    # same-distribution data conforms
+    rep2 = engine.validate(
+        base_df.withColumn("id2", F.col("v")), [shape_drift], ["id2"]
+    )
+    assert rep2.conforms
+
+
+def test_drift_ks_variant(spark):
+    base_df = spark.range(4000).select((F.col("id") % 100).alias("v"))
+    cur_df = spark.range(4000).select((F.col("id") % 100 + 50).alias("v"))
+    spec = ProfileSpec("v", hist=HistSpec(0.0, 200.0, 20))
+    base_hist = profile(base_df, [spec])["v"]["hist"]
+    shape = Shape(
+        "ks_shape",
+        (
+            Drift(
+                "v",
+                lo=0.0,
+                hi=200.0,
+                bins=20,
+                stat="ks",
+                threshold=0.1,
+                baseline=tuple(base_hist),
+            ),
+        ),
+    )
+    engine = ValidationEngine(spark)
+    rep = engine.validate(cur_df.withColumn("k", F.col("v")), [shape], ["k"])
+    assert rep.violations.count() == 1

@@ -1,0 +1,93 @@
+"""spark-submit entry point.
+
+Usage (cluster: `spark-submit --py-files xpshacl_spark.zip runner.py ...`;
+locally: `python -m xpshacl_spark.runner ...`):
+
+  --input PATH           transcript parquet (or any table)
+  --shapes PATH          shapes JSON (shapes_io format); default = the
+                         canonical transcript suite
+  --key-cols a,b         focus row key columns (default conv_id,turn_idx)
+  --output DIR           checkpointed output dir (manifest + violations)
+  --explain              also produce the explanations relation
+  --cache PATH           explanation cache parquet
+  --languages en,de      explanation languages
+  --replay DIR           skip validation; run explanation stages over an
+                         existing violations output (reference report-
+                         replay mode, /root/reference/src/main.py:75-114)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="xpshacl_spark validation runner")
+    ap.add_argument("--input", required=False)
+    ap.add_argument("--shapes")
+    ap.add_argument("--key-cols", default="conv_id,turn_idx")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--explain", action="store_true")
+    ap.add_argument("--cache")
+    ap.add_argument("--languages", default="en")
+    ap.add_argument("--replay")
+    ap.add_argument("--master")
+    args = ap.parse_args(argv)
+
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine, ValidationReport
+    from xpshacl_spark.datagen import roles_dim, tools_dim
+    from xpshacl_spark.explain import ExplanationCache, Explainer
+    from xpshacl_spark.session import get_spark
+    from xpshacl_spark.shapes_io import load_shapes
+    from xpshacl_spark.suites import transcript_shapes
+
+    spark = get_spark(app_name="xpshacl_spark_runner", master=args.master)
+    key_cols = args.key_cols.split(",")
+    shapes = load_shapes(args.shapes) if args.shapes else transcript_shapes()
+
+    t0 = time.monotonic()
+    engine = ValidationEngine(
+        spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
+    )
+    runner = CheckpointedRunner(engine, args.output)
+
+    if args.replay:
+        df = None
+        violations = spark.read.parquet(f"{args.replay}/violations")
+        report = ValidationReport(violations, key_cols)
+    else:
+        if not args.input:
+            ap.error("--input is required unless --replay is given")
+        df = spark.read.parquet(args.input)
+        report = runner.run(df, shapes, key_cols=key_cols)
+
+    counts = report.counts().collect()
+    summary = {
+        "conforms": len(counts) == 0,
+        "n_violations": int(sum(r["n_violations"] for r in counts)),
+        "by_shape": {
+            f"{r['shape_id']}#{r['constraint_component']}": r["n_violations"]
+            for r in counts
+        },
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+
+    if args.explain:
+        cache = ExplanationCache(args.cache) if args.cache else ExplanationCache()
+        ex = Explainer(spark, cache=cache)
+        full = ex.explain_full(
+            report, shapes, df=df, languages=args.languages.split(",")
+        )
+        full.write.mode("overwrite").parquet(f"{args.output}/explained")
+        summary["explained_path"] = f"{args.output}/explained"
+
+    print(json.dumps(summary, sort_keys=True))
+    return 0 if summary["conforms"] else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

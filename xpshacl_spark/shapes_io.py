@@ -1,0 +1,116 @@
+"""JSON (de)serialization for shapes.
+
+The reference parses an RDF shapes graph (/root/reference/src/main.py:55);
+our declarative analog is a JSON document, so shape suites can ship to
+a cluster alongside `spark-submit --py-files` without code changes.
+
+Format:
+{
+  "shapes": [
+    {"shape_id": "...", "target": "role = 'assistant'",
+     "severity": "Violation", "message": null,
+     "name": "...", "description": "...",
+     "constraints": [
+        {"kind": "MinInclusive", "column": "turn_idx", "bound": 0},
+        {"kind": "Or", "children": [{"kind": "Expr", ...}, ...]},
+        ...
+     ]}
+  ]
+}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+from xpshacl_spark import shapes as S
+
+_CONSTRAINTS = {
+    name: cls
+    for name, cls in vars(S).items()
+    if isinstance(cls, type)
+    and dataclasses.is_dataclass(cls)
+    and issubclass(cls, S.Constraint)
+    and cls not in (S.Constraint, S.RowConstraint)
+}
+
+_NESTED_FIELDS = {"inner"}
+_NESTED_LIST_FIELDS = {"children"}
+_TUPLE_FIELDS = {"columns", "group_by", "ref_columns", "values", "baseline", "children"}
+
+
+def constraint_to_dict(c: S.Constraint) -> dict:
+    d: dict[str, Any] = {"kind": type(c).__name__}
+    for f in dataclasses.fields(c):
+        v = getattr(c, f.name)
+        if f.name in _NESTED_FIELDS and v is not None:
+            v = constraint_to_dict(v)
+        elif f.name in _NESTED_LIST_FIELDS and v is not None:
+            v = [constraint_to_dict(x) for x in v]
+        elif isinstance(v, tuple):
+            v = list(v)
+        d[f.name] = v
+    return d
+
+
+def constraint_from_dict(d: dict) -> S.Constraint:
+    d = dict(d)
+    kind = d.pop("kind")
+    cls = _CONSTRAINTS[kind]
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if f.name in _NESTED_FIELDS and isinstance(v, dict):
+            v = constraint_from_dict(v)
+        elif f.name in _NESTED_LIST_FIELDS and isinstance(v, list):
+            v = tuple(constraint_from_dict(x) for x in v)
+        elif f.name in _TUPLE_FIELDS and isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def shape_to_dict(s: S.Shape) -> dict:
+    return {
+        "shape_id": s.shape_id,
+        "target": s.target,
+        "severity": s.severity,
+        "message": s.message,
+        "name": s.name,
+        "description": s.description,
+        "constraints": [constraint_to_dict(c) for c in s.constraints],
+    }
+
+
+def shape_from_dict(d: dict) -> S.Shape:
+    return S.Shape(
+        shape_id=d["shape_id"],
+        constraints=tuple(constraint_from_dict(c) for c in d["constraints"]),
+        target=d.get("target"),
+        severity=d.get("severity", "Violation"),
+        message=d.get("message"),
+        name=d.get("name"),
+        description=d.get("description"),
+    )
+
+
+def shapes_to_json(shapes: list[S.Shape]) -> str:
+    return json.dumps({"shapes": [shape_to_dict(s) for s in shapes]}, indent=2)
+
+
+def shapes_from_json(text: str) -> list[S.Shape]:
+    return [shape_from_dict(d) for d in json.loads(text)["shapes"]]
+
+
+def load_shapes(path: str) -> list[S.Shape]:
+    with open(path) as f:
+        return shapes_from_json(f.read())
+
+
+def save_shapes(path: str, shapes: list[S.Shape]) -> None:
+    with open(path, "w") as f:
+        f.write(shapes_to_json(shapes))
