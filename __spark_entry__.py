@@ -200,6 +200,148 @@ def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.counts()
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting, n-gram lang-ID, quality scoring,
+    md5 fingerprinting — one fused zero-shuffle scan
+    (xpshacl_spark.operators.text)."""
+    from xpshacl_spark.operators import text as tx
+
+    d = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_token_count(c).alias("n_bpe_tokens"),
+        tx.lang_id(c).alias("lang_pred"),
+        F.round(tx.quality_score(c), 6).alias("quality"),
+        tx.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content hash (hash groupBy)."""
+    from xpshacl_spark.operators.dedup import exact_duplicates
+
+    d = _load(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (shingle inverted
+    index + self-join + set algebra)."""
+    from xpshacl_spark.operators.dedup import jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 md5 hashes) + LSH(4 bands x 2 rows) candidate pairs."""
+    from xpshacl_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, bands=4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (bitwise majority over word md5s)."""
+    from xpshacl_spark.operators.dedup import simhash
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=16)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label, cos >= 0.4
+    (double-precision index-order fold for cross-engine parity)."""
+    from xpshacl_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, block_col="label"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5
+    (broadcast queries, one corpus scan, per-query window)."""
+    from xpshacl_spark.operators.similarity import cosine_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN scale path:
+    bucket id = sign pattern of 6 deterministic +/-1 projections)."""
+    from xpshacl_spark.operators.similarity import lsh_sign_buckets
+
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        lsh_sign_buckets(e, "vec_id", "embedding", num_planes=6, dim=64)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas feature extraction (decode step stubbed
+    deterministically; see operators.multimodal)."""
+    from xpshacl_spark.operators.multimodal import decode_media, synth_media
+
+    d = _load(spark, sf_dir, "documents")
+    return decode_media(synth_media(d))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every 30th frame, max 16, per video."""
+    from xpshacl_spark.operators.multimodal import sample_frames, synth_media
+
+    d = _load(spark, sf_dir, "documents")
+    return sample_frames(synth_media(d), every_n=30, fps=30, max_frames=16)
+
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass column profiler (relation form, exact distinct
+    for oracle parity; the engine's dict form uses HLL sketches)."""
+    from xpshacl_spark.operators.profile import profile_relation
+
+    li = _load(spark, sf_dir, "lineitem")
+    return profile_relation(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explanation pipeline stage 1: violation signature dedup + md5
+    signature ids (byte-parity with reference violation_kg.py:88-102)."""
+    from xpshacl_spark.explain.signature import signature_id_col
+
+    li = _load(spark, sf_dir, "lineitem")
+    shapes = [
+        Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
+        Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
+        Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(li, shapes, key_cols=["l_orderkey", "l_linenumber"])
+    return (
+        rep.violations.dropDuplicates(
+            ["constraint_component", "property_path", "violation_type"]
+        )
+        .select(
+            signature_id_col().alias("signature_id"),
+            "constraint_component",
+            "property_path",
+            "violation_type",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-shape validation summary on sf0.001."""
     return q_violation_summary(spark, SF0001)
@@ -217,7 +359,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logical_orders": q_logical_orders,
         "q_xone_orders": q_xone_orders,
         "q_violation_summary": q_violation_summary,
+        "q_text_profile": q_text_profile,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_ann_lsh_buckets": q_ann_lsh_buckets,
+        "q_media_features": q_media_features,
+        "q_media_frames": q_media_frames,
+        "q_profile_stats": q_profile_stats,
+        "q_signature_dedup": q_signature_dedup,
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect) for the pipeline operators
+# ---------------------------------------------------------------------------
+
+# normalized text + word lists, mirroring operators.text.normalize_text
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_NWORDS = f"string_split({_NORM}, ' ')"
+_RAW_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# distinct word-3-gram shingles per doc (operators.dedup.shingles, n=3)
+_SH_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, "
+    f"unnest(list_transform(range(1, greatest(len({_NWORDS}) - 2, 0) + 1), "
+    f"i -> array_to_string(({_NWORDS})[i:i+2], ' '))) AS shingle FROM documents)"
+)
+
+# double-precision cosine, same op order as operators.dedup.cosine
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def _text_profile_sql() -> str:
+    from xpshacl_spark.operators.text import STOPWORDS
+
+    hits = {
+        lang: (
+            f"len(list_filter({_RAW_WORDS}, w -> list_contains("
+            f"[{', '.join(repr(w) for w in ws)}], lower(w))))"
+        )
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_RAW_WORDS}) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    {', '.join(f'{h} AS s_{l}' for l, h in hits.items())},
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+    END AS pr,
+    md5({_NORM}) AS fingerprint
+  FROM documents)
+SELECT doc_id, n_tokens, n_bpe_tokens, {lang_case} AS lang_pred,
+  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+      + 0.3 * (1.0 - least(1.0, pr * 5.0))
+      + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0
+                               ELSE s_en / CAST(n_tokens AS DOUBLE) END) * 4.0),
+        6) AS quality,
+  fingerprint
+FROM t"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    sep = " || '|' || "
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({sep.join(f'mh_{b * r + j}' for j in range(r))}) AS band_key "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH {_SH_CTE}, "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({band_sel}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b USING (band_idx, band_key) "
+        "WHERE a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        bit = (
+            f"CASE WHEN list_sum(list_transform({_NWORDS}, "
+            f"w -> CASE WHEN instr('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1 >= 8 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END"
+        )
+        terms.append(bit)
+    return (
+        f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash "
+        "FROM documents"
+    )
+
+
+def _lsh_buckets_sql(num_planes: int = 6, dim: int = 64) -> str:
+    from xpshacl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return (
+        f"SELECT CAST({' + '.join(terms)} AS INT) AS bucket, "
+        "count(*) AS n_vectors FROM embeddings GROUP BY 1"
+    )
+
+
+def _signature_sql() -> str:
+    rows = [
+        ("MaxInclusiveConstraintComponent", "l_quantity", "value_range",
+         "l_quantity > 30"),
+        ("MaxInclusiveConstraintComponent", "l_discount", "value_range",
+         "l_discount > 0.08"),
+        ("MinInclusiveConstraintComponent", "l_tax", "value_range",
+         "l_tax < 0.02"),
+    ]
+    branches = []
+    for comp, path, vtype, pred in rows:
+        sig = f"{comp}|{path}|ViolationType.{vtype.upper()}|[]"
+        branches.append(
+            f"SELECT md5('{sig}') AS signature_id, '{comp}' AS constraint_component, "
+            f"'{path}' AS property_path, '{vtype}' AS violation_type "
+            f"WHERE EXISTS (SELECT 1 FROM lineitem WHERE {pred})"
+        )
+    return " UNION ALL ".join(branches)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -277,4 +565,75 @@ def oracle_sql() -> dict[str, str]:
             "'value_range', count(*) FROM lineitem WHERE l_tax < 0.02"
             ") WHERE n_violations > 0"
         ),
+        "q_text_profile": _text_profile_sql(),
+        "q_dedup_exact": (
+            f"SELECT md5({_NORM}) AS content_key, count(*) AS n_dups, "
+            "min(doc_id) AS keep_id FROM documents "
+            "GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "q_dedup_jaccard": (
+            f"WITH {_SH_CTE}, "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT * FROM ("
+            "SELECT id_a, id_b, "
+            "round(nc / CAST(sa.n + sb.n - nc AS DOUBLE), 6) AS jaccard "
+            "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE jaccard >= 0.5"
+        ),
+        "q_dedup_minhash_lsh": _minhash_lsh_sql(),
+        "q_dedup_simhash": _simhash_sql(),
+        "q_embed_near_dup": (
+            "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+            "FROM embeddings) "
+            "SELECT * FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"round({_cos_sql('a.v', 'b.v')}, 6) AS cos "
+            "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) "
+            "WHERE cos >= 0.4"
+        ),
+        "q_ann_cosine_topk": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), "
+            "scored AS (SELECT query_id, e.vec_id, "
+            f"round({_cos_sql('e.v', 'qv')}, 6) AS cos "
+            "FROM e, q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, vec_id, cos, CAST(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS \"rank\" "
+            "FROM scored QUALIFY row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10"
+        ),
+        "q_ann_lsh_buckets": _lsh_buckets_sql(),
+        "q_media_features": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS digest, "
+            "CAST((doc_id * 7) % 1024 + 16 AS INT) AS width, "
+            "CAST((doc_id * 13) % 768 + 16 AS INT) AS height "
+            "FROM documents"
+        ),
+        "q_media_frames": (
+            "WITH v AS (SELECT doc_id, "
+            "CAST(floor(strlen(text) / 8) AS INT) + 1 AS nf "
+            "FROM documents WHERE doc_id % 3 = 2), "
+            "f AS (SELECT doc_id, "
+            "unnest((range(0, nf, 30))[1:16]) AS frame_idx FROM v) "
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(frame_idx AS INT) AS frame_idx, "
+            "round(frame_idx / 30.0, 6) AS ts_sec FROM f"
+        ),
+        "q_profile_stats": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+                f"count(*) - count({c}) AS n_nulls, "
+                f"CAST(min({c}) AS DOUBLE) AS min_value, "
+                f"CAST(max({c}) AS DOUBLE) AS max_value, "
+                f"count(DISTINCT {c}) AS n_distinct FROM lineitem"
+                for c in ["l_quantity", "l_extendedprice", "l_discount"]
+            )
+        ),
+        "q_signature_dedup": _signature_sql(),
     }

@@ -1,0 +1,274 @@
+"""Unit tests for the training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) on small
+constructed inputs with hand-computable expectations."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from pyspark.sql import functions as F
+
+from xpshacl_spark.operators import text as tx
+from xpshacl_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from xpshacl_spark.operators.multimodal import (
+    decode_media,
+    resize_plan,
+    sample_frames,
+    synth_media,
+)
+from xpshacl_spark.operators.profile import profile_relation
+from xpshacl_spark.operators.similarity import (
+    cosine_topk,
+    hyperplanes,
+    lsh_ann_topk,
+    lsh_sign_buckets,
+)
+
+DOCS = [
+    # two exact duplicates modulo case/punctuation
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the QUICK brown fox -- jumps over the lazy dog!!"),
+    # near-duplicate of 0 (one word changed)
+    (2, "The quick brown fox leaps over the lazy dog"),
+    # unrelated
+    (3, "completely different content about spark query engines"),
+    # short doc (< 3 words): must produce NO shingles
+    (4, "tiny doc"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles_short_docs_empty(spark, docs):
+    sh = shingles(docs, "doc_id", "text", n=3)
+    ids = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert 4 not in ids and 5 not in ids  # sequence(1,0) guard
+    # doc 0: 9 words -> 7 distinct trigrams (all unique here)
+    assert sh.where(F.col("doc_id") == 0).count() == 7
+
+
+def test_exact_duplicates_normalized(spark, docs):
+    rows = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0].n_dups == 2 and rows[0].keep_id == 0
+
+
+def test_jaccard_pairs(spark, docs):
+    rows = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert rows[(0, 1)] == 1.0  # identical after normalization
+    # doc2 differs in 1 word of 9 -> shares 4 of 7 trigrams:
+    # J = 4 / (7 + 7 - 4) = 0.4
+    assert abs(rows[(0, 2)] - 0.4) < 1e-9
+    assert (0, 3) not in rows and (1, 3) not in rows
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    # identical shingle sets -> identical signatures -> all bands agree
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_identical_docs(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**16
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.999, 0.01, 0.0, 0.0], 0),  # near-dup of 0
+    (2, [0.0, 1.0, 0.0, 0.0], 0),
+    (3, [0.0, 0.0, 1.0, 0.0], 1),
+    (4, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_embedding_near_dup(spark, vecs):
+    rows = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dup_pairs(
+            vecs, "vec_id", "embedding", threshold=0.9, block_col="label"
+        ).collect()
+    }
+    assert (0, 1) in rows and rows[(0, 1)] > 0.999
+    assert (3, 4) not in rows  # cos = 0
+    # blocking: 0 and 3 are in different labels, never compared
+    assert all(a != 0 or b != 3 for a, b in rows)
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # cos: v1=0.9999, v2=v3=0.0 (tie broken by vec_id), v4=-1.0
+    assert [r.vec_id for r in rows] == [1, 2, 3, 4]
+    assert rows[0].cos > 0.999
+    assert rows[-1].cos == -1.0  # opposite vector ranks last
+
+
+def test_lsh_ann_subset_of_exact(spark, vecs):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=4).collect()
+    }
+    ann = lsh_ann_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), k=4, num_planes=2, dim=4
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in ann} <= exact
+    # the near-identical vector lands in the query's bucket
+    assert any(r.vec_id == 1 for r in ann)
+
+
+def test_lsh_buckets_deterministic(spark, vecs):
+    b1 = {r.vec_id: r.bucket for r in lsh_sign_buckets(vecs, "vec_id", "embedding", num_planes=4, dim=4).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_sign_buckets(vecs, "vec_id", "embedding", num_planes=4, dim=4).collect()}
+    assert b1 == b2
+    assert b1[0] == b1[1]  # near-identical vectors share all sign bits
+    assert hyperplanes(2, 3) == hyperplanes(2, 3)
+    assert all(x in (-1, 1) for row in hyperplanes(3, 5) for x in row)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], "text string"
+    )
+    rows = df.select(
+        tx.token_count("text").alias("n"),
+        tx.bpe_token_count("text").alias("b"),
+    ).collect()
+    assert [r.n for r in rows] == [3, 0, 0, 1]
+    assert rows[0].b == 3
+
+
+def test_bpe_tokens_symbols(spark):
+    df = spark.createDataFrame([("ab, cd!e",)], "text string")
+    # tokens: ab , cd ! e
+    assert df.select(tx.bpe_token_count("text").alias("n")).first().n == 5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is happy",),
+            ("el perro y la casa en un dia que no se ve",),
+            ("der hund ist nicht ein tier und das haus",),
+            ("le chat et les maisons pour une fete est grande",),
+            ("xyzzy qwerty",),
+        ],
+        "text string",
+    )
+    assert [r[0] for r in df.select(tx.lang_id("text")).collect()] == [
+        "en", "es", "de", "fr", "und",
+    ]
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(F.round(tx.quality_score("text"), 6).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    fps = [r[0] for r in df.select(tx.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingle_fingerprint_short_doc_null(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    rows = df.select(tx.shingle_fingerprint("text", n=3).alias("f")).collect()
+    assert rows[0].f is None and rows[1].f is not None
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_roundtrip(spark, docs):
+    media = synth_media(docs.where(F.col("text") != ""))
+    feats = decode_media(media).collect()
+    by_id = {r.media_id: r for r in feats}
+    import hashlib
+
+    for doc_id, text in DOCS[:4]:
+        r = by_id[doc_id]
+        assert r.n_bytes == len(text.encode())
+        assert r.digest == hashlib.md5(text.encode()).hexdigest()
+        assert r.kind in ("image", "audio", "video")
+        assert 16 <= r.width < 1040 and 16 <= r.height < 784
+
+
+def test_media_real_decode_raises(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(synth_media(docs), real=True)
+
+
+def test_resize_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "image", 512, 128), (2, "image", 100, 50)],
+        "media_id long, kind string, width int, height int",
+    )
+    rows = {r.media_id: r for r in resize_plan(df, max_side=256).collect()}
+    assert rows[1].out_width == 256 and rows[1].out_height == 64
+    assert rows[2].scale == 1.0 and rows[2].out_width == 100
+
+
+def test_sample_frames(spark, docs):
+    media = synth_media(docs)
+    vids = media.where(F.col("kind") == "video")
+    frames = sample_frames(media, every_n=30, max_frames=16)
+    got = frames.groupBy("media_id").count().collect()
+    assert len(got) == vids.count()
+    first = frames.where(F.col("frame_idx") == 0).count()
+    assert first == vids.count()  # frame 0 always sampled
+
+
+def test_profile_relation(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (2.0,)], "x double"
+    )
+    r = profile_relation(df, ["x"]).collect()[0]
+    assert (r.n_rows, r.n_nulls, r.min_value, r.max_value, r.n_distinct) == (
+        4, 1, 1.0, 2.0, 2,
+    )

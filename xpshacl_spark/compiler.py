@@ -199,10 +199,14 @@ class ValidationEngine:
         self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
     ) -> Optional[DataFrame]:
         structs: list[Column] = []
+        any_violated: Optional[Column] = None
         for shape in shapes:
             target = _target_col(shape)
             for c in shape.row_constraints():
                 violated = target & F.coalesce(c.violated(df), F.lit(False))
+                any_violated = (
+                    violated if any_violated is None else (any_violated | violated)
+                )
                 structs.append(
                     F.when(
                         violated,
@@ -213,10 +217,15 @@ class ValidationEngine:
                 )
         if not structs:
             return None
+        # Two-phase scan: a cheap all-predicate OR filter first, so the
+        # allocation-heavy violation-struct array + explode only runs on
+        # the (rare) violating rows. On healthy 100 TB inputs the fast
+        # path is a pure codegen'd predicate scan that emits ~nothing.
+        pre = df.where(any_violated)
         arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
         # explode drops rows with empty arrays -> conforming rows vanish
         # before any downstream operator sees them.
-        out = df.select(*key_cols, F.explode(arr).alias("_v"))
+        out = pre.select(*key_cols, F.explode(arr).alias("_v"))
         return out.select(*key_cols, "_v.*")
 
     # ------------------------------------------------------------------

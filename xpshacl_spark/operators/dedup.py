@@ -1,0 +1,344 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as DataFrame plans (no per-row Python):
+
+* exact        — hash groupBy on normalized text (or any column tuple)
+* n-gram Jaccard — shingle inverted index + self-join + set algebra
+* MinHash+LSH  — md5-based minhash signatures, banded bucket join
+* SimHash      — bitwise-majority fingerprint + bounded Hamming pairs
+* embedding cosine — double-precision cosine over blocked candidate pairs
+
+Hash parity note: every hash here is md5-of-string (same primitive as
+the violation-KG signature URIs, /root/reference/src/violation_kg.py:
+88-102) precisely so the DuckDB oracle can reproduce signatures,
+buckets, and pair sets byte-for-byte. xxhash64 would be faster but is
+not available in DuckDB; swap `_mh` for F.xxhash64 on a real cluster
+if oracle parity is not needed.
+
+Scale design:
+* shingling is a zero-shuffle scan (explode happens into the shuffle
+  of the following groupBy/join);
+* the shingle inverted index is the classic near-dup skew hazard — a
+  stop-shingle appearing in k docs creates k^2 join rows. `max_doc_freq`
+  drops shingles above a document-frequency cap BEFORE the self-join
+  (standard MinHashLSH practice), turning the worst case from
+  O(n^2) into O(n * df_cap).
+* LSH band buckets are tiny by construction (docs agreeing on a full
+  band of minhashes), so the bucket self-join is skew-safe without
+  salting; AQE handles stragglers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xpshacl_spark.operators.text import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Groups of exact duplicates: one row per duplicated content hash,
+    with the member count and the keeper (min id). A pure hash groupBy:
+    one shuffle on the content hash, map-side partial agg."""
+    key = fingerprint_col(text_col) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def fingerprint_col(text_col: str) -> Column:
+    return F.md5(normalize_text(text_col))
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+    Documents with < n words produce no shingles."""
+    ws = F.split(normalize_text(text_col), " ")
+    k = F.size(ws) - (n - 1)
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def _maybe_prune_stop_shingles(
+    sh: DataFrame, max_doc_freq: Optional[int]
+) -> DataFrame:
+    if max_doc_freq is None:
+        return sh
+    w = Window.partitionBy("shingle")
+    return sh.withColumn("_df", F.count(F.lit(1)).over(w)).where(
+        F.col("_df") <= max_doc_freq
+    ).drop("_df")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard >= threshold.
+
+    Plan: shingle inverted index -> self-equi-join on shingle (this is
+    where candidate generation happens; only docs sharing >= 1 shingle
+    ever meet) -> count common shingles per pair -> join per-doc set
+    sizes -> Jaccard = common / (|A| + |B| - common).
+    """
+    sh = _maybe_prune_stop_shingles(shingles(df, id_col, text_col, n), max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _mh(i: int, shingle: Column) -> Column:
+    """The i-th minhash hash function: md5 over a seeded prefix. Min of
+    a hex string is taken lexicographically — identical in any engine."""
+    return F.md5(F.concat_ws("|", F.lit(str(i)), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): column-wise MinHash signature. One
+    shuffle (groupBy doc_id); all k mins computed in the same agg."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(_mh(i, F.col("shingle"))).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature: (doc_id, band_idx, band_key) where band_key
+    is the md5 of the band's minhashes. Docs sharing any (band_idx,
+    band_key) are candidate pairs."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("doc_id", "_b.band_idx", "_b.band_key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: distinct (id_a < id_b) sharing at least
+    one LSH band bucket. Verify candidates with jaccard_pairs or an
+    exact diff downstream; LSH only bounds recall/precision."""
+    bd = lsh_bands(
+        minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+    )
+    a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash): bitwise-majority fingerprint over word md5s.
+
+    Bit j of a word = high bit of hex nibble j of md5(word); the
+    document's bit j is 1 iff more word occurrences have bit j set than
+    unset. bits <= 32 (one md5 hex nibble per bit). Zero-shuffle scan:
+    the majority fold runs inside F.aggregate over the words array.
+    """
+    assert bits <= 32
+    ws = F.split(normalize_text(text_col), " ")
+    total = None
+    for j in range(bits):
+        # contribution of each word occurrence: +1 if bit set else -1
+        contrib = F.aggregate(
+            ws,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(
+                F.conv(F.substring(F.md5(w), j + 1, 1), 16, 10).cast("int") >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bit = F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2**j)
+        total = term if total is None else total + term
+    return df.select(
+        F.col(id_col).alias("doc_id"), total.cast("bigint").alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs whose simhash Hamming distance <= max_hamming.
+
+    Candidate generation blocks on the LOW BYTE of the simhash (pigeon-
+    hole: for 16-bit hashes and max_hamming<=2 this keeps most true
+    pairs while cutting the cross join by ~256x; a production variant
+    uses ceil(bits/(max_hamming+1)) blocks over all segments for exact
+    recall — add the remaining segment blocks the same way).
+    """
+    sh = simhash(df, id_col, text_col, bits)
+    lo = (F.col("simhash") % 256).alias("blk")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), lo)
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), lo)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product folded in index order — bit-identical
+    to any engine that loops the list left to right in doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs with cosine >= threshold.
+
+    block_col (e.g. a cluster/label/LSH-bucket column) bounds the
+    quadratic blowup: pairs are only formed within a block. Without it
+    this is a full O(n^2) cross join — fine for verification scale,
+    wrong at 100 TB (use lsh_sign_buckets from operators.similarity)."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    join_keys = []
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+        join_keys = ["_blk"]
+    base = emb.select(*cols)
+    a = base.select(
+        *(["_blk"] if block_col else []),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        *(["_blk"] if block_col else []),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -96,6 +96,38 @@ def profile(df: DataFrame, specs: Sequence[ProfileSpec]) -> dict:
     return out
 
 
+def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column stats as a RELATION (one row per column), for numeric
+    columns: (column, n_rows, n_nulls, min_value, max_value, n_distinct).
+
+    Same single-pass fused-agg design as `profile`, reshaped via an
+    array-of-structs explode so the result stays a DataFrame plan.
+    Distinct counts are EXACT here (count_distinct) so a SQL oracle can
+    reproduce them; the dict-returning `profile` uses HLL
+    (approx_count_distinct) for the 100 TB path — swap deliberately.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, c in enumerate(columns):
+        e = F.col(c)
+        aggs.append(F.count(e).alias(f"_c{i}"))
+        aggs.append(F.min(e).cast("double").alias(f"_min{i}"))
+        aggs.append(F.max(e).cast("double").alias(f"_max{i}"))
+        aggs.append(F.count_distinct(e).alias(f"_d{i}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_total").alias("n_rows"),
+            (F.col("_total") - F.col(f"_c{i}")).alias("n_nulls"),
+            F.col(f"_min{i}").alias("min_value"),
+            F.col(f"_max{i}").alias("max_value"),
+            F.col(f"_d{i}").alias("n_distinct"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
 def save_baseline(path: str, prof: dict) -> None:
     with open(path, "w") as f:
         json.dump(prof, f, sort_keys=True)

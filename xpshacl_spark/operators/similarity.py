@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* `cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, one scan, a window per query for the top-k.
+  The correctness baseline; O(|corpus| * |queries| * dim).
+* `lsh_sign_buckets` / `lsh_ann_topk` — random-hyperplane LSH: each
+  vector gets a bucket id from the sign pattern of `num_planes`
+  deterministic +/-1 projections; search only touches the query's
+  bucket (optionally with multi-probe neighbors). This is the scale
+  path: bucketing is a zero-shuffle scan + one repartition by bucket,
+  and at 100 TB the corpus would be WRITTEN bucketed (partitionBy /
+  Iceberg bucket transform) so a query prunes to one partition.
+
+Hyperplanes are +/-1-valued and derived from md5 in plain Python, so
+the exact same literal arrays can be embedded in an ANSI-SQL oracle —
+bucket assignments match byte-for-byte across engines. All dot
+products fold left-to-right in doubles (see operators.dedup._dot) for
+cross-engine bit parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xpshacl_spark.operators.dedup import _dot, cosine
+
+
+def hyperplanes(num_planes: int, dim: int, seed: str = "lsh") -> list[list[int]]:
+    """Deterministic +/-1 hyperplanes: sign d of plane p = parity of the
+    first hex digit of md5('{seed}|{p}|{d}'). Pure Python (compile
+    time); embeddable as literals in any SQL dialect."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _plane_col(plane: list[int]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def sign_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id in [0, 2^len(planes)): bit p = 1 iff dot(vec, plane_p) > 0."""
+    total = F.lit(0)
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(vec, _plane_col(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
+        total = total + bit * F.lit(2**p)
+    return total
+
+
+def lsh_sign_buckets(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: str = "lsh",
+) -> DataFrame:
+    """(id, bucket): random-hyperplane signature of every vector. One
+    zero-shuffle scan; persist/bucket-write the result at scale."""
+    planes = hyperplanes(num_planes, dim, seed)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    queries: small DataFrame with the same (id_col, vec_col) schema —
+    broadcast, so the corpus is scanned exactly once with no shuffle
+    before the per-query window. Self-matches are excluded. Ties break
+    on the smaller corpus id for cross-engine determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Same output schema as cosine_topk (recall < 1 by design).
+    At scale the bucket column becomes the table's partition/bucket key
+    so each query reads one partition instead of the full corpus."""
+    planes = hyperplanes(num_planes, dim, seed)
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure built-in Column expressions (JVM-side,
+whole-stage codegen) — no Python in the row path — so each operator is
+a zero-shuffle map over the documents table and survives a 100x
+scale-up as an embarrassingly parallel scan.
+
+The reference engine has no text analytics; these are the north-rule
+"training-data pipeline" additions (lang-ID, quality scoring, token
+counting, fingerprinting) layered on the same engine. They are also
+usable as Shape `Expr` predicates (e.g. quality_score < t -> violation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Language-ID heuristic: tiny per-language stopword lists. Deterministic
+# and trivially mirrorable in ANSI SQL (the DuckDB oracle embeds the
+# same lists). Order matters for tie-breaks: first list wins ties.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+}
+
+#: BPE-ish token regex: runs of alphanumerics OR single non-space symbols.
+TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+#: Word-split regex used consistently across operators and oracles.
+WS_RE = "\\s+"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace-delimited words of a (trimmed) text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words(c)))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish tokens (alnum runs + individual symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many word OCCURRENCES are stopwords of `lang` (not distinct)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword-occurrence count; 'und' if no hits.
+
+    Ties break by STOPWORDS key order (en before es before de before
+    fr), matching the oracle's CASE evaluation order.
+    """
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = None
+    for lang, s in scores.items():
+        best = s if best is None else F.greatest(best, s)
+    out = F.lit("und")
+    # reversed so that earlier languages overwrite later ones on ties
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alnum/space (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n_clean = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_clean / n.cast("double"))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of word occurrences that are English stopwords."""
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(col, "en") / n.cast("double")
+    )
+
+
+def mean_word_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(col)
+    total = F.length(F.regexp_replace(c, WS_RE, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    score = 0.4 * min(1, tokens/50)            (enough content)
+          + 0.3 * (1 - min(1, punct_ratio*5))  (not symbol soup)
+          + 0.3 * min(1, stopword_ratio*4)     (natural-language-ness)
+
+    Deterministic arithmetic only, so the DuckDB oracle reproduces it
+    bit-for-bit at 6-decimal rounding.
+    """
+    toks = token_count(col).cast("double")
+    length_term = F.least(F.lit(1.0), toks / F.lit(50.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * F.lit(5.0))
+    sw_term = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(4.0))
+    return (
+        F.lit(0.4) * length_term + F.lit(0.3) * punct_term + F.lit(0.3) * sw_term
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse all
+    non-alnum runs to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (the same md5
+    keying idea as the violation-KG signature URIs,
+    /root/reference/src/violation_kg.py:88-102)."""
+    return F.md5(normalize_text(col))
+
+
+def shingle_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Rolling-window fingerprint: the MIN md5 over word n-gram shingles
+    of the normalized text (a 1-hash MinHash; collision => near-dup
+    candidate). NULL when the document has fewer than n words."""
+    ws = F.split(normalize_text(col), " ")
+    k = F.size(ws) - (n - 1)
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+    shingles = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, n))),
+        ),
+    )
+    return F.array_min(shingles)
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text metrics as extra columns — one fused scan, no shuffle."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        lang_id(c).alias("lang_pred"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        F.round(quality_score(c), 6).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )
