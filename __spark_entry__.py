@@ -342,6 +342,161 @@ def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datatype_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:datatype castability (SURVEY.md §2A #3) + sh:target row filter
+    (#22): props of 'error' events must parse as a double (they are
+    JSON, so every targeted row violates)."""
+    from xpshacl_spark.shapes import Datatype
+
+    e = _load(spark, sf_dir, "events")
+    shape = Shape(
+        "events_props_shape",
+        (Datatype("props", "double"),),
+        target="event_type = 'error'",
+    )
+    v = _one_shape_violations(spark, e, shape, ["event_id"])
+    return v.select("event_id", F.col("value").alias("props"), "violation_type")
+
+
+def q_bounds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:minExclusive / sh:maxExclusive (SURVEY.md §2A #8-#9)."""
+    from xpshacl_spark.shapes import MaxExclusive, MinExclusive
+
+    e = _load(spark, sf_dir, "events")
+    shape = Shape(
+        "events_value_shape",
+        (MinExclusive("value", 0.0), MaxExclusive("value", 450.0)),
+    )
+    v = _one_shape_violations(spark, e, shape, ["event_id"])
+    return v.select(
+        "event_id",
+        "constraint_component",
+        F.col("value").cast("double").alias("v"),
+    )
+
+
+def q_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-row property pairs: sh:lessThanOrEquals + sh:disjoint
+    (SURVEY.md §2A #14, #16)."""
+    from xpshacl_spark.shapes import Disjoint, LessThanOrEquals
+
+    li = _load(spark, sf_dir, "lineitem")
+    shape = Shape(
+        "li_pair_shape",
+        (
+            LessThanOrEquals("l_discount", "l_tax"),
+            Disjoint("l_returnflag", "l_linestatus"),
+        ),
+    )
+    v = _one_shape_violations(spark, li, shape, ["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", "constraint_component")
+
+
+def q_inset_lengths_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:languageIn + sh:minLength + sh:maxLength (SURVEY.md §2A
+    #11-#12) fused into one scan."""
+    from xpshacl_spark.shapes import InSet, MaxLength, MinLength
+
+    d = _load(spark, sf_dir, "documents")
+    shape = Shape(
+        "doc_lang_len_shape",
+        (
+            InSet("lang", ("en", "es", "de", "fr"), language_in=True),
+            MinLength("text", 50),
+            MaxLength("text", 500),
+        ),
+    )
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select("doc_id", "constraint_component", "value")
+
+
+def q_group_maxcount_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-scope sh:maxCount (SURVEY.md §2A #2): users with more than
+    15 click events; actualCount context mirrors the reference
+    (extended_shacl_validator.py:312-318)."""
+    from xpshacl_spark.shapes import GroupMaxCount
+
+    e = _load(spark, sf_dir, "events")
+    shape = Shape(
+        "user_clicks_shape",
+        (
+            GroupMaxCount(
+                ("user_id",), 15, where="event_type = 'click'", column="event_type"
+            ),
+        ),
+    )
+    engine = ValidationEngine(spark)
+    rep = engine.validate(e, [shape], key_cols=["event_id", "user_id"])
+    return rep.violations.select(
+        "user_id",
+        F.element_at(F.col("context"), "actualCount").cast("int").alias("n_clicks"),
+    )
+
+
+def q_sqlcheck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql analog — the SQL escape hatch (SURVEY.md §2A #21):
+    one row-level SELECT and one GROUP BY/HAVING SELECT (the
+    shark_shapes.ttl:48-149 patterns) over the registered `this` view."""
+    from xpshacl_spark.shapes import SqlCheck
+
+    s = _load(spark, sf_dir, "supplier")
+    shape = Shape(
+        "supplier_sql_shape",
+        (
+            SqlCheck(
+                "SELECT s_suppkey, s_acctbal AS value FROM this "
+                "WHERE s_acctbal < 0",
+                column="s_acctbal",
+            ),
+            SqlCheck(
+                "SELECT s_nationkey, count(*) AS value FROM this "
+                "GROUP BY s_nationkey HAVING count(*) > 6",
+                column="s_nationkey",
+            ),
+        ),
+    )
+    v = _one_shape_violations(spark, s, shape, ["s_suppkey"])
+    return v.select("s_suppkey", "property_path", "value")
+
+
+#: fixed drift-check spec shared by the Spark query and its oracle
+_DRIFT = {
+    "expr": "l_extendedprice",
+    "lo": 0.0,
+    "hi": 110000.0,
+    "bins": 8,
+    # deliberately low-skewed baseline: the real distribution is
+    # near-uniform over the range, so this registers as drift under
+    # both statistics at any scale factor
+    "baseline": (0, 500, 300, 100, 50, 25, 15, 5, 5, 0),
+}
+
+
+def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule distribution-drift checks: PSI and KS of
+    l_extendedprice vs a stored baseline histogram, both computed from
+    ONE fused bin-count aggregation (SURVEY.md §4 item 2)."""
+    from xpshacl_spark.shapes import Drift
+
+    li = _load(spark, sf_dir, "lineitem")
+    d = _DRIFT
+    shape = Shape(
+        "li_drift_shape",
+        (
+            Drift(d["expr"], d["lo"], d["hi"], bins=d["bins"], stat="psi",
+                  threshold=0.05, baseline=d["baseline"]),
+            Drift(d["expr"], d["lo"], d["hi"], bins=d["bins"], stat="ks",
+                  threshold=0.05, baseline=d["baseline"]),
+        ),
+    )
+    v = _one_shape_violations(spark, li, shape, ["l_orderkey", "l_linenumber"])
+    return v.select(
+        F.element_at(F.col("context"), "stat").alias("stat"),
+        "property_path",
+        F.col("value").cast("double").alias("stat_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-shape validation summary on sf0.001."""
     return q_violation_summary(spark, SF0001)
@@ -371,6 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": q_media_frames,
         "q_profile_stats": q_profile_stats,
         "q_signature_dedup": q_signature_dedup,
+        "q_datatype_events": q_datatype_events,
+        "q_bounds_events": q_bounds_events,
+        "q_pair_lineitem": q_pair_lineitem,
+        "q_inset_lengths_documents": q_inset_lengths_documents,
+        "q_group_maxcount_clicks": q_group_maxcount_clicks,
+        "q_sqlcheck_suppliers": q_sqlcheck_suppliers,
+        "q_drift_stats": q_drift_stats,
     }
 
 
@@ -485,6 +647,50 @@ def _lsh_buckets_sql(num_planes: int = 6, dim: int = 64) -> str:
     return (
         f"SELECT CAST({' + '.join(terms)} AS INT) AS bucket, "
         "count(*) AS n_vectors FROM embeddings GROUP BY 1"
+    )
+
+
+def _drift_sql() -> str:
+    """Mirror of operators.drift.psi_statistic / ks_statistic over the
+    same fixed bins, with the baseline proportions folded in as Python
+    literals (the baseline is a compile-time constant in both engines)."""
+    d = _DRIFT
+    bins, lo, hi, expr = d["bins"], d["lo"], d["hi"], d["expr"]
+    width = (hi - lo) / bins
+    base = list(d["baseline"])
+    conds = [f"({expr} < {lo})"]
+    for b in range(bins):
+        conds.append(
+            f"({expr} >= {lo} AND {expr} < {hi} AND "
+            f"CAST(floor(({expr} - {lo}) / {width}) AS INT) = {b})"
+        )
+    conds.append(f"({expr} >= {hi})")
+    n = len(conds)
+    cnt = ", ".join(f"count(*) FILTER (WHERE {c}) AS c{j}" for j, c in enumerate(conds))
+    total = " + ".join(f"c{j}" for j in range(n))
+    eps = 1e-6
+    btot = float(sum(base))
+    qs = [max(b / btot, eps) for b in base]
+    ps = [f"greatest(c{j} / CAST({total} AS DOUBLE), {eps})" for j in range(n)]
+    psi = " + ".join(
+        f"((({p}) - ({q!r})) * ln(({p}) / ({q!r})))" for p, q in zip(ps, qs)
+    )
+    cbs, acc = [], 0.0
+    for b in base:
+        acc += b / btot
+        cbs.append(acc)
+    ccs = [
+        f"({' + '.join(f'c{i}' for i in range(j + 1))}) / CAST({total} AS DOUBLE)"
+        for j in range(n)
+    ]
+    ks = "greatest(" + ", ".join(
+        f"abs(({cc}) - ({cb!r}))" for cc, cb in zip(ccs, cbs)
+    ) + ")"
+    return (
+        f"WITH c AS (SELECT {cnt} FROM lineitem) "
+        f"SELECT 'psi' AS stat, '{expr}' AS property_path, "
+        f"round({psi}, 6) AS stat_value FROM c "
+        f"UNION ALL SELECT 'ks', '{expr}', round({ks}, 6) FROM c"
     )
 
 
@@ -636,4 +842,50 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "q_signature_dedup": _signature_sql(),
+        "q_datatype_events": (
+            "SELECT event_id, props, 'value_type' AS violation_type "
+            "FROM events WHERE event_type = 'error' "
+            "AND (props IS NULL OR TRY_CAST(props AS DOUBLE) IS NULL)"
+        ),
+        "q_bounds_events": (
+            "SELECT event_id, 'MinExclusiveConstraintComponent' AS "
+            "constraint_component, value AS v FROM events "
+            "WHERE value IS NOT NULL AND NOT (value > 0.0) "
+            "UNION ALL "
+            "SELECT event_id, 'MaxExclusiveConstraintComponent', value "
+            "FROM events WHERE value IS NOT NULL AND NOT (value < 450.0)"
+        ),
+        "q_pair_lineitem": (
+            "SELECT l_orderkey, l_linenumber, "
+            "'LessThanOrEqualsConstraintComponent' AS constraint_component "
+            "FROM lineitem WHERE l_discount IS NOT NULL "
+            "AND l_tax IS NOT NULL AND NOT (l_discount <= l_tax) "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'DisjointConstraintComponent' "
+            "FROM lineitem WHERE l_returnflag = l_linestatus"
+        ),
+        "q_inset_lengths_documents": (
+            "SELECT doc_id, 'LanguageInConstraintComponent' AS "
+            "constraint_component, lang AS value FROM documents "
+            "WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr') "
+            "UNION ALL "
+            "SELECT doc_id, 'MinLengthConstraintComponent', text "
+            "FROM documents WHERE text IS NOT NULL AND length(text) < 50 "
+            "UNION ALL "
+            "SELECT doc_id, 'MaxLengthConstraintComponent', text "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 500"
+        ),
+        "q_group_maxcount_clicks": (
+            "SELECT user_id, CAST(count(*) AS INT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' GROUP BY 1 HAVING count(*) > 15"
+        ),
+        "q_sqlcheck_suppliers": (
+            "SELECT s_suppkey, 's_acctbal' AS property_path, "
+            "CAST(s_acctbal AS VARCHAR) AS value FROM supplier "
+            "WHERE s_acctbal < 0 "
+            "UNION ALL "
+            "SELECT NULL, 's_nationkey', CAST(count(*) AS VARCHAR) "
+            "FROM supplier GROUP BY s_nationkey HAVING count(*) > 6"
+        ),
+        "q_drift_stats": _drift_sql(),
     }

@@ -113,7 +113,10 @@ class Datatype(RowConstraint):
         c = F.col(self.column)
         dt = dict(df.dtypes).get(self.column)
         if dt == "string" and self.datatype != "string":
-            castable = c.cast(self.datatype).isNotNull()
+            # try_cast, not cast: under ANSI mode (Spark 4 default) a
+            # plain cast THROWS on malformed input instead of yielding
+            # NULL — the whole point here is to detect malformed values
+            castable = c.try_cast(self.datatype).isNotNull()
             cond = c.isNull() | castable
         else:
             cond = F.lit(True) if not self.required else c.isNotNull()
