@@ -497,6 +497,34 @@ def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full explanation pipeline (SURVEY.md §2C): signature dedup ->
+    justification trees + context -> deterministic template explanation
+    -> one row per signature x language. Rows-only check: the template
+    text is rendered driver-side over the tiny signature set (the
+    reference's 'expensive operations ONCE per signature' dataflow,
+    main.py:139-172) and is not SQL-expressible."""
+    from xpshacl_spark.explain.pipeline import Explainer
+
+    li = _load(spark, sf_dir, "lineitem")
+    shapes = [
+        Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
+        Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
+        Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(li, shapes, key_cols=["l_orderkey", "l_linenumber"])
+    ex = Explainer(spark)
+    out = ex.explain(rep, shapes, df=li, languages=("en", "de"))
+    return out.select(
+        "signature_id",
+        "constraint_component",
+        "violation_type",
+        "language",
+        "natural_language_explanation",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-shape validation summary on sf0.001."""
     return q_violation_summary(spark, SF0001)
@@ -533,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_maxcount_clicks": q_group_maxcount_clicks,
         "q_sqlcheck_suppliers": q_sqlcheck_suppliers,
         "q_drift_stats": q_drift_stats,
+        "q_explanations": q_explanations,
     }
 
 

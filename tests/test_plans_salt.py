@@ -1,0 +1,98 @@
+"""Plan-shape regression guards + salted-aggregation equivalence.
+
+The physical-plan assertions pin the scale-critical properties audited
+in PLANS.md: parquet predicate pushdown from the fused row scan, column
+pruning, broadcast anti-joins for dims, and single shared aggregations.
+The salt test pins that the explicit two-phase salted aggregation
+(hot-key mitigation) is EXACT — same violation rows as the plain path.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from pyspark.sql import functions as F
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.datagen import roles_dim, tools_dim, transcripts
+from xpshacl_spark.shapes import GroupMinCount, MaxInclusive, Shape
+from xpshacl_spark.suites import transcript_shapes
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_scan_predicate_pushdown(spark, tmp_path):
+    """The fused row scan's pre-filter must reach the parquet reader as
+    PushedFilters (row-group skipping at scale) — a bare conjunction,
+    not a coalesce() wrapper, which is not source-translatable."""
+    p = str(tmp_path / "li.parquet")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("double").alias("qty")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    engine = ValidationEngine(spark)
+    rep = engine.validate(
+        df, [Shape("s", (MaxInclusive("qty", 30.0),))], key_cols=["k"]
+    )
+    plan = _plan(rep.violations)
+    assert "PushedFilters: [IsNotNull(qty), GreaterThan(qty,30.0)]" in plan
+    # column pruning: only k and qty are read
+    assert "ReadSchema: struct<k:bigint,qty:double>" in plan
+
+
+def test_fk_is_broadcast_anti_join(spark):
+    df = transcripts(spark, n_convs=50)
+    engine = ValidationEngine(
+        spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
+    )
+    shapes = [s for s in transcript_shapes() if "RefShape" in s.shape_id]
+    rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
+    plan = _plan(rep.violations)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_checks_share_one_aggregation(spark):
+    """All count constraints on the same group key compile into ONE
+    aggregation (one Exchange pair), not one per constraint."""
+    df = transcripts(spark, n_convs=50)
+    shapes = [
+        Shape(
+            "s",
+            (
+                GroupMinCount(("conv_id",), 1, where="role = 'assistant'"),
+                GroupMinCount(("conv_id",), 1, where="role = 'user'"),
+                GroupMinCount(("conv_id",), 2),
+            ),
+        )
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
+    plan = _plan(rep.violations)
+    # partial+final pair -> exactly one shuffle exchange in the plan
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
+
+
+def test_salted_aggregation_exact(spark):
+    """salt_partitions > 1 (two-phase agg for hot keys) must return the
+    IDENTICAL violation relation — counts are algebraic. The datagen's
+    ~1% hot conversations have ~100x turns, so this exercises real
+    skew, not a degenerate case."""
+    df = transcripts(spark, n_convs=300).localCheckpoint()
+    shapes = [
+        Shape(
+            "card",
+            (GroupMinCount(("conv_id",), 1, where="role = 'assistant'"),),
+        )
+    ]
+    engine = ValidationEngine(spark)
+    plain = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
+    salted = engine.validate(
+        df, shapes, key_cols=["conv_id", "turn_idx"], salt_partitions=8
+    )
+    a = sorted(map(repr, plain.ordered().collect()))
+    b = sorted(map(repr, salted.ordered().collect()))
+    assert a == b and len(a) > 0

@@ -203,9 +203,15 @@ class ValidationEngine:
         for shape in shapes:
             target = _target_col(shape)
             for c in shape.row_constraints():
-                violated = target & F.coalesce(c.violated(df), F.lit(False))
+                raw = c.violated(df)
+                violated = target & F.coalesce(raw, F.lit(False))
+                # pre-filter WITHOUT the coalesce wrapper: where() treats
+                # NULL as false anyway, and the bare predicate (e.g.
+                # `isnotnull(q) AND q > 30`) translates to parquet
+                # PushedFilters for row-group skipping — coalesce() does not
+                pre_pred = target & raw
                 any_violated = (
-                    violated if any_violated is None else (any_violated | violated)
+                    pre_pred if any_violated is None else (any_violated | pre_pred)
                 )
                 structs.append(
                     F.when(
