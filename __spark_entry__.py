@@ -497,6 +497,50 @@ def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setpair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-row property pairs (SURVEY.md §2A #13-#14 self-join
+    variants): per order, the distinct set of returnflags vs the
+    distinct set of linestatuses — SetEquals (full-outer join) and
+    SetDisjoint (inner join)."""
+    from xpshacl_spark.shapes import SetDisjoint, SetEquals
+
+    li = _load(spark, sf_dir, "lineitem")
+    shape = Shape(
+        "li_setpair_shape",
+        (
+            SetEquals(("l_orderkey",), "l_returnflag", "l_linestatus"),
+            SetDisjoint(("l_orderkey",), "l_returnflag", "l_linestatus"),
+        ),
+    )
+    v = _one_shape_violations(spark, li, shape, ["l_orderkey", "l_linenumber"])
+    return v.select(
+        "l_orderkey",
+        "constraint_component",
+        F.col("value").cast("int").alias("n_values"),
+    )
+
+
+def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:and (SURVEY.md §2A #18) + sh:nodeKind analog (#5) with a
+    sh:target row filter, fused into one scan."""
+    from xpshacl_spark.shapes import And, NodeKind
+
+    p = _load(spark, sf_dir, "part")
+    shape = Shape(
+        "part_and_nk_shape",
+        (
+            And(
+                (Expr("p_retailprice >= 1000"), Expr("p_size >= 2")),
+                column="p_retailprice",
+            ),
+            NodeKind("p_type"),
+        ),
+        target="p_size <= 5",
+    )
+    v = _one_shape_violations(spark, p, shape, ["p_partkey"])
+    return v.select("p_partkey", "constraint_component", "value")
+
+
 def q_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full explanation pipeline (SURVEY.md §2C): signature dedup ->
     justification trees + context -> deterministic template explanation
@@ -561,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_maxcount_clicks": q_group_maxcount_clicks,
         "q_sqlcheck_suppliers": q_sqlcheck_suppliers,
         "q_drift_stats": q_drift_stats,
+        "q_setpair_lineitem": q_setpair_lineitem,
+        "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
     }
 
@@ -917,4 +963,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM supplier GROUP BY s_nationkey HAVING count(*) > 6"
         ),
         "q_drift_stats": _drift_sql(),
+        "q_setpair_lineitem": (
+            "WITH a AS (SELECT DISTINCT l_orderkey AS k, l_returnflag AS v "
+            "FROM lineitem WHERE l_returnflag IS NOT NULL), "
+            "b AS (SELECT DISTINCT l_orderkey AS k, l_linestatus AS v "
+            "FROM lineitem WHERE l_linestatus IS NOT NULL), "
+            "fo AS (SELECT coalesce(a.k, b.k) AS k, "
+            "CASE WHEN b.v IS NULL THEN 1 ELSE 0 END AS ao, "
+            "CASE WHEN a.v IS NULL THEN 1 ELSE 0 END AS bo "
+            "FROM a FULL OUTER JOIN b ON a.k = b.k AND a.v = b.v) "
+            "SELECT k AS l_orderkey, 'EqualsConstraintComponent' AS "
+            "constraint_component, CAST(sum(ao) + sum(bo) AS INT) AS n_values "
+            "FROM fo GROUP BY 1 HAVING sum(ao) + sum(bo) > 0 "
+            "UNION ALL "
+            "SELECT a.k, 'DisjointConstraintComponent', CAST(count(*) AS INT) "
+            "FROM a JOIN b ON a.k = b.k AND a.v = b.v GROUP BY 1"
+        ),
+        "q_and_nodekind_part": (
+            "SELECT p_partkey, 'AndConstraintComponent' AS "
+            "constraint_component, CAST(p_retailprice AS VARCHAR) AS value "
+            "FROM part WHERE p_size <= 5 "
+            "AND NOT (p_retailprice >= 1000 AND p_size >= 2) "
+            "UNION ALL "
+            "SELECT p_partkey, 'NodeKindConstraintComponent', p_type "
+            "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
+            "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
+        ),
     }

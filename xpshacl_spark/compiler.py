@@ -43,6 +43,8 @@ from xpshacl_spark.shapes import (
     GroupMinCount,
     Monotonic,
     RowConstraint,
+    SetDisjoint,
+    SetEquals,
     Shape,
     SqlCheck,
     Unique,
@@ -175,6 +177,7 @@ class ValidationEngine:
         parts.extend(self._compile_unique_checks(df, shapes, key_cols))
         parts.extend(self._compile_monotonic_checks(df, shapes, key_cols))
         parts.extend(self._compile_fk_checks(df, shapes, key_cols))
+        parts.extend(self._compile_set_pair_checks(df, shapes, key_cols))
         parts.extend(self._compile_drift_checks(df, shapes, key_cols))
         parts.extend(self._compile_sql_checks(df, shapes, key_cols))
 
@@ -455,6 +458,56 @@ class ValidationEngine:
                     *key_cols, _violation_struct(shape, c, value, ctx).alias("_v")
                 ).select(*key_cols, "_v.*")
                 outs.append(out)
+        return outs
+
+    # ------------------------------------------------------------------
+    # cross-row property pairs: set-level equals/disjoint per group
+    # (SURVEY.md §2A #13-#14 self-join variants)
+    # ------------------------------------------------------------------
+
+    def _compile_set_pair_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        outs = []
+        for shape in shapes:
+            for c in shape.set_pair_constraints():
+                gkey = list(c.group_by)
+                base = df.where(_target_col(shape))
+
+                def side(col: str) -> DataFrame:
+                    return (
+                        base.select(*gkey, F.col(col).alias("_v"))
+                        .where(F.col("_v").isNotNull())
+                        .dropDuplicates()
+                    )
+
+                a = side(c.column).withColumn("_ina", F.lit(1))
+                b = side(c.other).withColumn("_inb", F.lit(1))
+                if isinstance(c, SetEquals):
+                    fo = a.join(b, on=[*gkey, "_v"], how="full_outer")
+                    per = fo.groupBy(*gkey).agg(
+                        F.count(F.when(F.col("_inb").isNull(), 1)).alias("_ao"),
+                        F.count(F.when(F.col("_ina").isNull(), 1)).alias("_bo"),
+                    )
+                    bad = per.where(F.col("_ao") + F.col("_bo") > 0)
+                    value = (F.col("_ao") + F.col("_bo")).cast("string")
+                    ctx = F.create_map(
+                        F.lit("aOnly"), F.col("_ao").cast("string"),
+                        F.lit("bOnly"), F.col("_bo").cast("string"),
+                    )
+                else:  # SetDisjoint: shared values are the violation
+                    shared = a.join(b, on=[*gkey, "_v"], how="inner")
+                    bad = shared.groupBy(*gkey).agg(
+                        F.count(F.lit(1)).alias("_ns")
+                    )
+                    value = F.col("_ns").cast("string")
+                    ctx = F.create_map(
+                        F.lit("sharedCount"), F.col("_ns").cast("string")
+                    )
+                out = bad.select(
+                    *gkey, _violation_struct(shape, c, value, ctx).alias("_v2")
+                ).select(*gkey, "_v2.*")
+                outs.append(self._align_keys(out, df, key_cols, present=gkey))
         return outs
 
     # ------------------------------------------------------------------

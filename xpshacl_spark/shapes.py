@@ -628,6 +628,49 @@ class Monotonic(Constraint):
 
 
 @dataclass(frozen=True)
+class SetEquals(Constraint):
+    """Cross-row sh:equals (SURVEY.md §2A #13 set-level variant): within
+    each group, the DISTINCT non-null value set of `column` must equal
+    that of `other`. Compiled to a full-outer self-join of the two
+    deduplicated (group, value) relations; one violation per group with
+    any one-sided value, carrying aOnly/bOnly counts."""
+
+    group_by: tuple
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "EqualsConstraintComponent"
+
+    def params(self) -> dict:
+        return {"equals": self.other, "scope": "set"}
+
+    def property_path(self) -> Optional[str]:
+        return f"{self.column},{self.other}"
+
+
+@dataclass(frozen=True)
+class SetDisjoint(Constraint):
+    """Cross-row sh:disjoint (SURVEY.md §2A #14 set-level variant):
+    within each group, `column` and `other` must share NO values.
+    Compiled to an inner self-join on (group, value); one violation per
+    group with shared values, value = shared count."""
+
+    group_by: tuple
+    column: str
+    other: str
+
+    def component(self) -> str:
+        return "DisjointConstraintComponent"
+
+    def params(self) -> dict:
+        return {"disjoint": self.other, "scope": "set"}
+
+    def property_path(self) -> Optional[str]:
+        return f"{self.column},{self.other}"
+
+
+@dataclass(frozen=True)
 class ForeignKey(Constraint):
     """Referential integrity (generalizes sh:class membership,
     extended_shacl_validator.py:92 / shark_shapes.ttl:182,193): the
@@ -747,6 +790,11 @@ class Shape:
 
     def join_constraints(self) -> list[ForeignKey]:
         return [c for c in self.constraints if isinstance(c, ForeignKey)]
+
+    def set_pair_constraints(self) -> list[Constraint]:
+        return [
+            c for c in self.constraints if isinstance(c, (SetEquals, SetDisjoint))
+        ]
 
     def drift_constraints(self) -> list[Drift]:
         return [c for c in self.constraints if isinstance(c, Drift)]
