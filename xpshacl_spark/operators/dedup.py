@@ -289,9 +289,22 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Double-precision dot product folded in index order — bit-identical
-    to any engine that loops the list left to right in doubles."""
+    to any engine that loops the list left to right in doubles.
+
+    When `dim` is known, the sum is unrolled over getItem() terms:
+    higher-order functions (aggregate/zip_with) are interpreted
+    per-element in Spark, while the unrolled form stays inside
+    whole-stage codegen (~10x faster on 64-dim vectors). Both forms
+    produce the same doubles: the fold starts at 0.0 + x0 == x0 and
+    adds left to right."""
+    if dim is not None:
+        total = None
+        for d in range(dim):
+            term = a.getItem(d).cast("double") * b.getItem(d).cast("double")
+            total = term if total is None else total + term
+        return total
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -299,8 +312,10 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
+    return _dot(a, b, dim) / (
+        F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim))
+    )
 
 
 def embedding_near_dup_pairs(
@@ -309,14 +324,24 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.9,
     block_col: Optional[str] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine >= threshold.
 
     block_col (e.g. a cluster/label/LSH-bucket column) bounds the
     quadratic blowup: pairs are only formed within a block. Without it
     this is a full O(n^2) cross join — fine for verification scale,
-    wrong at 100 TB (use lsh_sign_buckets from operators.similarity)."""
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    wrong at 100 TB (use lsh_sign_buckets from operators.similarity).
+
+    Each vector's self-norm is computed ONCE per row before the join
+    (not per pair); cos = dot/(norm_a*norm_b) is bit-identical to the
+    per-pair form because sqrt(dot(v,v)) is the same double either way.
+    """
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_n"),
+    ]
     join_keys = []
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
@@ -326,19 +351,18 @@ def embedding_near_dup_pairs(
         *(["_blk"] if block_col else []),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = base.select(
         *(["_blk"] if block_col else []),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    cos = _dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

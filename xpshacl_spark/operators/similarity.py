@@ -52,7 +52,9 @@ def sign_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Bucket id in [0, 2^len(planes)): bit p = 1 iff dot(vec, plane_p) > 0."""
     total = F.lit(0)
     for p, plane in enumerate(planes):
-        bit = F.when(_dot(vec, _plane_col(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot(vec, _plane_col(plane), len(plane)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
         total = total + bit * F.lit(2**p)
     return total
 
@@ -81,25 +83,31 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (brute force).
 
     queries: small DataFrame with the same (id_col, vec_col) schema —
     broadcast, so the corpus is scanned exactly once with no shuffle
     before the per-query window. Self-matches are excluded. Ties break
-    on the smaller corpus id for cross-engine determinism."""
+    on the smaller corpus id for cross-engine determinism. Self-norms
+    are hoisted to one per row/query (bit-identical to the per-pair
+    form; sqrt(dot(v,v)) is the same double either way)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+    )
+    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
-        )
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -129,21 +137,20 @@ def lsh_ann_topk(
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
-        )
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
