@@ -1,0 +1,144 @@
+"""Structured Streaming path + runner CLI end-to-end tests."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from pyspark.sql import functions as F
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.datagen import roles_dim, tools_dim, transcripts
+from xpshacl_spark.shapes import GroupMaxCount, GroupMinCount, Shape, Unique
+from xpshacl_spark.streaming import (
+    validate_stream,
+    windowed_max_count,
+    windowed_min_count,
+)
+from xpshacl_spark.suites import transcript_shapes
+
+
+def _stream_from_parquet(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_row_and_fk_checks_match_batch(spark, tmp_path):
+    """The streaming violations relation must equal the batch engine's
+    on the same input — same fused row-scan compilation, same
+    stream-static broadcast anti-joins."""
+    p = str(tmp_path / "t.parquet")
+    transcripts(spark, n_convs=120).write.parquet(p)
+    dims = {"roles": roles_dim(spark), "tools": tools_dim(spark)}
+    shapes = [
+        s for s in transcript_shapes()
+        if s.row_constraints() or s.join_constraints()
+    ]
+
+    sdf = _stream_from_parquet(spark, p)
+    streamed = _run_to_memory(
+        validate_stream(sdf, shapes, ["conv_id", "turn_idx"], dims=dims),
+        "stream_viol",
+    )
+    batch = ValidationEngine(spark, dims=dims).validate(
+        spark.read.parquet(p), shapes, key_cols=["conv_id", "turn_idx"]
+    )
+    a = sorted(map(repr, streamed.collect()))
+    b = sorted(map(repr, batch.violations.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_rejects_non_streamable(spark, tmp_path):
+    p = str(tmp_path / "t2.parquet")
+    transcripts(spark, n_convs=10).write.parquet(p)
+    sdf = _stream_from_parquet(spark, p)
+    with pytest.raises(ValueError, match="not streamable"):
+        validate_stream(
+            sdf, [Shape("u", (Unique(("conv_id", "turn_idx")),))],
+            ["conv_id", "turn_idx"],
+        )
+
+
+def test_windowed_counts(spark, tmp_path):
+    """Tumbling-window cardinality: user 1 sends 3 msgs in minute 0
+    (max 2 violated); window (user 2, minute 1) has rows but no
+    'assistant' row (min 1 violated)."""
+    rows = [
+        ("u1", 0, "user", "2025-01-01 00:00:01"),
+        ("u1", 1, "user", "2025-01-01 00:00:20"),
+        ("u1", 2, "user", "2025-01-01 00:00:40"),
+        ("u2", 0, "user", "2025-01-01 00:01:10"),
+        ("u2", 1, "assistant", "2025-01-01 00:00:30"),
+        # sentinel: pushes the watermark past 00:02:00 so append mode
+        # closes (and emits) both the minute-0 and minute-1 windows;
+        # its own minute-3 window stays open and is NOT emitted
+        ("u3", 0, "assistant", "2025-01-01 00:03:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_s string"
+    ).select("conv_id", "turn_idx", "role", F.col("ts_s").cast("timestamp").alias("ts"))
+    p = str(tmp_path / "w.parquet")
+    df.write.parquet(p)
+    sdf = _stream_from_parquet(spark, p)
+
+    mx = windowed_max_count(
+        sdf,
+        Shape("rate", (GroupMaxCount(("conv_id",), 2, column="role"),)),
+        window_duration="1 minute",
+    )
+    got = _run_to_memory(mx, "win_max").collect()
+    assert len(got) == 1
+    assert got[0].conv_id == "u1" and got[0].context["actualCount"] == "3"
+
+    mn = windowed_min_count(
+        _stream_from_parquet(spark, p),
+        Shape(
+            "asst",
+            (GroupMinCount(("conv_id",), 1, where="role = 'assistant'", column="role"),),
+        ),
+        window_duration="1 minute",
+    )
+    got = {(r.conv_id, str(r.window_start)) for r in _run_to_memory(mn, "win_min").collect()}
+    # u1's minute-0 window and u2's minute-1 window lack assistant turns
+    assert ("u1", "2025-01-01 00:00:00") in got
+    assert ("u2", "2025-01-01 00:01:00") in got
+    assert ("u2", "2025-01-01 00:00:00") not in got  # has the assistant row
+
+
+def test_runner_cli_end_to_end(spark, tmp_path):
+    """runner.main: validate -> checkpointed output -> JSON summary;
+    then report-replay mode over the persisted violations."""
+    from xpshacl_spark import runner
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    transcripts(spark, n_convs=60).write.parquet(inp)
+
+    rc = runner.main(["--input", inp, "--output", out, "--explain"])
+    assert rc == 3  # violations found
+    assert os.path.isdir(f"{out}/violations") and os.path.isdir(f"{out}/manifest")
+    manifests = os.listdir(f"{out}/manifest")
+    assert len(manifests) == 6  # one per shape in the canonical suite
+    rec = json.load(open(f"{out}/manifest/{manifests[0]}"))
+    assert rec["status"] == "completed" and "input_files" in rec
+    assert os.path.isdir(f"{out}/explained")
+
+    # replay: explanation stages over existing violations, no input scan
+    out2 = str(tmp_path / "out2")
+    rc2 = runner.main(["--replay", out, "--output", out2])
+    assert rc2 == 3
