@@ -44,11 +44,18 @@ from xpshacl_spark.shapes import (
     Unique,
     Monotonic,
     ForeignKey,
+    SetEquals,
+    SetDisjoint,
     Drift,
     SqlCheck,
 )
 from xpshacl_spark.compiler import ValidationEngine, ValidationReport
 from xpshacl_spark.session import get_spark
+from xpshacl_spark.streaming import (
+    validate_stream,
+    windowed_max_count,
+    windowed_min_count,
+)
 
 __all__ = [
     "ViolationType",
@@ -79,11 +86,16 @@ __all__ = [
     "Unique",
     "Monotonic",
     "ForeignKey",
+    "SetEquals",
+    "SetDisjoint",
     "Drift",
     "SqlCheck",
     "ValidationEngine",
     "ValidationReport",
     "get_spark",
+    "validate_stream",
+    "windowed_min_count",
+    "windowed_max_count",
 ]
 
 __version__ = "0.1.0"

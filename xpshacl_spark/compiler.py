@@ -125,6 +125,17 @@ class ValidationReport:
             .orderBy("shape_id", "constraint_component")
         )
 
+    def message_counts(self) -> DataFrame:
+        """Per-message violation counts — the reference shark-harness
+        CSV output shape (/root/reference/data/shark_tests.py:116-141:
+        one row per distinct result message with its fail count).
+        Write with .write.csv(...) for byte-level parity of intent."""
+        return (
+            self.violations.groupBy("message")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .orderBy("message")
+        )
+
 
 class ValidationEngine:
     """Compiles shapes and evaluates them against a DataFrame.
