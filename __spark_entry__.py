@@ -212,14 +212,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators import text as tx
 
     d = _load(spark, sf_dir, "documents")
-    c = F.col("text")
-    return d.select(
-        "doc_id",
-        tx.token_count(c).alias("n_tokens"),
-        tx.bpe_token_count(c).alias("n_bpe_tokens"),
-        tx.lang_id(c).alias("lang_pred"),
-        F.round(tx.quality_score(c), 6).alias("quality"),
-        tx.fingerprint(c).alias("fingerprint"),
+    return tx.analyze(d, "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"
     )
 
 
@@ -376,14 +370,17 @@ def q_bounds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-row property pairs: sh:lessThanOrEquals + sh:disjoint
-    (SURVEY.md §2A #14, #16)."""
-    from xpshacl_spark.shapes import Disjoint, LessThanOrEquals
+    """Same-row property pairs: sh:equals + sh:disjoint + sh:lessThan +
+    sh:lessThanOrEquals (SURVEY.md §2A #13-#16), all fused into one
+    scan."""
+    from xpshacl_spark.shapes import Disjoint, Equals, LessThan, LessThanOrEquals
 
     li = _load(spark, sf_dir, "lineitem")
     shape = Shape(
         "li_pair_shape",
         (
+            Equals("l_returnflag", "l_linestatus"),
+            LessThan("l_tax", "l_discount"),
             LessThanOrEquals("l_discount", "l_tax"),
             Disjoint("l_returnflag", "l_linestatus"),
         ),
@@ -541,6 +538,61 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline):
+    downsample dominant languages by hashing the DOC KEY, so membership
+    is a pure function of the data — reproducible across partitionings,
+    cluster sizes, and engines (operators.sample)."""
+    from xpshacl_spark.operators.sample import stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "zh": 0.25},
+        key_cols=["doc_id"],
+        default_rate=1.0,
+        seed="sample",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the second ANN scale path):
+    corpus vectors are assigned once to deterministic coarse-quantizer
+    cells; each query scores only its own cell (nprobe=1 here so the
+    oracle can reproduce the probe). At 100 TB the corpus is WRITTEN
+    partitioned by cell, so a query reads nprobe partitions."""
+    from xpshacl_spark.operators.similarity import ivf_ann_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, n_cells=4, nprobe=1, dim=64
+    )
+
+
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per column, all computed in ONE
+    fused aggregation pass (operators.profile.quantiles_relation; the
+    100 TB path swaps in approx_percentile sketches, same plan shape)."""
+    from xpshacl_spark.operators.profile import quantiles_relation
+
+    li = _load(spark, sf_dir, "lineitem")
+    return quantiles_relation(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], (0.25, 0.5, 0.75)
+    )
+
+
+def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per column (operators.profile.top_values): grouped
+    count per column (map-side combine absorbs hot keys) + rank window
+    over the tiny aggregated relation."""
+    from xpshacl_spark.operators.profile import top_values
+
+    d = _load(spark, sf_dir, "documents")
+    return top_values(d, ["lang", "source"], k=5)
+
+
 def q_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full explanation pipeline (SURVEY.md §2C): signature dedup ->
     justification trees + context -> deterministic template explanation
@@ -608,6 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_sample_documents": q_sample_documents,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_quantiles_lineitem": q_quantiles_lineitem,
+        "q_topk_documents": q_topk_documents,
     }
 
 
@@ -767,6 +823,78 @@ def _drift_sql() -> str:
         f"round({psi}, 6) AS stat_value FROM c "
         f"UNION ALL SELECT 'ks', '{expr}', round({ks}, 6) FROM c"
     )
+
+
+def _sample_sql() -> str:
+    """Mirror of operators.sample.stratified_sample: the per-stratum
+    hex thresholds are Python-computed literals shared by both engines."""
+    from xpshacl_spark.operators.sample import rate_threshold
+
+    rates = {"en": 0.5, "zh": 0.25}
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{v}' THEN '{rate_threshold(r)}'"
+            for v, r in sorted(rates.items())
+        )
+        + f" ELSE '{rate_threshold(1.0)}' END"
+    )
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "substr(md5(concat_ws('|', 'sample', CAST(doc_id AS VARCHAR))), 1, 8) "
+        f"< {case}"
+    )
+
+
+def _ivf_topk_sql(n_cells: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Mirror of operators.similarity.ivf_ann_topk at nprobe=1: centroid
+    arrays and their norms are compile-time Python literals, so cell
+    assignment (argmax via first-occurrence list_position) and cosine
+    scores reproduce byte-for-byte."""
+    import math
+
+    from xpshacl_spark.operators.similarity import ivf_centroids
+
+    scores = []
+    for cent in ivf_centroids(n_cells, dim):
+        lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+        norm = math.sqrt(math.fsum(x * x for x in cent))
+        scores.append(f"list_inner_product(v, {lit}) / {norm!r}")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"s AS (SELECT vec_id, v, list_value({', '.join(scores)}) AS sl FROM e), "
+        "a AS (SELECT vec_id, v, list_position(sl, list_max(sl)) AS cell FROM s), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, cell FROM a WHERE vec_id < 5), "
+        "scored AS (SELECT query_id, a.vec_id AS vec_id, "
+        f"round({_cos_sql('a.v', 'qv')}, 6) AS cos "
+        "FROM a JOIN q USING (cell) WHERE a.vec_id <> q.query_id) "
+        'SELECT query_id, vec_id, cos, CAST(row_number() OVER w AS INT) AS "rank" '
+        "FROM scored WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id) "
+        f"QUALIFY row_number() OVER w <= {k}"
+    )
+
+
+def _quantiles_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75]
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_cont(CAST({c} AS DOUBLE), {q}) AS DOUBLE) AS quantile "
+        "FROM lineitem"
+        for c in cols
+        for q in qs
+    )
+
+
+def _topk_sql(k: int = 5) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value, "
+        "count(*) AS n, CAST(row_number() OVER "
+        f"(ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC) AS INT) AS \"rank\" "
+        f"FROM documents WHERE {c} IS NOT NULL GROUP BY {c}"
+        for c in ["lang", "source"]
+    )
+    return f'SELECT * FROM ({branches}) WHERE "rank" <= {k}'
 
 
 def _signature_sql() -> str:
@@ -932,7 +1060,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_pair_lineitem": (
             "SELECT l_orderkey, l_linenumber, "
-            "'LessThanOrEqualsConstraintComponent' AS constraint_component "
+            "'EqualsConstraintComponent' AS constraint_component "
+            "FROM lineitem WHERE l_returnflag IS DISTINCT FROM l_linestatus "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'LessThanConstraintComponent' "
+            "FROM lineitem WHERE l_tax IS NOT NULL "
+            "AND l_discount IS NOT NULL AND NOT (l_tax < l_discount) "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, "
+            "'LessThanOrEqualsConstraintComponent' "
             "FROM lineitem WHERE l_discount IS NOT NULL "
             "AND l_tax IS NOT NULL AND NOT (l_discount <= l_tax) "
             "UNION ALL "
@@ -989,4 +1125,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
         ),
+        "q_sample_documents": _sample_sql(),
+        "q_ann_ivf_topk": _ivf_topk_sql(),
+        "q_quantiles_lineitem": _quantiles_sql(),
+        "q_topk_documents": _topk_sql(),
     }

@@ -272,3 +272,107 @@ def test_profile_relation(spark):
     assert (r.n_rows, r.n_nulls, r.min_value, r.max_value, r.n_distinct) == (
         4, 1, 1.0, 2.0, 2,
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    from xpshacl_spark.operators.sample import hash_sample
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    s1 = {r.k for r in hash_sample(df, ["k"], 0.25).collect()}
+    # deterministic: identical on re-run and under a different partitioning
+    s2 = {r.k for r in hash_sample(df.repartition(7), ["k"], 0.25).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 4000 - 0.25) < 0.03
+    # monotone: a larger rate strictly contains a smaller one
+    s3 = {r.k for r in hash_sample(df, ["k"], 0.5).collect()}
+    assert s1 <= s3
+
+
+def test_stratified_sample_rates(spark):
+    from xpshacl_spark.operators.sample import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.1}, key_cols=["k"])
+    got = {r.s: r["count"] for r in out.groupBy("s").count().collect()}
+    assert got["a"] == 1000
+    assert abs(got.get("b", 0) / 1000 - 0.1) < 0.04
+
+
+def test_split_train_eval_disjoint_exhaustive(spark):
+    from xpshacl_spark.operators.sample import split_train_eval
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    train, ev = split_train_eval(df, ["k"], eval_rate=0.2)
+    t = {r.k for r in train.collect()}
+    e = {r.k for r in ev.collect()}
+    assert t.isdisjoint(e)
+    assert len(t) + len(e) == 1000
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assign_deterministic(spark, vecs):
+    from xpshacl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    a1 = {r.vec_id: r.cell for r in ivf_assign(vecs, "vec_id", "embedding", n_cells=3, dim=4).collect()}
+    a2 = {r.vec_id: r.cell for r in ivf_assign(vecs, "vec_id", "embedding", n_cells=3, dim=4).collect()}
+    assert a1 == a2
+    assert all(1 <= c <= 3 for c in a1.values())
+    assert ivf_centroids(2, 4) == ivf_centroids(2, 4)
+    # near-identical vectors always quantize to the same cell
+    assert a1[0] == a1[1]
+
+
+def test_ivf_ann_subset_and_nprobe_monotone(spark, vecs):
+    from xpshacl_spark.operators.similarity import ivf_ann_topk
+
+    q = vecs.where(F.col("vec_id") == 0)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(vecs, q, k=4).collect()
+    }
+    got1 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(vecs, q, k=4, n_cells=3, nprobe=1, dim=4).collect()
+    }
+    got3 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_ann_topk(vecs, q, k=4, n_cells=3, nprobe=3, dim=4).collect()
+    }
+    assert got1 <= exact and got3 <= exact
+    assert got1 <= got3              # more probes never lose candidates
+    assert got3 == exact             # nprobe = n_cells degrades to brute force
+    assert any(v == 1 for _, v in got1)  # near-dup shares the query's cell
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters + quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_top_values(spark):
+    from xpshacl_spark.operators.profile import top_values
+
+    df = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 3 + [(None,)],
+        "c string",
+    )
+    rows = sorted(top_values(df, ["c"], k=2).collect(), key=lambda r: r.rank)
+    assert [(r.value, r.n, r.rank) for r in rows] == [("x", 5, 1), ("y", 3, 2)]
+
+
+def test_quantiles_relation_exact(spark):
+    from xpshacl_spark.operators.profile import quantiles_relation
+
+    df = spark.createDataFrame([(float(x),) for x in range(1, 6)], "x double")
+    got = {r.q: r.quantile for r in quantiles_relation(df, ["x"], (0.25, 0.5)).collect()}
+    assert got[0.25] == 2.0 and got[0.5] == 3.0

@@ -74,8 +74,19 @@ def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
-    Documents with < n words produce no shingles."""
-    ws = F.split(normalize_text(text_col), " ")
+    Documents with < n words produce no shingles.
+
+    The word array is projected into its own column first: referencing
+    the raw split expression inside the transform lambda would re-run
+    normalize+split once PER SHINGLE (O(words^2) per doc) because
+    Catalyst does not de-duplicate subtrees across lambda bodies. As a
+    multi-use non-trivial alias it survives CollapseProject and is
+    evaluated once per row."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
     k = F.size(ws) - (n - 1)
     # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
     sh = F.when(
@@ -86,7 +97,7 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        staged.select("doc_id", F.explode(sh).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
 
@@ -231,28 +242,40 @@ def simhash(
 
     Bit j of a word = high bit of hex nibble j of md5(word); the
     document's bit j is 1 iff more word occurrences have bit j set than
-    unset. bits <= 32 (one md5 hex nibble per bit). Zero-shuffle scan:
-    the majority fold runs inside F.aggregate over the words array.
+    unset. bits <= 32 (one md5 hex nibble per bit). Zero-shuffle scan.
+
+    Staged so the expensive subexpressions run once per row: the word
+    array is projected (split once, not once per bit) and then the
+    per-word md5 hex strings are projected (md5 once per word, not once
+    per word PER BIT — the per-bit majority folds only substring+conv
+    over the precomputed hash array). Values are identical to the naive
+    nesting; only the evaluation count changes.
     """
     assert bits <= 32
-    ws = F.split(normalize_text(text_col), " ")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    ).select(
+        "doc_id",
+        F.transform(F.col("_ws"), lambda w: F.md5(w)).alias("_hs"),
+    )
     total = None
     for j in range(bits):
         # contribution of each word occurrence: +1 if bit set else -1
         contrib = F.aggregate(
-            ws,
+            F.col("_hs"),
             F.lit(0),
-            lambda acc, w: acc
+            lambda acc, h: acc
             + F.when(
-                F.conv(F.substring(F.md5(w), j + 1, 1), 16, 10).cast("int") >= 8,
+                F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") >= 8,
                 F.lit(1),
             ).otherwise(F.lit(-1)),
         )
         bit = F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
         term = bit * F.lit(2**j)
         total = term if total is None else total + term
-    return df.select(
-        F.col(id_col).alias("doc_id"), total.cast("bigint").alias("simhash")
+    return staged.select(
+        "doc_id", total.cast("bigint").alias("simhash")
     )
 
 

@@ -12,9 +12,10 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,6 +125,61 @@ def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             F.col(f"_d{i}").alias("n_distinct"),
         )
         for i, c in enumerate(columns)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def top_values(df: DataFrame, columns: Sequence[str], k: int = 10) -> DataFrame:
+    """Heavy hitters per column: (column, value, n, rank) for the k most
+    frequent non-null values, ties broken by value ascending.
+
+    Plan: one grouped count per column (map-side partial agg absorbs hot
+    keys, so skew is bounded by the distinct-value count per partition),
+    unioned, then a per-column window for the rank — the window input is
+    already the tiny aggregated relation, not the base table. For
+    low-cardinality columns this is the exact complement of the HLL
+    sketches in `profile`."""
+    per_col = []
+    for c in columns:
+        per_col.append(
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(c).alias("column"), "value", "n")
+        )
+    counts = reduce(DataFrame.unionByName, per_col)
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("column", "value", "n", "rank")
+    )
+
+
+def quantiles_relation(
+    df: DataFrame, columns: Sequence[str], qs: Sequence[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact interpolated quantiles per column as a relation
+    (column, q, quantile): one fused agg computing every requested
+    percentile for every column in a single pass. Exact `percentile`
+    (sort-based per group; position 1 + q*(n-1) linear interpolation,
+    the same semantics as ANSI quantile_cont) — the 100 TB path swaps
+    in approx_percentile sketches, same shape."""
+    aggs = []
+    for i, c in enumerate(columns):
+        for j, q in enumerate(qs):
+            aggs.append(
+                F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"_q{i}_{j}")
+            )
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(float(q)).alias("q"),
+            F.col(f"_q{i}_{j}").alias("quantile"),
+        )
+        for i, c in enumerate(columns)
+        for j, q in enumerate(qs)
     ]
     return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
 

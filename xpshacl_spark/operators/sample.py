@@ -1,0 +1,85 @@
+"""Deterministic, distributed sampling for training-data pipelines.
+
+`df.sample()` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes, which is useless for resumable
+100 TB jobs. These samplers instead hash the ROW KEY, so membership is
+a pure function of the data: zero shuffle, reproducible across cluster
+sizes, re-runs, and engines (the same predicate is expressible in ANSI
+SQL for the DuckDB oracle).
+
+Mechanism: keep a row iff the first 8 hex chars of
+md5(seed | key...) compare below a threshold string. Hex strings
+compare lexicographically exactly like the 32-bit integers they
+encode, so `rate` maps to threshold int(rate * 16^8) formatted as
+8 hex digits — granularity 1/2^32, plenty for any sampling rate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate: float) -> str:
+    """8-hex-digit threshold string for a sampling rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1) if rate < 1.0 else 16**8 - 1, "08x")
+
+
+def hash_bucket(key_cols: Sequence[str], seed: str = "sample") -> Column:
+    """First 8 md5 hex chars of (seed | key...) — the row's sampling
+    coordinate in [0x00000000, 0xffffffff] as a hex string."""
+    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    rate: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows keyed by key_cols.
+
+    One zero-shuffle scan; the filter is a plain string comparison that
+    whole-stage codegen inlines. Rows with equal keys always land on
+    the same side of the cut (dedup-friendly: sample by doc key, not by
+    physical row)."""
+    return df.where(hash_bucket(key_cols, seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[object, float],
+    key_cols: Sequence[str],
+    default_rate: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: rates maps stratum value ->
+    keep fraction (e.g. downsample boilerplate 'web' docs, keep all
+    'books'). Same zero-shuffle hash mechanism; the per-stratum
+    threshold is a CASE over compile-time literals."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.where(hash_bucket(key_cols, seed) < thr)
+
+
+def split_train_eval(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    eval_rate: float = 0.01,
+    seed: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/eval split on the same hash coordinate
+    (train = rows at/above the cut, eval = rows below). Keys never leak
+    across the split regardless of partitioning or cluster size."""
+    cut = F.lit(rate_threshold(eval_rate))
+    coord = hash_bucket(key_cols, seed)
+    return df.where(coord >= cut), df.where(coord < cut)

@@ -23,6 +23,7 @@ cross-engine bit parity.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -106,6 +107,117 @@ def cosine_topk(
     cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
     scored = (
         c.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ivf_centroids(
+    n_cells: int, dim: int, seed: str = "ivf"
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids in [-1, 1): component d
+    of centroid c = md5('{seed}|{c}|{d}') first-8-hex-digits scaled,
+    rounded to 6 decimals so the identical double literal can be
+    embedded in any SQL dialect (pure Python, compile time). A real
+    deployment would k-means these offline; the IVF *plan* — assign
+    once, probe few cells — is what matters at scale."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{c}|{d}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / 2**32 * 2 - 1, 6))
+        cells.append(row)
+    return cells
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """1-based index of the max-cosine centroid. Centroid norms are
+    Python-computed literals, so the score expression (dot / norm) is
+    byte-reproducible in the SQL oracle; argmax via array_position
+    (first occurrence, matching list_position)."""
+    scores = []
+    for cent in cents:
+        norm = math.sqrt(math.fsum(x * x for x in cent))
+        scores.append(_dot(vec, _plane_col(cent), len(cent)) / F.lit(norm))
+    arr = F.array(*scores)
+    return F.array_position(arr, F.array_max(arr)).cast("int")
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 4,
+    dim: int = 64,
+    seed: str = "ivf",
+) -> DataFrame:
+    """(vec_id, embedding, cell): coarse-quantizer assignment of every
+    vector — one zero-shuffle scan. At 100 TB the corpus is WRITTEN
+    partitioned by cell (partitionBy / Iceberg bucket transform) so a
+    query scans nprobe partitions instead of the whole table."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 4,
+    nprobe: int = 1,
+    dim: int = 64,
+    seed: str = "ivf",
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: score only corpus
+    vectors whose cell is among the query's `nprobe` best cells.
+    Same output schema as cosine_topk; recall grows with nprobe
+    (nprobe = n_cells degrades to exact brute force)."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    scores = []
+    for cent in cents:
+        norm = math.sqrt(math.fsum(x * x for x in cent))
+        scores.append(_dot(F.col(vec_col), _plane_col(cent), dim) / F.lit(norm))
+    # probe list: cell ids of the nprobe best centroid scores — sort
+    # (-score, cell) structs ascending, slice, project the cell field
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct((-s).alias("neg"), F.lit(i + 1).alias("cell"))
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
+        probes.alias("_probes"),
+    )
+    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
+    scored = (
+        c.join(F.broadcast(q), F.array_contains(F.col("_probes"), F.col("cell")))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
     )

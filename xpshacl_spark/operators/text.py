@@ -147,17 +147,66 @@ def shingle_fingerprint(col: Column | str, n: int = 3) -> Column:
     return F.array_min(shingles)
 
 
-def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All text metrics as extra columns — one fused scan, no shuffle."""
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text metrics as extra columns — one fused zero-shuffle scan
+    that tokenizes each document exactly ONCE.
+
+    The composable Column functions above duplicate their subexpressions
+    when nested (lang_id alone references stopword_hits ~12x, and
+    Catalyst does not de-duplicate across a single expression tree), so
+    this staged form projects the lowered word array and the four
+    per-language hit counts into intermediate columns first. Multi-use
+    non-trivial aliases survive CollapseProject, so each is evaluated
+    once per row; everything downstream references cheap attributes.
+    Values are bit-identical to the composable forms (same expressions,
+    same fold order) — the DuckDB oracle is unchanged.
+    """
     c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
+    base_cols = list(df.columns)
+    staged = df.withColumn("_xw", F.transform(words(c), F.lower))
+    staged = staged.withColumn(
+        "_xn", F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(F.col("_xw")))
+    )
+    def _hits(ws: tuple[str, ...]) -> Column:
+        sw = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(F.col("_xw"), lambda w: F.array_contains(sw, w)))
+
+    for lang, ws in STOPWORDS.items():
+        staged = staged.withColumn(f"_xs_{lang}", _hits(ws))
+    staged = staged.withColumn("_xp", punct_ratio(c))
+
+    n = F.col("_xn")
+    best = None
+    for lang in STOPWORDS:
+        s = F.col(f"_xs_{lang}")
+        best = s if best is None else F.greatest(best, s)
+    lang_pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        s = F.col(f"_xs_{lang}")
+        lang_pred = F.when((s > 0) & (s == best), F.lit(lang)).otherwise(lang_pred)
+    swr = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("_xs_en") / n.cast("double")
+    )
+    total_wlen = F.length(F.regexp_replace(c, WS_RE, ""))
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(total_wlen / n.cast("double"))
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.col("_xp") * F.lit(5.0)))
+        + F.lit(0.3) * F.least(F.lit(1.0), swr * F.lit(4.0))
+    )
+    return staged.select(
+        *base_cols,
+        n.alias("n_tokens"),
         bpe_token_count(c).alias("n_bpe_tokens"),
-        lang_id(c).alias("lang_pred"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(mean_word_len(c), 6).alias("mean_word_len"),
-        F.round(quality_score(c), 6).alias("quality"),
+        lang_pred.alias("lang_pred"),
+        F.round(F.col("_xp"), 6).alias("punct_ratio"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Back-compat name for the fused text-analysis scan."""
+    return analyze(df, text_col)
