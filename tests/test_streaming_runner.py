@@ -142,3 +142,78 @@ def test_runner_cli_end_to_end(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     rc2 = runner.main(["--replay", out, "--output", out2])
     assert rc2 == 3
+
+
+def _stream_one_file_per_batch(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_streaming_dedup_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: the first occurrence passes,
+    repeats are dropped (or emitted with n_prior) even when they arrive
+    in LATER micro-batches — per-fingerprint state carries across."""
+    from xpshacl_spark.streaming import streaming_dedup
+
+    p = str(tmp_path / "sd")
+    rows1 = [(0, "The quick brown fox"), (1, "unique one")]
+    rows2 = [(2, "the QUICK brown fox!!"), (3, "unique two"), (4, "unique one")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(p)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(p)
+
+    kept = _run_to_memory(
+        streaming_dedup(_stream_one_file_per_batch(spark, p), ["doc_id"], "text"),
+        "sd_kept",
+    ).collect()
+    # 0 and 2 share a fingerprint; 1 and 4 share a fingerprint
+    assert sorted(r.doc_id for r in kept) == [0, 1, 3]
+    assert all(r.n_prior == 0 for r in kept)
+
+    dups = _run_to_memory(
+        streaming_dedup(
+            _stream_one_file_per_batch(spark, p), ["doc_id"], "text",
+            emit_duplicates=True,
+        ),
+        "sd_dups",
+    ).collect()
+    assert sorted((r.doc_id, r.n_prior) for r in dups) == [(2, 1), (4, 1)]
+
+
+def test_streaming_monotonic_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState ordering check: a ts regression at a
+    micro-batch BOUNDARY is caught because the last (order, ts) pair per
+    key is state."""
+    from xpshacl_spark.streaming import streaming_monotonic
+
+    p = str(tmp_path / "sm")
+    schema = "conv_id string, turn_idx int, ts_s string"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).select(
+            "conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(p)
+
+    _write([
+        ("c1", 0, "2025-01-01 00:00:10"),
+        ("c1", 1, "2025-01-01 00:00:20"),
+        ("c2", 0, "2025-01-01 00:00:30"),
+    ])
+    _write([
+        ("c1", 2, "2025-01-01 00:00:05"),   # regression across the batch boundary
+        ("c1", 3, "2025-01-01 00:00:50"),
+        ("c2", 1, "2025-01-01 00:00:40"),   # fine
+    ])
+
+    got = _run_to_memory(
+        streaming_monotonic(
+            _stream_one_file_per_batch(spark, p), ["conv_id"], "turn_idx", "ts"
+        ),
+        "sm_viol",
+    ).collect()
+    assert [(r.conv_id, r.turn_idx) for r in got] == [("c1", 2)]
+    assert str(got[0].prev_ts) == "2025-01-01 00:00:20"

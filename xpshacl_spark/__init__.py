@@ -52,6 +52,8 @@ from xpshacl_spark.shapes import (
 from xpshacl_spark.compiler import ValidationEngine, ValidationReport
 from xpshacl_spark.session import get_spark
 from xpshacl_spark.streaming import (
+    streaming_dedup,
+    streaming_monotonic,
     validate_stream,
     windowed_max_count,
     windowed_min_count,
@@ -96,6 +98,8 @@ __all__ = [
     "validate_stream",
     "windowed_min_count",
     "windowed_max_count",
+    "streaming_dedup",
+    "streaming_monotonic",
 ]
 
 __version__ = "0.1.0"

@@ -164,19 +164,23 @@ def quantiles_relation(
     percentile for every column in a single pass. Exact `percentile`
     (sort-based per group; position 1 + q*(n-1) linear interpolation,
     the same semantics as ANSI quantile_cont) — the 100 TB path swaps
-    in approx_percentile sketches, same shape."""
-    aggs = []
-    for i, c in enumerate(columns):
-        for j, q in enumerate(qs):
-            aggs.append(
-                F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"_q{i}_{j}")
-            )
+    in approx_percentile sketches, same shape.
+
+    All quantiles of a column share ONE percentile(col, array(qs))
+    aggregation buffer: separate per-q aggregates would each hold a
+    full value-count map of the column (len(qs) x the memory and merge
+    cost for identical inputs)."""
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    aggs = [
+        F.percentile(F.col(c).cast("double"), q_arr).alias(f"_q{i}")
+        for i, c in enumerate(columns)
+    ]
     row = df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("column"),
             F.lit(float(q)).alias("q"),
-            F.col(f"_q{i}_{j}").alias("quantile"),
+            F.col(f"_q{i}").getItem(j).alias("quantile"),
         )
         for i, c in enumerate(columns)
         for j, q in enumerate(qs)

@@ -11,12 +11,17 @@ whose semantics survive unbounded input:
   (supported by Structured Streaming);
 * cardinality per event-time window — `windowed_min_count` /
   `windowed_max_count`: watermarked tumbling-window counts emitted in
-  append mode once the watermark closes the window.
+  append mode once the watermark closes the window;
+* custom stateful operators — `streaming_dedup` (exact dedup /
+  duplicate detection with per-fingerprint state) and
+  `streaming_monotonic` (per-key ordering check with last-seen state),
+  both Arrow-batched `applyInPandasWithState` (the state itself is
+  bounded: one tiny tuple per distinct key, not per row).
 
-Whole-table constraints (global uniqueness, cross-row ordering,
-distribution drift) need either retractions or a bounded key horizon;
-they stay batch/checkpoint concerns — `validate_stream` raises on them
-rather than silently computing something weaker.
+Whole-table constraints (global uniqueness without a key horizon,
+distribution drift) need retractions; they stay batch/checkpoint
+concerns — `validate_stream` raises on them rather than silently
+computing something weaker.
 """
 
 from __future__ import annotations
@@ -118,6 +123,119 @@ def _windowed_violations(
         v.alias("_v"),
     )
     return out.select(*group_by, "window_start", "_v.*")
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    content_col: str = "text",
+    emit_duplicates: bool = False,
+) -> DataFrame:
+    """Stateful exact dedup over an unbounded stream.
+
+    Groups by the md5 content fingerprint (operators.text.normalize_text
+    semantics, same key as batch `dedup.exact_duplicates`) and keeps one
+    long per distinct fingerprint in state via applyInPandasWithState.
+
+    * emit_duplicates=False: pass through only the FIRST occurrence of
+      each content ever seen (streaming dedup for training-data feeds).
+    * emit_duplicates=True: emit the repeats instead, with `n_prior` =
+      how many occurrences preceded them (streaming uniqueness-violation
+      detection, the Unique constraint's unbounded analog).
+
+    Within a micro-batch, occurrence order is made deterministic by
+    sorting on key_cols. State is one counter per distinct content —
+    bounded by distinct fingerprints, not rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from xpshacl_spark.operators.dedup import fingerprint_col
+
+    keys = list(key_cols)
+    tagged = stream_df.withColumn("_fp", fingerprint_col(content_col))
+    out_schema = StructType(
+        tagged.schema.fields + [StructField("n_prior", LongType())]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs))
+        if len(batch) == 0:
+            state.update((seen,))
+            return
+        batch = batch.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        batch["n_prior"] = batch.index + seen
+        state.update((seen + len(batch),))
+        out = (
+            batch[batch["n_prior"] > 0]
+            if emit_duplicates
+            else batch[batch["n_prior"] == 0]
+        )
+        if len(out):
+            yield out
+
+    return tagged.groupBy("_fp").applyInPandasWithState(
+        fn, out_schema, "seen long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_monotonic(
+    stream_df: DataFrame,
+    group_by: Sequence[str],
+    order_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful per-key ordering check: the streaming analog of the
+    batch `Monotonic` (lag-window) constraint.
+
+    Emits a row for every (group, order) position whose ts regresses
+    below the immediately preceding position's ts. State per key is the
+    last (order, ts) pair, carried across micro-batches — within a
+    batch rows are sorted by order_col, and batches are assumed to
+    arrive in coarse order per key (true for append-style transcript
+    feeds; out-of-order arrivals compare against the latest seen
+    position, exactly like the batch lag over arrival order).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    groups = list(group_by)
+    in_schema = stream_df.schema
+    out_schema = StructType(
+        [in_schema[g] for g in groups]
+        + [in_schema[order_col], in_schema[ts_col]]
+    ).add("prev_ts", in_schema[ts_col].dataType)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs))
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values([order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        prev = batch[ts_col].shift(1)
+        if state.exists:
+            last_us = state.get[0]
+            if last_us is not None:
+                prev.iloc[0] = pd.Timestamp(last_us * 1000)
+        viol = batch[ts_col].notna() & prev.notna() & (batch[ts_col] < prev)
+        # a NULL last-ts propagates (next batch's first row has no prev),
+        # mirroring the batch lag() semantics over rows with null ts
+        last = batch[ts_col].iloc[-1]
+        state.update((int(last.value // 1000) if pd.notna(last) else None,))
+        out = batch.loc[viol, groups + [order_col, ts_col]].copy()
+        out["prev_ts"] = prev[viol]
+        if len(out):
+            yield out
+
+    return stream_df.groupBy(*groups).applyInPandasWithState(
+        fn, out_schema, "last_us long", "append", GroupStateTimeout.NoTimeout
+    )
 
 
 def windowed_min_count(
