@@ -538,6 +538,20 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision stage: near-dup pairs (word-3-gram Jaccard >= 0.5)
+    -> connected components by iterative min-label propagation
+    (dedup.duplicate_clusters) -> (doc_id, cluster_id). The oracle
+    computes the same transitive closure with a recursive CTE."""
+    from xpshacl_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data pipeline):
     downsample dominant languages by hashing the DOC KEY, so membership
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_sample_documents": q_sample_documents,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
@@ -823,6 +838,30 @@ def _drift_sql() -> str:
         f"round({psi}, 6) AS stat_value FROM c "
         f"UNION ALL SELECT 'ks', '{expr}', round({ks}, 6) FROM c"
     )
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components as a recursive CTE over the same Jaccard
+    pair set as q_dedup_jaccard (threshold 0.5): cluster_id = min id
+    reachable through the undirected pair graph."""
+    jac = (
+        f"WITH RECURSIVE {_SH_CTE}, "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc "
+        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "jac AS (SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, nc / CAST(sa.n + sb.n - nc AS DOUBLE) AS j "
+        "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b) WHERE j >= 0.5), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM jac "
+        "UNION SELECT id_b, id_a FROM jac), "
+        "walk AS (SELECT src AS id, dst AS reach FROM e "
+        "UNION SELECT w.id, e.dst FROM walk w JOIN e ON w.reach = e.src) "
+        "SELECT id AS doc_id, least(id, min(reach)) AS cluster_id "
+        "FROM walk GROUP BY id"
+    )
+    return jac
 
 
 def _sample_sql() -> str:
@@ -1125,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
         ),
+        "q_dedup_clusters": _dedup_clusters_sql(),
         "q_sample_documents": _sample_sql(),
         "q_ann_ivf_topk": _ivf_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),

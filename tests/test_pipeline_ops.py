@@ -376,3 +376,17 @@ def test_quantiles_relation_exact(spark):
     df = spark.createDataFrame([(float(x),) for x in range(1, 6)], "x double")
     got = {r.q: r.quantile for r in quantiles_relation(df, ["x"], (0.25, 0.5)).collect()}
     assert got[0.25] == 2.0 and got[0.5] == 3.0
+
+
+def test_duplicate_clusters_transitive(spark):
+    from xpshacl_spark.operators.dedup import dedup_keep_ids, duplicate_clusters
+
+    # two components: {1,2,3} via chain 1-2, 2-3; {7,9}; isolated ids absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    keep = {r.cluster_id: (r.keep_id, r.n_members)
+            for r in dedup_keep_ids(duplicate_clusters(pairs)).collect()}
+    assert keep == {1: (1, 3), 7: (7, 2)}

@@ -96,3 +96,50 @@ def test_salted_aggregation_exact(spark):
     a = sorted(map(repr, plain.ordered().collect()))
     b = sorted(map(repr, salted.ordered().collect()))
     assert a == b and len(a) > 0
+
+
+def test_sample_is_zero_shuffle_scan(spark, tmp_path):
+    """Deterministic hash sampling must stay a plain codegen filter over
+    the scan — no Exchange anywhere (membership is partition-local)."""
+    from xpshacl_spark.operators.sample import hash_sample
+
+    p = str(tmp_path / "s.parquet")
+    spark.range(1000).select(F.col("id").alias("k")).write.parquet(p)
+    out = hash_sample(spark.read.parquet(p), ["k"], 0.25)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "*(1) Filter" in plan  # codegen span covers scan -> filter
+
+
+def test_text_analyze_single_scan_no_shuffle(spark, tmp_path):
+    """The fused text profile is one parquet scan, zero exchanges, and
+    tokenizes once: exactly one split(... \\s+ ...) in the plan."""
+    from xpshacl_spark.operators.text import analyze
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "el rapido zorro")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = analyze(spark.read.parquet(p), "text")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    # one tokenization per row: the whitespace split appears once
+    assert plan.count("split(trim(text") == 1
+
+
+def test_ivf_probe_is_broadcast_hash_join(spark):
+    """IVF nprobe=1 probing joins corpus cells against the (small)
+    query set with a broadcast hash join — the corpus never shuffles."""
+    from xpshacl_spark.operators.similarity import ivf_ann_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_ann_topk(
+        vecs, vecs.where(F.col("vec_id") < 2), k=5, n_cells=3, nprobe=1, dim=4
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

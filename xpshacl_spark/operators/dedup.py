@@ -158,6 +158,68 @@ def jaccard_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id is the MIN id reachable through the pair graph.
+
+    This is the step that turns pairwise similarity into an actual
+    dedup decision (keep one doc per cluster): iterative min-label
+    propagation — each round every vertex takes the min label among
+    itself and its neighbors; converged when no label changes. Rounds
+    needed = graph diameter (near-dup clusters are shallow, typically
+    2-3). Each round is one shuffle (groupBy id); `localCheckpoint`
+    truncates lineage so plans don't grow with iterations — the classic
+    iterative-algorithm requirement at scale. Only ids that appear in
+    at least one pair are returned (isolated docs are their own
+    cluster by definition).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_ids(clusters: DataFrame) -> DataFrame:
+    """One keeper per duplicate cluster: (cluster_id, keep_id, n_members).
+    keep_id = min id (deterministic across engines and partitionings)."""
+    return clusters.groupBy("cluster_id").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
