@@ -141,5 +141,4 @@ def test_ivf_probe_is_broadcast_hash_join(spark):
     out = ivf_ann_topk(
         vecs, vecs.where(F.col("vec_id") < 2), k=5, n_cells=3, nprobe=1, dim=4
     )
-    plan = _plan(out)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in _plan(out)  # equi-join on cell, nprobe=1

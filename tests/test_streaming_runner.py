@@ -217,3 +217,48 @@ def test_streaming_monotonic_stateful_across_batches(spark, tmp_path):
     ).collect()
     assert [(r.conv_id, r.turn_idx) for r in got] == [("c1", 2)]
     assert str(got[0].prev_ts) == "2025-01-01 00:00:20"
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    """North-rule launch mode: the package shipped as a zip via
+    `spark-submit --py-files xpshacl_spark.zip runner.py ...` in a fresh
+    JVM/driver, end to end (validate -> checkpointed violations +
+    manifest), exit code 3 = violations found."""
+    import subprocess
+    import zipfile
+
+    import pyspark
+
+    from xpshacl_spark.datagen import transcripts
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    pkg = os.path.join(repo, "xpshacl_spark")
+    zpath = str(tmp_path / "xpshacl_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    transcripts(spark, n_convs=40).write.parquet(inp)
+
+    submit = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", "local[2]",
+            "--py-files", zpath,
+            os.path.join(pkg, "runner.py"),
+            "--input", inp,
+            "--output", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # away from the repo: the zip must supply the pkg
+    )
+    assert proc.returncode == 3, proc.stderr[-3000:]
+    assert os.path.isdir(f"{out}/violations") and os.path.isdir(f"{out}/manifest")

@@ -139,17 +139,47 @@ def ivf_centroids(
     return cells
 
 
-def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """1-based index of the max-cosine centroid. Centroid norms are
-    Python-computed literals, so the score expression (dot / norm) is
-    byte-reproducible in the SQL oracle; argmax via array_position
-    (first occurrence, matching list_position)."""
+def ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """Array of centroid cosine-proxy scores (dot / centroid-norm; the
+    vector's own norm is constant across cells so argmax is unchanged).
+    Centroid norms are Python-computed literals, so the expression is
+    byte-reproducible in the SQL oracle.
+
+    Uses the compact zip_with/aggregate fold (dim=None), NOT the
+    unrolled form: n_cells x dim unrolled terms in one projection blow
+    the JVM's 64 KB codegen method limit and force the WHOLE stage into
+    interpreted fallback — pessimizing every other expression in it.
+    Both _dot forms produce identical doubles (left fold), so oracle
+    parity is unaffected; at scale the assignment is done once at write
+    time (ivf_assign), not per query."""
     scores = []
     for cent in cents:
         norm = math.sqrt(math.fsum(x * x for x in cent))
-        scores.append(_dot(vec, _plane_col(cent), len(cent)) / F.lit(norm))
-    arr = F.array(*scores)
-    return F.array_position(arr, F.array_max(arr)).cast("int")
+        scores.append(_dot(vec, _plane_col(cent), None) / F.lit(norm))
+    return F.array(*scores)
+
+
+def _cell_from_scores(sl: Column) -> Column:
+    """1-based argmax via array_position (first occurrence, matching
+    DuckDB list_position)."""
+    return F.array_position(sl, F.array_max(sl)).cast("int")
+
+
+def _with_cell(df: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
+    """Project the scores array FIRST, then take the argmax of the
+    attribute: array_position(arr, array_max(arr)) mentions arr twice,
+    and inlining the n_cells x dim unrolled score terms twice blows the
+    JVM's 64 KB codegen method limit (Spark falls back to interpreted
+    eval). As a staged multi-use alias the scores are generated once."""
+    return df.withColumn("_sl", ivf_scores(F.col(vec_col), cents)).withColumn(
+        "cell", _cell_from_scores(F.col("_sl"))
+    )
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """1-based index of the max-cosine centroid (single-expression form;
+    prefer _with_cell in DataFrame plans — see its codegen note)."""
+    return _cell_from_scores(ivf_scores(vec, cents))
 
 
 def ivf_assign(
@@ -165,11 +195,14 @@ def ivf_assign(
     partitioned by cell (partitionBy / Iceberg bucket transform) so a
     query scans nprobe partitions instead of the whole table."""
     cents = ivf_centroids(n_cells, dim, seed)
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    staged = _with_cell(
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        "embedding",
+        cents,
     )
+    return staged.select("vec_id", "embedding", "cell")
 
 
 def ivf_ann_topk(
@@ -188,37 +221,52 @@ def ivf_ann_topk(
     Same output schema as cosine_topk; recall grows with nprobe
     (nprobe = n_cells degrades to exact brute force)."""
     cents = ivf_centroids(n_cells, dim, seed)
-    c = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
-    )
-    scores = []
-    for cent in cents:
-        norm = math.sqrt(math.fsum(x * x for x in cent))
-        scores.append(_dot(F.col(vec_col), _plane_col(cent), dim) / F.lit(norm))
-    # probe list: cell ids of the nprobe best centroid scores — sort
-    # (-score, cell) structs ascending, slice, project the cell field
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct((-s).alias("neg"), F.lit(i + 1).alias("cell"))
-                for i, s in enumerate(scores)
-            ]
-        )
-    )
-    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
-        probes.alias("_probes"),
+    c = _with_cell(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cv"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+        ),
+        "_cv",
+        cents,
+    ).drop("_sl")
+    q_staged = _with_cell(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
+        ),
+        "_qv",
+        cents,
     )
     cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
+    if nprobe == 1:
+        # single-probe: plain equi-join on cell -> BroadcastHashJoin
+        # (same argmax as the corpus assignment)
+        joined = c.join(F.broadcast(q_staged.drop("_sl")), "cell")
+    else:
+        # multi-probe: the query carries its nprobe best cells — sort
+        # (-score, cell) structs over the PROJECTED scores array, slice,
+        # project the cell field — and matches corpus rows by
+        # array_contains, a broadcast theta-join over the tiny query set
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.element_at(F.col("_sl"), i + 1)).alias("neg"),
+                        F.lit(i + 1).alias("cell"),
+                    )
+                    for i in range(len(cents))
+                ]
+            )
+        )
+        probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+        q = q_staged.withColumn("_probes", probes).drop("_sl", "cell")
+        joined = c.join(
+            F.broadcast(q), F.array_contains(F.col("_probes"), F.col("cell"))
+        )
     scored = (
-        c.join(F.broadcast(q), F.array_contains(F.col("_probes"), F.col("cell")))
-        .where(F.col("vec_id") != F.col("query_id"))
+        joined.where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
