@@ -538,6 +538,30 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation, composing the pipeline
+    operators: language + quality gate (fused text scan) -> near-dup
+    removal (Jaccard pairs -> connected components, keep the min id per
+    cluster) -> deterministic 80% key-hash sample. One oracle reproduces
+    the whole pipeline in SQL."""
+    from xpshacl_spark.operators import text as tx
+    from xpshacl_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+    from xpshacl_spark.operators.sample import hash_sample
+
+    d = _load(spark, sf_dir, "documents")
+    qual = tx.analyze(d, "text").where(
+        F.col("lang").isin("en", "es", "de", "fr") & (F.col("quality") >= 0.5)
+    )
+    clusters = duplicate_clusters(jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5))
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = qual.join(F.broadcast(losers), "doc_id", "left_anti")
+    return hash_sample(kept, ["doc_id"], 0.8, seed="corpus").select(
+        "doc_id", "lang", "quality"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision stage: near-dup pairs (word-3-gram Jaccard >= 0.5)
     -> connected components by iterative min-label propagation
@@ -674,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sample_documents": q_sample_documents,
         "q_ann_ivf_topk": q_ann_ivf_topk,
@@ -837,6 +862,31 @@ def _drift_sql() -> str:
         f"SELECT 'psi' AS stat, '{expr}' AS property_path, "
         f"round({psi}, 6) AS stat_value FROM c "
         f"UNION ALL SELECT 'ks', '{expr}', round({ks}, 6) FROM c"
+    )
+
+
+def _corpus_prep_sql() -> str:
+    """The whole corpus-prep pipeline in one SQL: nested text-profile
+    CTE for the quality gate, recursive-CTE connected components for the
+    dedup losers, and the same md5 hex-threshold sample predicate."""
+    from xpshacl_spark.operators.sample import rate_threshold
+
+    clusters_core = _dedup_clusters_sql()
+    # strip the leading WITH RECURSIVE so the CTE chain can be inlined
+    inner = clusters_core[len("WITH RECURSIVE ") :]
+    head, _, final_select = inner.rpartition("SELECT id AS doc_id")
+    assert head and final_select
+    return (
+        f"WITH RECURSIVE {head.rstrip()}, "
+        f"clus AS (SELECT id AS doc_id{final_select}), "
+        f"tp AS ({_text_profile_sql()}) "
+        "SELECT t.doc_id, d.lang, t.quality FROM tp t "
+        "JOIN documents d USING (doc_id) "
+        "WHERE d.lang IN ('en','es','de','fr') AND t.quality >= 0.5 "
+        "AND t.doc_id NOT IN "
+        "(SELECT doc_id FROM clus WHERE doc_id <> cluster_id) "
+        "AND substr(md5(concat_ws('|', 'corpus', CAST(t.doc_id AS VARCHAR))), 1, 8) "
+        f"< '{rate_threshold(0.8)}'"
     )
 
 
@@ -1164,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
         ),
+        "q_corpus_prep": _corpus_prep_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_sample_documents": _sample_sql(),
         "q_ann_ivf_topk": _ivf_topk_sql(),

@@ -88,12 +88,19 @@ def run_default() -> None:
     # warm the JVM / parquet footer cache so query #1 isn't charged for it
     _force(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
+    # Each query is timed from plan construction (some operators, e.g.
+    # iterative connected components, do eager work in fn) through full
+    # execution, and we keep the MIN of 2 runs: the oversubscribed host
+    # injects multi-second scheduler storms (see BENCH.md) and noise can
+    # only add time.
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        df = fn(spark, sf_dir)
-        t0 = time.monotonic()
-        _force(df)
-        timings[name] = round(time.monotonic() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 4)
 
     # flagship transcript validation throughput (~200k turns at default size)
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
