@@ -390,3 +390,31 @@ def test_duplicate_clusters_transitive(spark):
     keep = {r.cluster_id: (r.keep_id, r.n_members)
             for r in dedup_keep_ids(duplicate_clusters(pairs)).collect()}
     assert keep == {1: (1, 3), 7: (7, 2)}
+
+
+def test_text_parity_invariant(spark):
+    """input_hint invariant: per-turn text equality under the stable
+    (conv_id, turn_idx) key — identical generators agree; a mutated or
+    missing turn is reported with its key and kind."""
+    from xpshacl_spark.datagen import transcripts
+    from xpshacl_spark.operators.parity import (
+        assert_text_parity,
+        text_parity_violations,
+    )
+
+    a = transcripts(spark, n_convs=30, seed=11)
+    b = transcripts(spark, n_convs=30, seed=11)
+    assert_text_parity(a, b, ["conv_id", "turn_idx"])
+
+    mutated = b.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv-00000001") & (F.col("turn_idx") == 0),
+            F.lit("tampered"),
+        ).otherwise(F.col("text")),
+    ).where(~((F.col("conv_id") == "conv-00000002") & (F.col("turn_idx") == 0)))
+    bad = text_parity_violations(a, mutated, ["conv_id", "turn_idx"]).collect()
+    kinds = {(r.conv_id, r.turn_idx): r.mismatch_kind for r in bad}
+    assert kinds[("conv-00000001", 0)] == "text_mismatch"
+    assert kinds[("conv-00000002", 0)] == "missing_in_b"
+    assert len(kinds) == 2

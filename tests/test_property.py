@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the reference has none
+(SURVEY.md §5); these pin our operators against brute-force Python
+re-implementations on randomized inputs — nulls, empty strings,
+boundary values — where example-based tests go stale.
+
+Each property collects one small randomized relation through the real
+Spark engine and compares against a row-at-a-time Python oracle.
+max_examples is kept small: every example is a Spark job.
+"""
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.shapes import (
+    InSet,
+    MaxLength,
+    MinInclusive,
+    Pattern,
+    Shape,
+)
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+        max_size=12,
+    ),
+)
+values = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+
+
+@given(
+    rows=st.lists(st.tuples(values, texts), min_size=1, max_size=25),
+    bound=st.integers(min_value=-10, max_value=10),
+    maxlen=st.integers(min_value=0, max_value=8),
+)
+@SLOW
+def test_row_checks_match_python_oracle(spark, rows, bound, maxlen):
+    """Violation keys from the compiled fused row scan == a Python
+    row-at-a-time evaluation of the same SHACL-style semantics
+    (NULL value node -> vacuous pass)."""
+    df = spark.createDataFrame(
+        [(i, v, t) for i, (v, t) in enumerate(rows)],
+        "k int, v long, t string",
+    )
+    shape = Shape(
+        "prop",
+        (
+            MinInclusive("v", bound),
+            MaxLength("t", maxlen),
+            Pattern("t", "^[a-z ]*$"),
+            InSet("t", ("a", "b")),
+        ),
+    )
+    rep = ValidationEngine(spark).validate(df, [shape], key_cols=["k"])
+    got = {
+        (r.k, r.constraint_component) for r in rep.violations.collect()
+    }
+    import re
+
+    expect = set()
+    for i, (v, t) in enumerate(rows):
+        if v is not None and v < bound:
+            expect.add((i, "MinInclusiveConstraintComponent"))
+        if t is not None and len(t) > maxlen:
+            expect.add((i, "MaxLengthConstraintComponent"))
+        if t is not None and not re.match(r"^[a-z ]*$", t):
+            expect.add((i, "PatternConstraintComponent"))
+        if t is not None and t not in ("a", "b"):
+            expect.add((i, "InConstraintComponent"))
+    assert got == expect
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+)
+@SLOW
+def test_hash_sample_properties(spark, n, r1, r2):
+    """Monotone containment (bigger rate ⊇ smaller rate), determinism
+    under repartitioning, and exact agreement with the Python mirror of
+    the md5 hex-threshold rule."""
+    import hashlib
+
+    from xpshacl_spark.operators.sample import hash_sample, rate_threshold
+
+    lo, hi = sorted((r1, r2))
+    df = spark.range(n).selectExpr("id as k")
+    s_lo = {r.k for r in hash_sample(df, ["k"], lo).collect()}
+    s_hi = {r.k for r in hash_sample(df.repartition(5), ["k"], hi).collect()}
+    assert s_lo <= s_hi
+    thr = rate_threshold(lo)
+    expect = {
+        k
+        for k in range(n)
+        if hashlib.md5(f"sample|{k}".encode()).hexdigest()[:8] < thr
+    }
+    assert s_lo == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+@SLOW
+def test_connected_components_match_union_find(spark, pairs):
+    """duplicate_clusters == a driver-side union-find on the same edges."""
+    from xpshacl_spark.operators.dedup import duplicate_clusters
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
