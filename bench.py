@@ -62,10 +62,13 @@ def bench_transcripts(spark: SparkSession, n_convs: int) -> dict:
     warm = transcripts(spark, n_convs=200, seed=7).localCheckpoint()
     engine.validate(warm, shapes, key_cols=["conv_id", "turn_idx"]).violations.count()
 
-    t0 = time.monotonic()
-    rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
-    n_viol = rep.violations.count()
-    sec = time.monotonic() - t0
+    # min of 2 timed runs (host noise only adds time; see BENCH.md)
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
+        n_viol = rep.violations.count()
+        sec = min(sec, time.monotonic() - t0)
     return {
         "sec": sec,
         "n_turns": n_turns,
@@ -78,7 +81,11 @@ def bench_transcripts(spark: SparkSession, n_convs: int) -> dict:
 
 def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16, not 32: the guest advertises 32 vCPUs but the host
+    # oversubscribes them — >16 busy JVM threads triggers a sys-time
+    # spin storm that makes the IDENTICAL plan 3-6x slower (measured
+    # ladder in BENCH.md). An explicit $SPARK_GRAFT_CPUS is honored.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     spark = build_spark(cpus)
@@ -88,24 +95,30 @@ def run_default() -> None:
     # warm the JVM / parquet footer cache so query #1 isn't charged for it
     _force(spark.read.parquet(f"{sf_dir}/region.parquet"))
 
-    # Each query is timed from plan construction (some operators, e.g.
-    # iterative connected components, do eager work in fn) through full
-    # execution, and we keep the MIN of 2 runs: the oversubscribed host
-    # injects multi-second scheduler storms (see BENCH.md) and noise can
-    # only add time.
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 4)
 
-    # flagship transcript validation throughput (~200k turns at default size)
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    # flagship transcript validation throughput FIRST, in a fresh heap
+    # (running it after 38 queries costs ~2x from GC pressure). ~1M
+    # turns at default size: at 200k turns the job is fixed-cost
+    # dominated — 49k turns/s vs 145k at 1M on the same plan — so the
+    # bigger input reports the engine's steady-state rate.
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
     tr = bench_transcripts(spark, n_convs)
     timings["transcript_validation"] = round(tr["sec"], 4)
+
+    # Each query is timed from plan construction (some operators, e.g.
+    # iterative connected components, do eager work in fn) through full
+    # execution. Two FULL passes over the suite, keeping each query's
+    # min: the oversubscribed host injects multi-second scheduler storms
+    # (see BENCH.md) that last longer than one query, so back-to-back
+    # reps of the same query land in the same storm — interleaving
+    # decorrelates them, and noise can only add time.
+    for _ in range(2):
+        for name, fn in entry_mod.queries().items():
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            el = time.monotonic() - t0
+            timings[name] = round(min(el, timings.get(name, el)), 4)
 
     out = {
         "metric": "suite_total",

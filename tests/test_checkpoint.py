@@ -97,3 +97,65 @@ def test_shapes_json_roundtrip(tmp_path):
         c["kind"] for s in doc["shapes"] for c in s["constraints"]
     }
     assert {"MinInclusive", "Pattern", "ForeignKey", "Unique", "Monotonic"} <= kinds
+
+
+def test_incremental_delta_run(spark, tmp_path):
+    """Append-only delta mode: after a full run, adding new input files
+    re-validates ONLY those files, and the assembled relation equals a
+    from-scratch validation of the whole table."""
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.datagen import transcripts
+    from xpshacl_spark.shapes import MinInclusive, NotNull, Shape
+
+    inp = str(tmp_path / "inc.parquet")
+    a = transcripts(spark, n_convs=40, seed=1)
+    a.coalesce(1).write.mode("append").parquet(inp)
+
+    shapes = [Shape("inc_row", (MinInclusive("turn_idx", 0), NotNull("text")))]
+    keys = ["conv_id", "turn_idx"]
+    out = str(tmp_path / "out")
+    eng = ValidationEngine(spark)
+    CheckpointedRunner(eng, out).run(spark.read.parquet(inp), shapes, keys)
+    n_before = json.load(
+        open(f"{out}/manifest/inc_row.json")
+    )["n_violations"]
+
+    # append a second batch of files (different seed => new conv block)
+    transcripts(spark, n_convs=25, seed=2).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    runner2 = CheckpointedRunner(ValidationEngine(spark), out)
+    rep = runner2.run_incremental(inp, shapes, keys)
+    rec = json.load(open(f"{out}/manifest/inc_row.json"))
+    assert rec["deltas"] and rec["deltas"][0]["n_files"] == 1  # only the new file
+    assert rec["n_violations"] >= n_before
+
+    full = ValidationEngine(spark).validate(
+        spark.read.parquet(inp), shapes, key_cols=keys
+    )
+    assert sorted(map(repr, rep.violations.collect())) == sorted(
+        map(repr, full.violations.collect())
+    )
+
+    # idempotence: nothing new -> no further deltas, same relation
+    rep2 = runner2.run_incremental(inp, shapes, keys)
+    assert rep2.violations.count() == rep.violations.count()
+    assert len(json.load(open(f"{out}/manifest/inc_row.json"))["deltas"]) == 1
+
+
+def test_incremental_rejects_group_shapes(spark, tmp_path):
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.datagen import transcripts
+    from xpshacl_spark.shapes import Shape, Unique
+
+    inp = str(tmp_path / "g.parquet")
+    transcripts(spark, n_convs=10).write.parquet(inp)
+    r = CheckpointedRunner(ValidationEngine(spark), str(tmp_path / "o"))
+    with pytest.raises(ValueError, match="delta-safe"):
+        r.run_incremental(
+            inp, [Shape("u", (Unique(("conv_id", "turn_idx")),))],
+            ["conv_id", "turn_idx"],
+        )

@@ -123,13 +123,107 @@ class CheckpointedRunner:
 
         return self.report(key_cols)
 
+    def run_incremental(
+        self,
+        input_path: str,
+        shapes: Sequence[Shape],
+        key_cols: Sequence[str],
+        force: bool = False,
+    ) -> ValidationReport:
+        """Validate only input files NOT yet in each shape's manifest
+        lineage — the delta mode for append-only tables (a new ingest
+        drops new files/partitions; old ones are immutable).
+
+        Only row-level and referential constraints are delta-safe: a
+        group/window/uniqueness check over part of a group is wrong when
+        the group spans old and new files. Those shapes raise unless
+        force=True (legitimate when the table layout guarantees group
+        locality per file, e.g. writes bucketed by conv_id).
+
+        Each delta writes to its own subdirectory of the shape bucket
+        (overwrite-idempotent per delta; a kill re-runs just the delta)
+        and the manifest entry's lineage/metrics are extended — so
+        `report()` still assembles the complete relation.
+        """
+        from xpshacl_spark.shapes import ForeignKey, RowConstraint
+
+        if not force:
+            bad = [
+                (s.shape_id, type(c).__name__)
+                for s in shapes
+                for c in s.constraints
+                if not isinstance(c, (RowConstraint, ForeignKey))
+            ]
+            if bad:
+                raise ValueError(
+                    "constraints not delta-safe (groups may span old and "
+                    f"new files; pass force=True if layout guarantees "
+                    f"group-per-file locality): {bad}"
+                )
+
+        import hashlib
+
+        current = sorted(self.spark.read.parquet(input_path).inputFiles())
+        done = self.completed()
+        for shape in shapes:
+            rec = done.get(shape.shape_id)
+            seen = set(rec.get("input_files", [])) if rec else set()
+            new = [f for f in current if f not in seen]
+            if not new:
+                continue
+            t0 = time.monotonic()
+            delta_df = self.spark.read.parquet(*new)
+            rep = self.engine.validate(delta_df, [shape], key_cols=key_cols)
+            token = _token(shape.shape_id)
+            delta_id = hashlib.md5("|".join(new).encode()).hexdigest()[:12]
+            # plain subdir name (no '='): the shape bucket must not look
+            # like a partitioned layout — report() reads it with
+            # recursiveFileLookup, which skips partition discovery
+            out_path = os.path.join(
+                self.violations_dir, f"shape_bucket={token}", f"delta_{delta_id}"
+            )
+            rep.violations.write.mode("overwrite").parquet(out_path)
+            n = self.spark.read.parquet(out_path).count()
+            deltas = (rec.get("deltas", []) if rec else []) + [
+                {
+                    "delta_id": delta_id,
+                    "n_files": len(new),
+                    "n_violations": n,
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                }
+            ]
+            self._write_manifest(
+                {
+                    "run_id": self.run_id,
+                    "shape_id": shape.shape_id,
+                    "status": "completed",
+                    "n_violations": (rec["n_violations"] if rec else 0) + n,
+                    "n_input_partitions": delta_df.rdd.getNumPartitions(),
+                    "input_files": sorted(seen | set(new)),
+                    "deltas": deltas,
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                    "output_path": os.path.join(
+                        self.violations_dir, f"shape_bucket={token}"
+                    ),
+                    "finished_unix": time.time(),
+                }
+            )
+        return self.report(key_cols)
+
     def report(self, key_cols: Sequence[str]) -> ValidationReport:
         """Assemble the full violations relation from checkpointed parts."""
         done = self.completed()
         if not done:
             raise RuntimeError("no completed shapes in checkpoint")
         paths = [rec["output_path"] for rec in done.values()]
-        df = self.spark.read.option("mergeSchema", "false").parquet(*paths)
+        df = (
+            self.spark.read.option("mergeSchema", "false")
+            # full-run files sit at the bucket root and incremental
+            # deltas in delta_* subdirs; recursive lookup reads both and
+            # disables partition discovery over the subdir names
+            .option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
         metrics = {
             "n_shapes_completed": len(done),
             "total_violations": sum(r["n_violations"] for r in done.values()),
