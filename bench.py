@@ -186,7 +186,7 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     spark.stop()
 
 
-def run_scaling(n_convs: int, levels=(1, 4), reps: int = 3) -> None:
+def run_scaling(n_convs: int, levels=(1, 4), reps: int = 5) -> None:
     """Same job, same input, N vs 4N parallelism; `reps` fresh-JVM runs
     per level, scored by the MIN (the host VM is noisy — steal +
     lock-holder preemption inflate individual runs; min isolates the
@@ -202,11 +202,14 @@ def run_scaling(n_convs: int, levels=(1, 4), reps: int = 3) -> None:
     ladder and the 2->8 numbers.
     """
     input_path = _scaling_input(n_convs)
-    results = {}
-    for cpus in levels:
-        secs = []
-        base = None
-        for _ in range(reps):
+    secs: dict[int, list] = {c: [] for c in levels}
+    base: dict[int, dict] = {}
+    # INTERLEAVE the levels (1,4,1,4,...) rather than batching all reps
+    # of one level: the host's noise comes in multi-minute phases, and a
+    # bad phase landing entirely on one level would skew the RATIO even
+    # under min-of-k. Interleaved, both levels sample the same phases.
+    for _ in range(reps):
+        for cpus in levels:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_scaling-worker",
                  str(cpus), input_path],
@@ -219,15 +222,17 @@ def run_scaling(n_convs: int, levels=(1, 4), reps: int = 3) -> None:
             if not line:
                 sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
                 raise RuntimeError(f"scaling worker local[{cpus}] failed")
-            base = json.loads(line[-1].removeprefix("SCALING_RESULT "))
-            secs.append(base["sec"])
-        sec = min(secs)
+            base[cpus] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+            secs[cpus].append(base[cpus]["sec"])
+    results = {}
+    for cpus in levels:
+        sec = min(secs[cpus])
         results[cpus] = {
-            **base,
+            **base[cpus],
             "sec": sec,
-            "secs": [round(s, 3) for s in sorted(secs)],
-            "turns_per_sec": base["n_turns"] / sec,
-            "shapes_per_sec": base["n_shapes"] * base["n_turns"] / sec,
+            "secs": [round(s, 3) for s in sorted(secs[cpus])],
+            "turns_per_sec": base[cpus]["n_turns"] / sec,
+            "shapes_per_sec": base[cpus]["n_shapes"] * base[cpus]["n_turns"] / sec,
         }
 
     lo, hi = levels
@@ -261,10 +266,11 @@ No real cluster is available in this sandbox, so per BASELINE.md the
 two-cluster-size criterion is evidenced by running the IDENTICAL
 transcript-validation job (fixed parquet input, full
 `transcript_shapes()` suite, violations count) at two parallelism
-levels in separate JVMs on the same machine. Wall sec below is the
-MIN of 3 fresh-JVM runs per level (all runs shown): the host VM is
-noisy (steal + lock-holder preemption inflate individual runs), and
-noise can only add time, so the min is the job's true cost.
+levels in separate JVMs on the same machine, INTERLEAVED (1,4,1,4,...)
+so the host's multi-minute noise phases hit both levels. Wall sec below
+is the MIN of the fresh-JVM runs per level (all runs shown): the host
+VM is noisy (steal + lock-holder preemption inflate individual runs),
+and noise can only add time, so the min is the job's true cost.
 
 | parallelism | wall sec (min) | runs | turns/sec | shapes*turns/sec |
 |---|---|---|---|---|

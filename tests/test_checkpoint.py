@@ -159,3 +159,35 @@ def test_incremental_rejects_group_shapes(spark, tmp_path):
             inp, [Shape("u", (Unique(("conv_id", "turn_idx")),))],
             ["conv_id", "turn_idx"],
         )
+
+
+def test_runner_cli_incremental(spark, tmp_path):
+    """runner.main --incremental end to end: second invocation after an
+    append validates only the new files and exits with the same code
+    semantics."""
+    from xpshacl_spark import runner
+    from xpshacl_spark.datagen import transcripts
+    from xpshacl_spark.shapes_io import save_shapes
+    from xpshacl_spark.shapes import MinInclusive, NotNull, Shape
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    shp = str(tmp_path / "shapes.json")
+    save_shapes(shp, [Shape("r", (MinInclusive("turn_idx", 0), NotNull("text")))])
+
+    transcripts(spark, n_convs=30, seed=1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    rc = runner.main(
+        ["--input", inp, "--output", out, "--shapes", shp, "--incremental"]
+    )
+    assert rc == 3
+    transcripts(spark, n_convs=20, seed=2).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    rc2 = runner.main(
+        ["--input", inp, "--output", out, "--shapes", shp, "--incremental"]
+    )
+    assert rc2 == 3
+    rec = json.load(open(f"{out}/manifest/r.json"))
+    assert len(rec["deltas"]) == 2 and rec["deltas"][-1]["n_files"] == 1

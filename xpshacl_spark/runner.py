@@ -14,6 +14,11 @@ locally: `python -m xpshacl_spark.runner ...`):
   --replay DIR           skip validation; run explanation stages over an
                          existing violations output (reference report-
                          replay mode, /root/reference/src/main.py:75-114)
+  --incremental          append-only delta mode: validate only input
+                         files not yet recorded in the checkpoint
+                         manifest ([--force-incremental] to allow
+                         group-scope shapes when the layout guarantees
+                         group-per-file locality)
 """
 
 from __future__ import annotations
@@ -34,6 +39,18 @@ def main(argv=None) -> int:
     ap.add_argument("--cache")
     ap.add_argument("--languages", default="en")
     ap.add_argument("--replay")
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="validate only input files not yet in the checkpoint "
+        "manifest (append-only delta mode)",
+    )
+    ap.add_argument(
+        "--force-incremental",
+        action="store_true",
+        help="allow group-scope shapes in --incremental (requires "
+        "group-per-file layout locality)",
+    )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
@@ -57,8 +74,17 @@ def main(argv=None) -> int:
 
     if args.replay:
         df = None
-        violations = spark.read.parquet(f"{args.replay}/violations")
+        violations = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{args.replay}/violations"
+        )
         report = ValidationReport(violations, key_cols)
+    elif args.incremental:
+        if not args.input:
+            ap.error("--input is required with --incremental")
+        df = spark.read.parquet(args.input)
+        report = runner.run_incremental(
+            args.input, shapes, key_cols=key_cols, force=args.force_incremental
+        )
     else:
         if not args.input:
             ap.error("--input is required unless --replay is given")
