@@ -634,10 +634,11 @@ def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full explanation pipeline (SURVEY.md §2C): signature dedup ->
     justification trees + context -> deterministic template explanation
-    -> one row per signature x language. Rows-only check: the template
-    text is rendered driver-side over the tiny signature set (the
-    reference's 'expensive operations ONCE per signature' dataflow,
-    main.py:139-172) and is not SQL-expressible."""
+    -> one row per signature x language, rendered driver-side over the
+    tiny signature set (the reference's 'expensive operations ONCE per
+    signature' dataflow, main.py:139-172). The oracle embeds the same
+    deterministic template text/signature URIs as literals gated by
+    EXISTS predicates (see _explanations_sql)."""
     from xpshacl_spark.explain.pipeline import Explainer
 
     li = _load(spark, sf_dir, "lineitem")
@@ -986,6 +987,53 @@ def _topk_sql(k: int = 5) -> str:
     return f'SELECT * FROM ({branches}) WHERE "rank" <= {k}'
 
 
+def _explanations_sql() -> str:
+    """Full value oracle for the explanation pipeline: the deterministic
+    template text, signature URI (md5, reference violation_kg.py:88-102
+    parity), and per-language rows are all pure functions of the shape
+    spec, so they are rendered HERE (by the same Python functions the
+    engine uses) and embedded as literals, gated by the same EXISTS
+    predicates that make each signature appear."""
+    from xpshacl_spark.explain.generator import template_explanation
+    from xpshacl_spark.explain.signature import ViolationSignature, signature_to_uri
+    from xpshacl_spark.model import ViolationType
+
+    rows = [
+        ("MaxInclusiveConstraintComponent", "l_quantity", "value_range",
+         "l_quantity > 30"),
+        ("MaxInclusiveConstraintComponent", "l_discount", "value_range",
+         "l_discount > 0.08"),
+        ("MinInclusiveConstraintComponent", "l_tax", "value_range",
+         "l_tax < 0.02"),
+    ]
+    branches = []
+    for comp, path, vtype, pred in rows:
+        sig = ViolationSignature(
+            comp, path, ViolationType.ENUM_REPR.get(vtype, vtype), {}
+        )
+        uri = signature_to_uri(sig)
+        msg = f"Value does not conform to {comp}"
+        for lang in ("en", "de"):
+            expl = template_explanation(
+                {
+                    "violation_type": vtype,
+                    "property_path": path,
+                    "constraint_component": comp,
+                    "message": msg,
+                },
+                lang,
+            )
+            text = expl["natural_language_explanation"].replace("'", "''")
+            branches.append(
+                f"SELECT '{uri}' AS signature_id, "
+                f"'{comp}' AS constraint_component, "
+                f"'{vtype}' AS violation_type, '{lang}' AS language, "
+                f"'{text}' AS natural_language_explanation "
+                f"WHERE EXISTS (SELECT 1 FROM lineitem WHERE {pred})"
+            )
+    return " UNION ALL ".join(branches)
+
+
 def _signature_sql() -> str:
     rows = [
         ("MaxInclusiveConstraintComponent", "l_quantity", "value_range",
@@ -1214,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
         ),
+        "q_explanations": _explanations_sql(),
         "q_corpus_prep": _corpus_prep_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_sample_documents": _sample_sql(),
