@@ -538,6 +538,16 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: top-100 corpus vocabulary by
+    normalized-token frequency (explode -> map-side-combined count ->
+    rank over the aggregated relation; operators.text.vocabulary)."""
+    from xpshacl_spark.operators.text import vocabulary
+
+    d = _load(spark, sf_dir, "documents")
+    return vocabulary(d, "text", k=100)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation, composing the pipeline
     operators: language + quality gate (fused text scan) -> near-dup
@@ -699,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_vocabulary": q_vocabulary,
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sample_documents": q_sample_documents,
@@ -1261,6 +1272,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, 'NodeKindConstraintComponent', p_type "
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
+        ),
+        "q_vocabulary": (
+            f"SELECT token, count(*) AS n, CAST(row_number() OVER "
+            "(ORDER BY count(*) DESC, token ASC) AS INT) AS \"rank\" "
+            f"FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token "
+            "QUALIFY row_number() OVER (ORDER BY count(*) DESC, token ASC) <= 100"
         ),
         "q_explanations": _explanations_sql(),
         "q_corpus_prep": _corpus_prep_sql(),

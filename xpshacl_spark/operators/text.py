@@ -13,7 +13,7 @@ usable as Shape `Expr` predicates (e.g. quality_score < t -> violation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Language-ID heuristic: tiny per-language stopword lists. Deterministic
@@ -210,3 +210,28 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Back-compat name for the fused text-analysis scan."""
     return analyze(df, text_col)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFrame:
+    """Corpus vocabulary: the k most frequent normalized tokens as
+    (token, n, rank), ties broken by token ascending.
+
+    Plan: explode the normalized word arrays -> one grouped count
+    (map-side combine absorbs hot tokens like stopwords, so the shuffle
+    carries one row per distinct token per partition, not per
+    occurrence) -> rank window over the aggregated relation. This is
+    the tokenizer-training / vocab-pruning primitive at 100 TB scale —
+    the same plan shape survives because the shuffled relation is
+    bounded by |vocab| x partitions."""
+    toks = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        toks.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("token", "n", "rank")
+    )
