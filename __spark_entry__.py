@@ -538,6 +538,16 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SimHash near-dup pairs (hamming <= 3) via pigeonhole
+    segment blocking — the oracle computes the EXHAUSTIVE pairwise
+    hamming relation, so this also proves the blocking loses nothing."""
+    from xpshacl_spark.operators.dedup import simhash_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", bits=16, max_hamming=3)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training primitive: top-100 corpus vocabulary by
     normalized-token frequency (explode -> map-side-combined count ->
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_vocabulary": q_vocabulary,
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
@@ -1272,6 +1283,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, 'NodeKindConstraintComponent', p_type "
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
+        ),
+        "q_dedup_simhash_pairs": (
+            f"WITH sh AS ({_simhash_sql()}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "q_vocabulary": (
             f"SELECT token, count(*) AS n, CAST(row_number() OVER "

@@ -348,24 +348,50 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Pairs whose simhash Hamming distance <= max_hamming.
+    """ALL pairs whose simhash Hamming distance <= max_hamming —
+    exact, without the O(n^2) cross join.
 
-    Candidate generation blocks on the LOW BYTE of the simhash (pigeon-
-    hole: for 16-bit hashes and max_hamming<=2 this keeps most true
-    pairs while cutting the cross join by ~256x; a production variant
-    uses ceil(bits/(max_hamming+1)) blocks over all segments for exact
-    recall — add the remaining segment blocks the same way).
+    Pigeonhole blocking: split the hash into max_hamming+1 disjoint
+    bit segments; two hashes differing in <= max_hamming bits must
+    agree on at least one WHOLE segment, so candidates are generated by
+    an equi-join on (segment_idx, segment_value) and then verified with
+    the true Hamming distance. Recall is exactly 1 by construction
+    (proven against an exhaustive pairwise oracle); the join fan-out is
+    bounded by the per-segment bucket sizes instead of n^2.
     """
     sh = simhash(df, id_col, text_col, bits)
-    lo = (F.col("simhash") % 256).alias("blk")
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), lo)
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), lo)
+    n_seg = max_hamming + 1
+    seg_bits = -(-bits // n_seg)  # ceil
+    mask = (1 << seg_bits) - 1
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seg_idx"),
+                F.shiftright(F.col("simhash"), j * seg_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("seg_val"),
+            )
+            for j in range(n_seg)
+        ]
+    )
+    blocked = sh.select(
+        "doc_id", "simhash", F.explode(segs).alias("_s")
+    ).select("doc_id", "simhash", "_s.seg_idx", "_s.seg_val")
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "seg_idx", "seg_val",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "seg_idx", "seg_val",
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, "blk")
+        a.join(b, ["seg_idx", "seg_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
