@@ -142,3 +142,33 @@ def test_ivf_probe_is_broadcast_hash_join(spark):
         vecs, vecs.where(F.col("vec_id") < 2), k=5, n_cells=3, nprobe=1, dim=4
     )
     assert "BroadcastHashJoin" in _plan(out)  # equi-join on cell, nprobe=1
+
+
+def test_auto_salt_detects_skew_and_stays_exact(spark):
+    """salt_partitions='auto': a pathological hot key triggers explicit
+    two-phase salting; a uniform key does not; and the salted relation
+    equals the unsalted one either way (counts are algebraic)."""
+    from xpshacl_spark.shapes import GroupMaxCount
+
+    hot = spark.range(20000).selectExpr(
+        "'hot' AS conv_id", "id AS turn_idx"
+    )
+    cold = spark.range(2000).selectExpr(
+        "concat('c', CAST(id % 400 AS STRING)) AS conv_id", "id AS turn_idx"
+    )
+    df = hot.unionByName(cold)
+    shapes = [Shape("g", (GroupMaxCount(("conv_id",), 10, column="conv_id"),))]
+    engine = ValidationEngine(spark)
+
+    rep_auto = engine.validate(df, shapes, key_cols=["turn_idx", "conv_id"],
+                               salt_partitions="auto")
+    assert rep_auto.metrics["auto_salt"]["conv_id"] > 1  # skew detected
+    rep_plain = engine.validate(df, shapes, key_cols=["turn_idx", "conv_id"])
+    assert sorted(map(repr, rep_auto.violations.collect())) == sorted(
+        map(repr, rep_plain.violations.collect())
+    )
+
+    rep_uniform = engine.validate(
+        cold, shapes, key_cols=["turn_idx", "conv_id"], salt_partitions="auto"
+    )
+    assert rep_uniform.metrics["auto_salt"]["conv_id"] == 0  # no salting

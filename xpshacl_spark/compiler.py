@@ -169,16 +169,31 @@ class ValidationEngine:
         df: DataFrame,
         shapes: Sequence[Shape],
         key_cols: Sequence[str],
-        salt_partitions: int = 0,
+        salt_partitions: int | str = 0,
     ) -> ValidationReport:
         """Evaluate all shapes; return the violations relation.
 
         salt_partitions > 0 enables the explicit two-phase salted
         aggregation for group counts (hot-key mitigation; counts are
         algebraic so the two-phase result is exact).
+        salt_partitions="auto" probes a 1% deterministic key sample per
+        group key and salts only when a hot key dominates (see
+        _auto_salt); the decision is recorded in report.metrics.
         """
         key_cols = list(key_cols)
         t0 = time.monotonic()
+        auto_salt: dict[str, int] = {}
+        if salt_partitions == "auto":
+            gkeys = {
+                tuple(c.group_by)
+                for s in shapes
+                for c in s.group_constraints()
+                if isinstance(c, (GroupMinCount, GroupMaxCount))
+            }
+            auto_salt = {
+                ",".join(g): self._auto_salt(df, list(g)) for g in sorted(gkeys)
+            }
+            salt_partitions = max(auto_salt.values(), default=0)
         parts: list[DataFrame] = []
 
         row_df = self._compile_row_checks(df, shapes, key_cols)
@@ -203,7 +218,45 @@ class ValidationEngine:
             "n_plan_parts": len(parts),
             "compile_sec": time.monotonic() - t0,
         }
+        if auto_salt:
+            metrics["auto_salt"] = auto_salt
         return ValidationReport(violations, key_cols, metrics)
+
+    def _auto_salt(
+        self,
+        df: DataFrame,
+        gkey: list[str],
+        sample_mod: int = 100,
+        skew_factor: float = 8.0,
+        max_salt: int = 64,
+    ) -> int:
+        """Probe group-key skew on a deterministic ~1% ROW sample (hash
+        of the full row — hashing just the key would keep or drop whole
+        groups, making it blind to the very hot key it is looking for)
+        and pick a salt width from the sampled max/mean group-count
+        ratio. One cheap narrow-column job.
+
+        Returns 0 (no explicit salting needed — Spark's map-side combine
+        absorbs ordinary hot keys) unless the sampled max group count
+        exceeds skew_factor x the sampled mean, in which case the salt
+        is the overshoot ratio capped at max_salt. Counts are algebraic,
+        so any salt width is exact — this only tunes the shuffle shape.
+        """
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        probe = (
+            df.where(F.pmod(row_hash, F.lit(sample_mod)) == 0)
+            .select(*gkey)
+            .groupBy(*gkey)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("mx"), F.avg("_n").alias("mean"))
+            .collect()[0]
+        )
+        if probe["mx"] is None or not probe["mean"]:
+            return 0
+        ratio = probe["mx"] / probe["mean"]
+        if ratio < skew_factor:
+            return 0
+        return min(max_salt, int(ratio))
 
     # ------------------------------------------------------------------
     # row-level: ONE fused scan for every row constraint of every shape
