@@ -306,12 +306,15 @@ def simhash(
     document's bit j is 1 iff more word occurrences have bit j set than
     unset. bits <= 32 (one md5 hex nibble per bit). Zero-shuffle scan.
 
-    Staged so the expensive subexpressions run once per row: the word
-    array is projected (split once, not once per bit) and then the
-    per-word md5 hex strings are projected (md5 once per word, not once
-    per word PER BIT — the per-bit majority folds only substring+conv
-    over the precomputed hash array). Values are identical to the naive
-    nesting; only the evaluation count changes.
+    Staged so the expensive work runs once per WORD, not once per word
+    per bit: the word array is projected (split once), then each word
+    is reduced to a single long bitmask — translate the md5 hex digits
+    to '0'/'1' by their high bit and parse the first `bits` chars as
+    binary — so the per-bit majority folds are just shift+mask over a
+    precomputed long array. Hex digit at 1-based position j+1 drives
+    simhash bit j (value 2^j), i.e. mask bit (bits-1-j) after the
+    binary parse. Values are identical to the naive per-bit
+    conv(substring(md5)) nesting; only the evaluation count changes.
     """
     assert bits <= 32
     staged = df.select(
@@ -319,17 +322,30 @@ def simhash(
         F.split(normalize_text(text_col), " ").alias("_ws"),
     ).select(
         "doc_id",
-        F.transform(F.col("_ws"), lambda w: F.md5(w)).alias("_hs"),
+        F.transform(
+            F.col("_ws"),
+            lambda w: F.conv(
+                F.substring(
+                    F.translate(
+                        F.md5(w), "0123456789abcdef", "0000000011111111"
+                    ),
+                    1,
+                    bits,
+                ),
+                2,
+                10,
+            ).cast("long"),
+        ).alias("_bm"),
     )
     total = None
     for j in range(bits):
         # contribution of each word occurrence: +1 if bit set else -1
         contrib = F.aggregate(
-            F.col("_hs"),
+            F.col("_bm"),
             F.lit(0),
-            lambda acc, h: acc
+            lambda acc, m: acc
             + F.when(
-                F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") >= 8,
+                F.shiftright(m, bits - 1 - j).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1)),
         )
