@@ -680,6 +680,7 @@ def q_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation_type",
         "language",
         "natural_language_explanation",
+        "correction_suggestions",
     )
 
 
@@ -1049,11 +1050,15 @@ def _explanations_sql() -> str:
                 lang,
             )
             text = expl["natural_language_explanation"].replace("'", "''")
+            # suggestions list joined with the reference's "\n\n"
+            # separator (violation_kg round-trip, SUGGESTION_SEPARATOR)
+            sugg = "\n\n".join(expl["correction_suggestions"]).replace("'", "''")
             branches.append(
                 f"SELECT '{uri}' AS signature_id, "
                 f"'{comp}' AS constraint_component, "
                 f"'{vtype}' AS violation_type, '{lang}' AS language, "
-                f"'{text}' AS natural_language_explanation "
+                f"'{text}' AS natural_language_explanation, "
+                f"'{sugg}' AS correction_suggestions "
                 f"WHERE EXISTS (SELECT 1 FROM lineitem WHERE {pred})"
             )
     return " UNION ALL ".join(branches)
