@@ -538,6 +538,59 @@ def q_and_nodekind_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("p_partkey", "constraint_component", "value")
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (30-min gap) + per-session rollup —
+    lag + running-sum-of-boundaries in one shuffle
+    (operators.sessions.session_summary)."""
+    from xpshacl_spark.operators.sessions import session_summary
+
+    e = _load(spark, sf_dir, "events")
+    return session_summary(
+        e, ["user_id"], "ts", order_cols=["event_id"], gap_seconds=1800
+    )
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: each event enriched with the most recent strictly
+    prior 'error' value for the same user — windowed
+    last(..., ignorenulls) instead of a self range-join
+    (operators.sessions.asof_lookup)."""
+    from xpshacl_spark.operators.sessions import asof_lookup
+
+    e = _load(spark, sf_dir, "events")
+    out = asof_lookup(
+        e,
+        ["user_id"],
+        "ts",
+        ["event_id"],
+        F.when(F.col("event_type") == "error", F.col("value")),
+        alias="last_error_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("last_error_value"), 6).alias("last_error_value"),
+    )
+
+
+def q_violation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets over the violations relation: ROLLUP
+    (shape_id, constraint_component) counts with subtotal and grand
+    total rows (SURVEY.md §2E — absent in the reference)."""
+    li = _load(spark, sf_dir, "lineitem")
+    shapes = [
+        Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
+        Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
+        Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(li, shapes, key_cols=["l_orderkey", "l_linenumber"])
+    return (
+        rep.violations.rollup("shape_id", "constraint_component")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact SimHash near-dup pairs (hamming <= 3) via pigeonhole
     segment blocking — the oracle computes the EXHAUSTIVE pairwise
@@ -723,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setpair_lineitem": q_setpair_lineitem,
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
+        "q_sessionize_events": q_sessionize_events,
+        "q_asof_events": q_asof_events,
+        "q_violation_rollup": q_violation_rollup,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_vocabulary": q_vocabulary,
         "q_corpus_prep": q_corpus_prep,
@@ -1291,6 +1347,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, 'NodeKindConstraintComponent', p_type "
             "FROM part WHERE p_size <= 5 AND p_type IS NOT NULL "
             "AND NOT regexp_matches(p_type, '^[A-Za-z][A-Za-z0-9_.:\\-]*$')"
+        ),
+        "q_sessionize_events": (
+            "WITH s AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS nb "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "x AS (SELECT user_id, ts, CAST(sum(nb) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx FROM s) "
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM x GROUP BY user_id, session_idx"
+        ),
+        "q_asof_events": (
+            "SELECT event_id, user_id, "
+            "round(last_value(CASE WHEN event_type = 'error' THEN value END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) "
+            "AS last_error_value FROM events"
+        ),
+        "q_violation_rollup": (
+            "WITH v AS ("
+            "SELECT 'li_qty' AS shape_id, 'MaxInclusiveConstraintComponent' AS "
+            "constraint_component FROM lineitem WHERE l_quantity > 30 "
+            "UNION ALL SELECT 'li_disc', 'MaxInclusiveConstraintComponent' "
+            "FROM lineitem WHERE l_discount > 0.08 "
+            "UNION ALL SELECT 'li_tax', 'MinInclusiveConstraintComponent' "
+            "FROM lineitem WHERE l_tax < 0.02) "
+            "SELECT shape_id, constraint_component, count(*) AS n "
+            "FROM v GROUP BY ROLLUP (shape_id, constraint_component)"
         ),
         "q_dedup_simhash_pairs": (
             f"WITH sh AS ({_simhash_sql(bits=32)}) "

@@ -418,3 +418,45 @@ def test_text_parity_invariant(spark):
     assert kinds[("conv-00000001", 0)] == "text_mismatch"
     assert kinds[("conv-00000002", 0)] == "missing_in_b"
     assert len(kinds) == 2
+
+
+def test_sessionize_boundaries(spark):
+    from xpshacl_spark.operators.sessions import session_summary, sessionize
+
+    rows = [
+        (1, "u", "2025-01-01 00:00:00"),
+        (2, "u", "2025-01-01 00:20:00"),   # 1200s gap -> same session
+        (3, "u", "2025-01-01 01:00:00"),   # 2400s gap -> new session
+        (4, "v", "2025-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts_s string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    s = {r.event_id: r.session_idx
+         for r in sessionize(df, ["user_id"], "ts", ["event_id"], 1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+    summ = {(r.user_id, r.session_idx): r.n_events
+            for r in session_summary(df, ["user_id"], "ts", ["event_id"], 1800).collect()}
+    assert summ == {("u", 1): 2, ("u", 2): 1, ("v", 1): 1}
+
+
+def test_asof_lookup_strictly_prior(spark):
+    from xpshacl_spark.operators.sessions import asof_lookup
+
+    rows = [
+        (1, "u", "2025-01-01 00:00:00", "error", 7.0),
+        (2, "u", "2025-01-01 00:01:00", "click", 1.0),
+        (3, "u", "2025-01-01 00:02:00", "error", 9.0),
+        (4, "u", "2025-01-01 00:03:00", "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts_s string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    out = asof_lookup(
+        df, ["user_id"], "ts", ["event_id"],
+        F.when(F.col("event_type") == "error", F.col("value")), "last_err",
+    )
+    got = {r.event_id: r.last_err for r in out.collect()}
+    # strictly prior: the error row itself does NOT see its own value
+    assert got == {1: None, 2: 7.0, 3: 7.0, 4: 9.0}
