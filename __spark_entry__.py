@@ -573,6 +573,30 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.ranges.interval_join): every 'error' event
+    assigned to the click-session interval containing it, per user —
+    bin-bucketed equi-join + exact containment filter, never a cross
+    join. The oracle states the same containment as a plain theta
+    join."""
+    from xpshacl_spark.operators.ranges import interval_join
+    from xpshacl_spark.operators.sessions import session_summary
+
+    e = _load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    sessions = session_summary(
+        clicks, ["user_id"], "ts", order_cols=["event_id"], gap_seconds=1800
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        errors, sessions, "ts", "session_start", "session_end",
+        keys=["user_id"], bin_width="1 hour",
+    )
+    return out.select("event_id", "user_id", "session_idx")
+
+
 def q_violation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets over the violations relation: ROLLUP
     (shape_id, constraint_component) counts with subtotal and grand
@@ -777,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
         "q_sessionize_events": q_sessionize_events,
+        "q_interval_join_events": q_interval_join_events,
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1359,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_idx, count(*) AS n_events, "
             "min(ts) AS session_start, max(ts) AS session_end "
             "FROM x GROUP BY user_id, session_idx"
+        ),
+        "q_interval_join_events": (
+            "WITH c AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS nb "
+            "FROM events WHERE event_type = 'click' "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "x AS (SELECT user_id, ts, CAST(sum(nb) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx FROM c), "
+            "s AS (SELECT user_id, session_idx, min(ts) AS a, max(ts) AS b "
+            "FROM x GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, s.session_idx FROM events e "
+            "JOIN s ON e.user_id = s.user_id AND e.ts BETWEEN s.a AND s.b "
+            "WHERE e.event_type = 'error'"
         ),
         "q_asof_events": (
             "SELECT event_id, user_id, "

@@ -460,3 +460,25 @@ def test_asof_lookup_strictly_prior(spark):
     got = {r.event_id: r.last_err for r in out.collect()}
     # strictly prior: the error row itself does NOT see its own value
     assert got == {1: None, 2: 7.0, 3: 7.0, 4: 9.0}
+
+
+def test_interval_join_containment(spark):
+    from xpshacl_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", "2025-01-01 00:30:00"),
+         (2, "u", "2025-01-01 05:00:00"),   # no covering interval
+         (3, "v", "2025-01-01 00:30:00")],  # right key, wrong user
+        "pid long, k string, ts_s string",
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("u", 10, "2025-01-01 00:00:00", "2025-01-01 02:30:00"),
+         ("u", 11, "2025-01-01 00:30:00", "2025-01-01 00:45:00")],
+        "k string, iid long, a_s string, b_s string",
+    ).select("k", "iid",
+             F.col("a_s").cast("timestamp").alias("a"),
+             F.col("b_s").cast("timestamp").alias("b"))
+    got = {(r.pid, r.iid) for r in
+           interval_join(pts, iv, "ts", "a", "b", keys=["k"]).collect()}
+    # pid 1 is inside BOTH overlapping u-intervals, each matched once
+    assert got == {(1, 10), (1, 11)}
