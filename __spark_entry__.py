@@ -585,14 +585,14 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "events")
     clicks = e.where(F.col("event_type") == "click")
     sessions = session_summary(
-        clicks, ["user_id"], "ts", order_cols=["event_id"], gap_seconds=1800
+        clicks, ["user_id"], "ts", order_cols=["event_id"], gap_seconds=172800
     )
     errors = e.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
     out = interval_join(
         errors, sessions, "ts", "session_start", "session_end",
-        keys=["user_id"], bin_width="1 hour",
+        keys=["user_id"], bin_width="1 day",
     )
     return out.select("event_id", "user_id", "session_idx")
 
@@ -1388,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_join_events": (
             "WITH c AS (SELECT user_id, event_id, ts, "
             "CASE WHEN lag(ts) OVER w IS NULL OR "
-            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS nb "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 172800 THEN 1 ELSE 0 END AS nb "
             "FROM events WHERE event_type = 'click' "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "x AS (SELECT user_id, ts, CAST(sum(nb) OVER "
