@@ -597,6 +597,31 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "session_idx")
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join (operators.sessions.asof_join): each 'view'
+    event enriched with the user's most recent purchase value at or
+    before it — union-tag + carried last value, one shuffle, no range
+    join. Oracled against DuckDB's NATIVE ASOF LEFT JOIN."""
+    from xpshacl_spark.operators.sessions import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    out = asof_join(
+        views, purchases, ["user_id"], "ts", "ts", "pv", alias="last_purchase"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("last_purchase"), 6).alias("last_purchase"),
+    )
+
+
 def q_violation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets over the violations relation: ROLLUP
     (shape_id, constraint_component) counts with subtotal and grand
@@ -802,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explanations": q_explanations,
         "q_sessionize_events": q_sessionize_events,
         "q_interval_join_events": q_interval_join_events,
+        "q_asof_join_events": q_asof_join_events,
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1399,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, s.session_idx FROM events e "
             "JOIN s ON e.user_id = s.user_id AND e.ts BETWEEN s.a AND s.b "
             "WHERE e.event_type = 'error'"
+        ),
+        "q_asof_join_events": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS pv FROM events "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT l.event_id, l.user_id, round(r.pv, 6) AS last_purchase "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "q_asof_events": (
             "SELECT event_id, user_id, "

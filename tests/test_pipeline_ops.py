@@ -482,3 +482,23 @@ def test_interval_join_containment(spark):
            interval_join(pts, iv, "ts", "a", "b", keys=["k"]).collect()}
     # pid 1 is inside BOTH overlapping u-intervals, each matched once
     assert got == {(1, 10), (1, 11)}
+
+
+def test_asof_join_inclusive_and_null(spark):
+    from xpshacl_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2025-01-01 00:00:30"),
+         (2, "u", "2025-01-01 00:01:00"),   # equal ts: inclusive match
+         (3, "u", "2025-01-01 00:00:05"),   # before any right row -> NULL
+         (4, "w", "2025-01-01 09:00:00")],  # key with no right rows
+        "pid long, k string, ts_s string",
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2025-01-01 00:00:10", 1.0),
+         ("u", "2025-01-01 00:01:00", 2.0)],
+        "k string, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, ["k"], "ts", "ts", "v", alias="av")
+    got = {r.pid: r.av for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}

@@ -64,6 +64,59 @@ def session_summary(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    alias: str = "asof_value",
+) -> DataFrame:
+    """Two-table as-of join: every left row enriched with `value_col`
+    from the right row having the greatest right_ts <= left_ts within
+    the key (ANSI/DuckDB ASOF JOIN semantics, inclusive bound); NULL
+    when no right row precedes.
+
+    No range join, no per-key cross join: union-tag both sides, sort by
+    (key, ts, side) with right rows ordered BEFORE left rows at equal
+    ts (inclusive), and carry the last non-null right value forward —
+    one shuffle+sort over |left| + |right| rows total.
+
+    The right side must be unique per (key, ts) — pre-aggregate
+    otherwise — or the carried value at a tied ts is nondeterministic.
+    """
+    keys = list(key_cols)
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(value_col).alias("_rv"),
+        F.lit(None)
+        .cast(l_tag.schema["_lrow"].dataType)
+        .alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        alias, F.last(F.col("_rv"), ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("_side") == 1)
+        .select("_lrow.*", alias)
+    )
+
+
 def asof_lookup(
     df: DataFrame,
     key_cols: Sequence[str],
