@@ -83,18 +83,22 @@ def q_range_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pattern_part_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sh:pattern (SURVEY.md §2A #10) via rlike."""
+    """sh:pattern (SURVEY.md §2A #10) via rlike: names must start with
+    a-m, so roughly half the parts violate (a non-vacuous result set at
+    every scale factor)."""
     p = _load(spark, sf_dir, "part")
-    shape = Shape("pname_shape", (Pattern("p_name", "^[a-z]+( [a-z]+)*$"),))
+    shape = Shape("pname_shape", (Pattern("p_name", "^[a-m][a-z]*( [a-z]+)*$"),))
     v = _one_shape_violations(spark, p, shape, ["p_partkey"])
     return v.select("p_partkey", F.col("value").alias("pname"))
 
 
 def q_fk_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential integrity via broadcast LEFT ANTI join
-    (sh:class semantics, SURVEY.md §2A #4)."""
+    (sh:class semantics, SURVEY.md §2A #4). The dim is restricted to
+    non-negative-balance customers so a real dangling-key set exists
+    (the raw table's FK is intact by construction)."""
     o = _load(spark, sf_dir, "orders")
-    cust = _load(spark, sf_dir, "customer")
+    cust = _load(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
     shape = Shape(
         "orders_fk_shape",
         (ForeignKey(("o_custkey",), "customer", ("c_custkey",)),),
@@ -109,6 +113,9 @@ def q_unique_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniqueness check / exact dedup (north rule; sh:uniqueLang
     template, SURVEY.md §2A #12): duplicated document texts."""
     d = _load(spark, sf_dir, "documents")
+    # plant duplicates (texts are unique in the raw table): re-append
+    # the first 50 docs, exactly mirrored in the oracle
+    d = d.unionByName(d.where(F.col("doc_id") < 50))
     shape = Shape("doc_dup_shape", (Unique(("text",)),))
     engine = ValidationEngine(spark)
     rep = engine.validate(d, [shape], key_cols=["doc_id"])
@@ -120,12 +127,14 @@ def q_unique_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_card_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-scope sh:minCount with key universe (SURVEY.md §2A #1 +
-    §7.3 empty-group trap): customers with zero orders."""
+    §7.3 empty-group trap): customers with fewer than 5 orders — the
+    universe join still catches zero-order customers, and the bound
+    sits inside the count distribution so the result is non-vacuous."""
     o = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
     shape = Shape(
         "cust_orders_shape",
-        (GroupMinCount(("o_custkey",), 1, universe="cust_keys", column="o_orderkey"),),
+        (GroupMinCount(("o_custkey",), 5, universe="cust_keys", column="o_orderkey"),),
     )
     engine = ValidationEngine(
         spark,
@@ -140,9 +149,11 @@ def q_card_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordering constraint via lag() window (sh:lessThanOrEquals analog,
-    SURVEY.md §2A #16): ts regressions per user in event_id order."""
+    SURVEY.md §2A #16): value regressions per user in event_id order
+    (ts is already monotone in event_id in this data, so the check runs
+    over `value` to keep the result non-vacuous)."""
     e = _load(spark, sf_dir, "events")
-    shape = Shape("events_order_shape", (Monotonic(("user_id",), "event_id", "ts"),))
+    shape = Shape("events_order_shape", (Monotonic(("user_id",), "event_id", "value"),))
     v = _one_shape_violations(spark, e, shape, ["event_id", "user_id"])
     return v.select("event_id", "user_id", "violation_type")
 
@@ -222,6 +233,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.dedup import exact_duplicates
 
     d = _load(spark, sf_dir, "documents")
+    # planted duplicates (see q_unique_documents)
+    d = d.unionByName(d.where(F.col("doc_id") < 50))
     return exact_duplicates(d, "doc_id", "text")
 
 
@@ -1204,26 +1217,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_pattern_part_name": (
             "SELECT p_partkey, p_name AS pname FROM part "
-            "WHERE p_name IS NOT NULL AND NOT regexp_matches(p_name, '^[a-z]+( [a-z]+)*$')"
+            "WHERE p_name IS NOT NULL AND "
+            "NOT regexp_matches(p_name, '^[a-m][a-z]*( [a-z]+)*$')"
         ),
         "q_fk_orders_custkey": (
             "SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS custkey FROM orders o "
             "WHERE o_custkey IS NOT NULL AND NOT EXISTS "
-            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_acctbal >= 0)"
         ),
         "q_unique_documents": (
-            "SELECT text AS dup_text, CAST(count(*) AS INT) AS n_dups "
-            "FROM documents GROUP BY text HAVING count(*) > 1"
+            "SELECT text AS dup_text, CAST(count(*) AS INT) AS n_dups FROM "
+            "(SELECT text FROM documents UNION ALL "
+            "SELECT text FROM documents WHERE doc_id < 50) "
+            "GROUP BY text HAVING count(*) > 1"
         ),
         "q_card_customer_orders": (
-            "SELECT c_custkey AS custkey, 0 AS n_orders FROM customer c "
-            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            "SELECT c_custkey AS custkey, CAST(n AS INT) AS n_orders FROM "
+            "(SELECT c_custkey, (SELECT count(*) FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c) "
+            "WHERE n < 5"
         ),
         "q_monotonic_events": (
             "SELECT event_id, user_id, 'property_pair' AS violation_type FROM "
-            "(SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(SELECT event_id, user_id, value, lag(value) OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
-            "WHERE p IS NOT NULL AND ts IS NOT NULL AND ts < p"
+            "WHERE p IS NOT NULL AND value IS NOT NULL AND value < p"
         ),
         "q_logical_orders": (
             "SELECT o_orderkey, 'OrConstraintComponent' AS constraint_component "
@@ -1251,7 +1270,9 @@ def oracle_sql() -> dict[str, str]:
         "q_text_profile": _text_profile_sql(),
         "q_dedup_exact": (
             f"SELECT md5({_NORM}) AS content_key, count(*) AS n_dups, "
-            "min(doc_id) AS keep_id FROM documents "
+            "min(doc_id) AS keep_id FROM "
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id, text FROM documents WHERE doc_id < 50) "
             "GROUP BY 1 HAVING count(*) > 1"
         ),
         "q_dedup_jaccard": (
