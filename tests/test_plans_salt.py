@@ -172,3 +172,40 @@ def test_auto_salt_detects_skew_and_stays_exact(spark):
         cold, shapes, key_cols=["turn_idx", "conv_id"], salt_partitions="auto"
     )
     assert rep_uniform.metrics["auto_salt"]["conv_id"] == 0  # no salting
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The two-table as-of join must plan as ONE hash exchange over the
+    union (plus window sort) — never a nested-loop/cartesian range
+    join."""
+    from xpshacl_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(i, "k", f"2025-01-01 00:{i:02d}:00") for i in range(30)],
+        "pid long, k string, ts_s string",
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2025-01-01 00:05:00", 1.0)],
+        "k string, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    plan = _plan(asof_join(left, right, ["k"], "ts", "ts", "v"))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(k") == 1
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bin-bucketed range join must plan as an equi-join on
+    (key, bin) — never a nested-loop over the raw BETWEEN predicate."""
+    from xpshacl_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", "2025-01-01 00:30:00")], "pid long, k string, ts_s string"
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("u", "2025-01-01 00:00:00", "2025-01-01 02:00:00")],
+        "k string, a_s string, b_s string",
+    ).select("k", F.col("a_s").cast("timestamp").alias("a"),
+             F.col("b_s").cast("timestamp").alias("b"))
+    plan = _plan(interval_join(pts, iv, "ts", "a", "b", keys=["k"]))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
