@@ -389,6 +389,8 @@ def q_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.shapes import Disjoint, Equals, LessThan, LessThanOrEquals
 
     li = _load(spark, sf_dir, "lineitem")
+    # sh:target row filter keeps the collected result ~5x smaller (the
+    # Equals/Disjoint pair otherwise flags every single row once)
     shape = Shape(
         "li_pair_shape",
         (
@@ -397,6 +399,7 @@ def q_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             LessThanOrEquals("l_discount", "l_tax"),
             Disjoint("l_returnflag", "l_linestatus"),
         ),
+        target="l_quantity <= 10",
     )
     v = _one_shape_violations(spark, li, shape, ["l_orderkey", "l_linenumber"])
     return v.select("l_orderkey", "l_linenumber", "constraint_component")
@@ -1354,21 +1357,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE value IS NOT NULL AND NOT (value < 450.0)"
         ),
         "q_pair_lineitem": (
+            "WITH t AS (SELECT * FROM lineitem WHERE l_quantity <= 10) "
             "SELECT l_orderkey, l_linenumber, "
             "'EqualsConstraintComponent' AS constraint_component "
-            "FROM lineitem WHERE l_returnflag IS DISTINCT FROM l_linestatus "
+            "FROM t WHERE l_returnflag IS DISTINCT FROM l_linestatus "
             "UNION ALL "
             "SELECT l_orderkey, l_linenumber, 'LessThanConstraintComponent' "
-            "FROM lineitem WHERE l_tax IS NOT NULL "
+            "FROM t WHERE l_tax IS NOT NULL "
             "AND l_discount IS NOT NULL AND NOT (l_tax < l_discount) "
             "UNION ALL "
             "SELECT l_orderkey, l_linenumber, "
             "'LessThanOrEqualsConstraintComponent' "
-            "FROM lineitem WHERE l_discount IS NOT NULL "
+            "FROM t WHERE l_discount IS NOT NULL "
             "AND l_tax IS NOT NULL AND NOT (l_discount <= l_tax) "
             "UNION ALL "
             "SELECT l_orderkey, l_linenumber, 'DisjointConstraintComponent' "
-            "FROM lineitem WHERE l_returnflag = l_linestatus"
+            "FROM t WHERE l_returnflag = l_linestatus"
         ),
         "q_inset_lengths_documents": (
             "SELECT doc_id, 'LanguageInConstraintComponent' AS "
