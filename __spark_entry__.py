@@ -238,13 +238,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(d, "doc_id", "text")
 
 
+#: Stop-shingle document-frequency cap used by every Jaccard driver
+#: query (and mirrored in the oracle SQL), so the CAPPED plan is the
+#: verified plan. A shingle shared by k docs creates k^2 inverted-index
+#: join rows; boilerplate shared by 10^6 docs would mean 10^12 rows, so
+#: at 100 TB the cap is mandatory, not a tuning knob. 5 is ~1% of the
+#: sf0.01 corpus — small enough to actually prune at test scale.
+JACCARD_DF_CAP = 5
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard >= 0.5 (shingle inverted
-    index + self-join + set algebra)."""
+    index + self-join + set algebra), with the stop-shingle df cap ON."""
     from xpshacl_spark.operators.dedup import jaccard_pairs
 
     d = _load(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=JACCARD_DF_CAP
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,7 +704,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = tx.analyze(d, "text").where(
         F.col("lang").isin("en", "es", "de", "fr") & (F.col("quality") >= 0.5)
     )
-    clusters = duplicate_clusters(jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5))
+    clusters = duplicate_clusters(
+        jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=JACCARD_DF_CAP
+        )
+    )
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
@@ -711,7 +726,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.dedup import duplicate_clusters, jaccard_pairs
 
     d = _load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=JACCARD_DF_CAP
+    )
     return duplicate_clusters(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
@@ -871,6 +888,16 @@ _SH_CTE = (
     "sh AS (SELECT DISTINCT doc_id, "
     f"unnest(list_transform(range(1, greatest(len({_NWORDS}) - 2, 0) + 1), "
     f"i -> array_to_string(({_NWORDS})[i:i+2], ' '))) AS shingle FROM documents)"
+)
+
+# stop-shingle pruned index: mirrors dedup._maybe_prune_stop_shingles
+# with the JACCARD_DF_CAP the driver queries pass — the capped plan is
+# the verified plan. Depends on _SH_CTE. NOTE: the f-string is built at
+# module import, so it always reflects the constant above.
+_SHP_CTE = (
+    "shp AS (SELECT doc_id, shingle FROM "
+    "(SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df "
+    f"FROM sh) WHERE df <= {JACCARD_DF_CAP})"
 )
 
 # double-precision cosine, same op order as operators.dedup.cosine
@@ -1045,10 +1072,10 @@ def _dedup_clusters_sql() -> str:
     pair set as q_dedup_jaccard (threshold 0.5): cluster_id = min id
     reachable through the undirected pair graph."""
     jac = (
-        f"WITH RECURSIVE {_SH_CTE}, "
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        f"WITH RECURSIVE {_SH_CTE}, {_SHP_CTE}, "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1), "
         "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc "
-        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "FROM shp a JOIN shp b USING (shingle) WHERE a.doc_id < b.doc_id "
         "GROUP BY 1, 2), "
         "jac AS (SELECT id_a, id_b FROM ("
         "SELECT id_a, id_b, nc / CAST(sa.n + sb.n - nc AS DOUBLE) AS j "
@@ -1279,10 +1306,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 HAVING count(*) > 1"
         ),
         "q_dedup_jaccard": (
-            f"WITH {_SH_CTE}, "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            f"WITH {_SH_CTE}, {_SHP_CTE}, "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1), "
             "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc "
-            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "FROM shp a JOIN shp b USING (shingle) WHERE a.doc_id < b.doc_id "
             "GROUP BY 1, 2) "
             "SELECT * FROM ("
             "SELECT id_a, id_b, "

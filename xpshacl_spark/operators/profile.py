@@ -135,23 +135,27 @@ def top_values(df: DataFrame, columns: Sequence[str], k: int = 10) -> DataFrame:
 
     Plan: one grouped count per column (map-side partial agg absorbs hot
     keys, so skew is bounded by the distinct-value count per partition),
-    unioned, then a per-column window for the rank — the window input is
-    already the tiny aggregated relation, not the base table. For
-    low-cardinality columns this is the exact complement of the HLL
-    sketches in `profile`."""
+    then a per-column distributed top-k (orderBy+limit ->
+    TakeOrderedAndProject: per-task k-row heaps merged on the driver)
+    BEFORE the union. A high-cardinality column therefore never funnels
+    its full distinct-value relation through one window task — the rank
+    window runs over the unioned k*|columns|-row result only. Guarded in
+    tests/test_plans_salt.py. For low-cardinality columns this is the
+    exact complement of the HLL sketches in `profile`."""
     per_col = []
     for c in columns:
         per_col.append(
             df.where(F.col(c).isNotNull())
             .groupBy(F.col(c).cast("string").alias("value"))
             .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value").asc())
+            .limit(k)
             .select(F.lit(c).alias("column"), "value", "n")
         )
     counts = reduce(DataFrame.unionByName, per_col)
     w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("value").asc())
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
         .select("column", "value", "n", "rank")
     )
 

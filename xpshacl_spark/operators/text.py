@@ -219,19 +219,24 @@ def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFram
     Plan: explode the normalized word arrays -> one grouped count
     (map-side combine absorbs hot tokens like stopwords, so the shuffle
     carries one row per distinct token per partition, not per
-    occurrence) -> rank window over the aggregated relation. This is
-    the tokenizer-training / vocab-pruning primitive at 100 TB scale —
-    the same plan shape survives because the shuffled relation is
-    bounded by |vocab| x partitions."""
+    occurrence) -> distributed top-k via orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (each task keeps a k-row heap; the
+    driver merges |tasks| heaps — never a global sort of the full
+    distinct-token relation). The rank window runs AFTER the limit, so
+    its unpartitioned sort sees at most k rows regardless of corpus
+    size. This is the tokenizer-training / vocab-pruning primitive at
+    100 TB scale: a web corpus has billions of distinct tokens, and a
+    global rank window over them would be a one-task straggler —
+    guarded against in tests/test_plans_salt.py."""
     toks = (
         df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    topk = toks.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (
-        toks.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("token", "n", "rank")
     )
