@@ -145,6 +145,95 @@ def test_incremental_delta_run(spark, tmp_path):
     assert len(json.load(open(f"{out}/manifest/inc_row.json"))["deltas"]) == 1
 
 
+def test_incremental_orphan_delta_pruned(spark, tmp_path):
+    """A delta directory written by a run killed BEFORE its manifest
+    publish must not double-count its files: the next incremental run
+    prunes unrecorded delta_* dirs, and the assembled relation equals a
+    from-scratch validation (ADVICE r01: retry delta re-covers the
+    orphan's files when more files landed in between)."""
+    import shutil
+
+    from xpshacl_spark.shapes import MinInclusive, NotNull, Shape
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    shapes = [Shape("inc_row", (MinInclusive("turn_idx", 0), NotNull("text")))]
+    keys = ["conv_id", "turn_idx"]
+
+    transcripts(spark, n_convs=30, seed=1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    runner = CheckpointedRunner(ValidationEngine(spark), out)
+    runner.run(spark.read.parquet(inp), shapes, keys)
+
+    # batch B lands; simulate the crash: its delta is on disk but the
+    # manifest never learned about it (clone a real delta to an
+    # unrecorded id, as if the recorded one were the later retry)
+    transcripts(spark, n_convs=20, seed=2).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    runner.run_incremental(inp, shapes, keys)
+    bucket = f"{out}/violations/shape_bucket=inc_row"
+    recorded = [d for d in os.listdir(bucket) if d.startswith("delta_")]
+    assert len(recorded) == 1
+    orphan = os.path.join(bucket, "delta_deadbeefcafe")
+    shutil.copytree(os.path.join(bucket, recorded[0]), orphan)
+    wall_after_first = json.load(open(f"{out}/manifest/inc_row.json"))["wall_sec"]
+
+    # batch C lands; the next incremental run must prune the orphan
+    transcripts(spark, n_convs=10, seed=3).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    rep = runner.run_incremental(inp, shapes, keys)
+    assert not os.path.exists(orphan)
+
+    full = ValidationEngine(spark).validate(
+        spark.read.parquet(inp), shapes, key_cols=keys
+    )
+    assert sorted(map(repr, rep.violations.collect())) == sorted(
+        map(repr, full.violations.collect())
+    )
+    # wall_sec accumulates across deltas instead of being overwritten
+    rec = json.load(open(f"{out}/manifest/inc_row.json"))
+    assert rec["wall_sec"] > wall_after_first
+    assert len(rec["deltas"]) == 2
+
+
+def test_incremental_keeps_partition_columns(spark, tmp_path):
+    """Delta reads go through basePath so hive-style partition columns
+    survive — a shape referencing the partition column must validate
+    identically in incremental mode (ADVICE r01: leaf-file reads drop
+    partition columns)."""
+    from pyspark.sql import functions as F
+
+    from xpshacl_spark.shapes import Pattern, Shape
+
+    inp = str(tmp_path / "part.parquet")
+    out = str(tmp_path / "out")
+    # partition the layout by a derived column the shape will validate
+    transcripts(spark, n_convs=30, seed=1).withColumn(
+        "shard", F.concat(F.lit("s"), (F.crc32("conv_id") % 3).cast("string"))
+    ).write.partitionBy("shard").mode("append").parquet(inp)
+
+    shapes = [Shape("shard_fmt", (Pattern("shard", r"^s[01]$"),))]
+    keys = ["conv_id", "turn_idx"]
+    runner = CheckpointedRunner(ValidationEngine(spark), out)
+    runner.run(spark.read.parquet(inp), shapes, keys)
+
+    transcripts(spark, n_convs=20, seed=2).withColumn(
+        "shard", F.concat(F.lit("t"), (F.crc32("conv_id") % 2).cast("string"))
+    ).write.partitionBy("shard").mode("append").parquet(inp)
+    rep = runner.run_incremental(inp, shapes, keys)
+
+    full = ValidationEngine(spark).validate(
+        spark.read.parquet(inp), shapes, key_cols=keys
+    )
+    assert full.violations.count() > 0
+    assert sorted(map(repr, rep.violations.collect())) == sorted(
+        map(repr, full.violations.collect())
+    )
+
+
 def test_incremental_rejects_group_shapes(spark, tmp_path):
     from xpshacl_spark.checkpoint import CheckpointedRunner
     from xpshacl_spark.compiler import ValidationEngine

@@ -304,6 +304,19 @@ def test_stratified_sample_rates(spark):
     assert abs(got.get("b", 0) / 1000 - 0.1) < 0.04
 
 
+def test_rate_one_is_keep_all():
+    """rate 1.0 must be a true keep-all: the 'g' threshold sorts above
+    EVERY 8-hex-char bucket, including the ~1-in-2^32 'ffffffff' keys a
+    'ffffffff' threshold with strict '<' would drop (ADVICE r01)."""
+    from xpshacl_spark.operators.sample import rate_threshold
+
+    assert rate_threshold(1.0) == "g"
+    assert "ffffffff" < rate_threshold(1.0)  # the worst-case bucket passes
+    assert rate_threshold(0.5) == format(int(0.5 * 16**8), "08x")
+    # rates below 1 are unchanged and still sort below the keep-all cut
+    assert rate_threshold(0.999999999) < rate_threshold(1.0)
+
+
 def test_split_train_eval_disjoint_exhaustive(spark):
     from xpshacl_spark.operators.sample import split_train_eval
 
@@ -390,6 +403,24 @@ def test_duplicate_clusters_transitive(spark):
     keep = {r.cluster_id: (r.keep_id, r.n_members)
             for r in dedup_keep_ids(duplicate_clusters(pairs)).collect()}
     assert keep == {1: (1, 3), 7: (7, 2)}
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iter with labels still changing must raise — a
+    silent exit would split long duplicate chains into multiple clusters
+    undetectably (ADVICE r01). A long path graph converges with enough
+    rounds and raises with too few."""
+    import pytest
+
+    from xpshacl_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=2)
+    got = {r.id: r.cluster_id for r in duplicate_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(9)}
 
 
 def test_text_parity_invariant(spark):
@@ -482,6 +513,45 @@ def test_interval_join_containment(spark):
            interval_join(pts, iv, "ts", "a", "b", keys=["k"]).collect()}
     # pid 1 is inside BOTH overlapping u-intervals, each matched once
     assert got == {(1, 10), (1, 11)}
+
+
+def test_interval_join_multi_unit_bin_width(spark):
+    """Multi-count bin widths ('2 hours', '30 minutes') must return the
+    exact BETWEEN-join result — the arithmetic epoch bucketing aligns
+    point bins with interval bins for ANY width, including interval
+    tails past the last trunc-aligned bin (ADVICE r01 item 1: the
+    date_trunc formulation silently dropped these matches)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from xpshacl_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, "u", f"2025-01-01 {h:02d}:{m:02d}:00")
+         for i, (h, m) in enumerate(itertools.product(range(9), (0, 17, 30, 59)))],
+        "pid long, k string, ts_s string",
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("u", 1, "2025-01-01 00:30:00", "2025-01-01 03:45:00"),
+         ("u", 2, "2025-01-01 02:10:00", "2025-01-01 02:20:00"),
+         ("u", 3, "2025-01-01 05:59:00", "2025-01-01 08:01:00")],
+        "k string, iid long, a_s string, b_s string",
+    ).select("k", "iid",
+             F.col("a_s").cast("timestamp").alias("a"),
+             F.col("b_s").cast("timestamp").alias("b"))
+    expected = {
+        (r.pid, r.iid)
+        for r in pts.join(iv, "k")
+        .where(F.col("ts").between(F.col("a"), F.col("b")))
+        .collect()
+    }
+    assert expected  # non-vacuous: tails and mid-bin starts are exercised
+    for width in ("2 hours", "30 minutes", "90 seconds", "1 hour"):
+        got = {(r.pid, r.iid) for r in
+               interval_join(pts, iv, "ts", "a", "b", keys=["k"],
+                             bin_width=width).collect()}
+        assert got == expected, width
 
 
 def test_asof_join_inclusive_and_null(spark):

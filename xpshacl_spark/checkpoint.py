@@ -63,6 +63,26 @@ class CheckpointedRunner:
                 out[rec["shape_id"]] = rec
         return out
 
+    def _prune_orphan_deltas(self, token: str, recorded: set[str]) -> None:
+        """Delete delta_* subdirs of a shape bucket that the manifest
+        does not record — leftovers of a run killed between the delta
+        write and its manifest publish. Their files will be re-covered
+        by the next delta; leaving them would double-count violations in
+        report() (which reads the bucket recursively)."""
+        import shutil
+
+        bucket = os.path.join(self.violations_dir, f"shape_bucket={token}")
+        if not os.path.isdir(bucket):
+            return
+        for fn in os.listdir(bucket):
+            path = os.path.join(bucket, fn)
+            if (
+                fn.startswith("delta_")
+                and os.path.isdir(path)
+                and fn[len("delta_"):] not in recorded
+            ):
+                shutil.rmtree(path)
+
     def _write_manifest(self, rec: dict) -> None:
         path = os.path.join(self.manifest_dir, f"{_token(rec['shape_id'])}.json")
         tmp = path + ".tmp"
@@ -144,6 +164,16 @@ class CheckpointedRunner:
         (overwrite-idempotent per delta; a kill re-runs just the delta)
         and the manifest entry's lineage/metrics are extended — so
         `report()` still assembles the complete relation.
+
+        Crash safety: the manifest is the source of truth. A kill
+        between a delta write and its manifest publish leaves an ORPHAN
+        delta directory whose files the retry will re-cover (the retry's
+        new-file set, and hence its delta_id, may differ if more files
+        landed meanwhile) — so before writing, any delta_* subdirectory
+        not recorded in the manifest's `deltas` list is deleted. That
+        restores the run()-level invariant: a kill at any point leaves
+        either no trace or a complete manifest entry, never a
+        double-counted file.
         """
         from xpshacl_spark.shapes import ForeignKey, RowConstraint
 
@@ -171,10 +201,17 @@ class CheckpointedRunner:
             new = [f for f in current if f not in seen]
             if not new:
                 continue
-            t0 = time.monotonic()
-            delta_df = self.spark.read.parquet(*new)
-            rep = self.engine.validate(delta_df, [shape], key_cols=key_cols)
             token = _token(shape.shape_id)
+            self._prune_orphan_deltas(
+                token, {d["delta_id"] for d in (rec or {}).get("deltas", [])}
+            )
+            t0 = time.monotonic()
+            # basePath keeps hive-style partition columns that a plain
+            # leaf-file read would drop (shapes may reference them)
+            delta_df = (
+                self.spark.read.option("basePath", input_path).parquet(*new)
+            )
+            rep = self.engine.validate(delta_df, [shape], key_cols=key_cols)
             delta_id = hashlib.md5("|".join(new).encode()).hexdigest()[:12]
             # plain subdir name (no '='): the shape bucket must not look
             # like a partitioned layout — report() reads it with
@@ -201,7 +238,13 @@ class CheckpointedRunner:
                     "n_input_partitions": delta_df.rdd.getNumPartitions(),
                     "input_files": sorted(seen | set(new)),
                     "deltas": deltas,
-                    "wall_sec": round(time.monotonic() - t0, 3),
+                    # cumulative across deltas (per-delta time is in
+                    # the deltas list), plus the initial full run if any
+                    "wall_sec": round(
+                        (rec.get("wall_sec", 0.0) if rec else 0.0)
+                        + (time.monotonic() - t0),
+                        3,
+                    ),
                     "output_path": os.path.join(
                         self.violations_dir, f"shape_bucket={token}"
                     ),

@@ -189,6 +189,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
@@ -209,6 +210,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would split long duplicate chains into
+        # multiple clusters undetectably — fail loudly instead
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -23,10 +23,18 @@ from pyspark.sql import functions as F
 
 
 def rate_threshold(rate: float) -> str:
-    """8-hex-digit threshold string for a sampling rate in [0, 1]."""
+    """Threshold string for a sampling rate in [0, 1]: 8 hex digits for
+    rate < 1, and "g" for rate 1.0. "g" sorts above every hex string,
+    so `bucket < threshold` is a tautology — rate 1.0 keeps ALL rows,
+    including the ~1-in-2^32 keys whose bucket is exactly 'ffffffff'
+    (which a 'ffffffff' threshold with strict '<' would drop at
+    billion-row scale). Same lexicographic comparison in any engine, so
+    oracle SQL embedding this literal stays in parity."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(int(rate * 16**8), 16**8 - 1) if rate < 1.0 else 16**8 - 1, "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
 
 
 def hash_bucket(key_cols: Sequence[str], seed: str = "sample") -> Column:
