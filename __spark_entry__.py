@@ -767,6 +767,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=2 — the multi-probe path: each query carries
+    its 2 best cells and matches corpus rows via a broadcast
+    array_contains theta-join (the corpus still never shuffles). The
+    oracle enumerates both probed cells per query the same way."""
+    from xpshacl_spark.operators.similarity import ivf_ann_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, n_cells=4, nprobe=2, dim=64
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: each query scores only corpus
+    vectors in its own sign bucket (at 100 TB the bucket is the table's
+    partition key, so a query reads one partition)."""
+    from xpshacl_spark.operators.similarity import lsh_ann_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, num_planes=6, dim=64
+    )
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per column, all computed in ONE
     fused aggregation pass (operators.profile.quantiles_relation; the
@@ -869,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_sample_documents": q_sample_documents,
         "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
         "q_topk_documents": q_topk_documents,
     }
@@ -981,7 +1008,9 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
-def _lsh_buckets_sql(num_planes: int = 6, dim: int = 64) -> str:
+def _lsh_bucket_expr(vec_sql: str, num_planes: int = 6, dim: int = 64) -> str:
+    """Sign-bucket expression over a DOUBLE[] column, mirroring
+    similarity.sign_bucket with the identical +/-1 plane literals."""
     from xpshacl_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(num_planes, dim)
@@ -989,12 +1018,34 @@ def _lsh_buckets_sql(num_planes: int = 6, dim: int = 64) -> str:
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]::DOUBLE[]"
         terms.append(
-            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"(CASE WHEN list_inner_product({vec_sql}, {lit}) > 0 "
             f"THEN {2 ** p} ELSE 0 END)"
         )
+    return f"CAST({' + '.join(terms)} AS INT)"
+
+
+def _lsh_buckets_sql(num_planes: int = 6, dim: int = 64) -> str:
     return (
-        f"SELECT CAST({' + '.join(terms)} AS INT) AS bucket, "
-        "count(*) AS n_vectors FROM embeddings GROUP BY 1"
+        f"SELECT {_lsh_bucket_expr('embedding::DOUBLE[]', num_planes, dim)} "
+        "AS bucket, count(*) AS n_vectors FROM embeddings GROUP BY 1"
+    )
+
+
+def _lsh_topk_sql(num_planes: int = 6, dim: int = 64, k: int = 10) -> str:
+    """Mirror of similarity.lsh_ann_topk: bucket both sides with the
+    same plane literals, equi-join on bucket, cosine, per-query top-k."""
+    return (
+        "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        f"{_lsh_bucket_expr('embedding::DOUBLE[]', num_planes, dim)} AS bucket "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b "
+        "WHERE vec_id < 5), "
+        "scored AS (SELECT query_id, b.vec_id AS vec_id, "
+        f"round({_cos_sql('b.v', 'qv')}, 6) AS cos "
+        "FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id) "
+        'SELECT query_id, vec_id, cos, CAST(row_number() OVER w AS INT) AS "rank" '
+        "FROM scored WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id) "
+        f"QUALIFY row_number() OVER w <= {k}"
     )
 
 
@@ -1134,6 +1185,42 @@ def _ivf_topk_sql(n_cells: int = 4, dim: int = 64, k: int = 10) -> str:
         "scored AS (SELECT query_id, a.vec_id AS vec_id, "
         f"round({_cos_sql('a.v', 'qv')}, 6) AS cos "
         "FROM a JOIN q USING (cell) WHERE a.vec_id <> q.query_id) "
+        'SELECT query_id, vec_id, cos, CAST(row_number() OVER w AS INT) AS "rank" '
+        "FROM scored WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id) "
+        f"QUALIFY row_number() OVER w <= {k}"
+    )
+
+
+def _ivf_multiprobe_sql(
+    n_cells: int = 4, dim: int = 64, k: int = 10, nprobe: int = 2
+) -> str:
+    """Mirror of similarity.ivf_ann_topk at nprobe>1: each query's
+    probed cells are the nprobe best centroid scores (score DESC, cell
+    ASC tie-break — the same order as Spark's sorted (neg, cell)
+    structs), enumerated by unnesting the scores list with its index."""
+    import math
+
+    from xpshacl_spark.operators.similarity import ivf_centroids
+
+    scores = []
+    for cent in ivf_centroids(n_cells, dim):
+        lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+        norm = math.sqrt(math.fsum(x * x for x in cent))
+        scores.append(f"list_inner_product(v, {lit}) / {norm!r}")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"s AS (SELECT vec_id, v, list_value({', '.join(scores)}) AS sl FROM e), "
+        "a AS (SELECT vec_id, v, list_position(sl, list_max(sl)) AS cell FROM s), "
+        "qs AS (SELECT vec_id AS query_id, v AS qv, sl FROM s WHERE vec_id < 5), "
+        f"cs AS (SELECT query_id, qv, i AS cell, sl[i] AS score "
+        f"FROM qs, range(1, {n_cells + 1}) t(i)), "
+        "pr AS (SELECT query_id, qv, cell FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, cell) AS r FROM cs) "
+        f"WHERE r <= {nprobe}), "
+        "scored AS (SELECT query_id, a.vec_id AS vec_id, "
+        f"round({_cos_sql('a.v', 'qv')}, 6) AS cos "
+        "FROM a JOIN pr USING (cell) WHERE a.vec_id <> pr.query_id) "
         'SELECT query_id, vec_id, cos, CAST(row_number() OVER w AS INT) AS "rank" '
         "FROM scored WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id) "
         f"QUALIFY row_number() OVER w <= {k}"
@@ -1525,6 +1612,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_sample_documents": _sample_sql(),
         "q_ann_ivf_topk": _ivf_topk_sql(),
+        "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
+        "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
         "q_topk_documents": _topk_sql(),
     }

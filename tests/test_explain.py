@@ -290,6 +290,65 @@ def test_similar_cases_anti_join(spark):
     assert nodes == {"id=n2"}
 
 
+def test_similar_cases_batch_one_action(spark, monkeypatch):
+    """N signatures' similar-cases retrieval must be ONE Spark action
+    (VERDICT r01 item 4: the per-signature collect loop fired one job
+    per signature). Counted at the DataFrame.collect seam: explain()
+    performs exactly 2 collects — the signature dedup and the batched
+    similar-cases union — regardless of how many signatures exist. The
+    batch results must also equal the per-signature anti-joins."""
+    from xpshacl_spark.explain.context import similar_cases_batch
+    from xpshacl_spark.shapes import NotNull, Pattern
+
+    df = spark.createDataFrame(
+        [("c1", 0, None, "ok"), ("c1", 1, 5, None), ("c2", 0, None, None),
+         ("c2", 1, -1, "bad"), ("c3", 0, 2, "x")],
+        "conv_id string, turn_idx int, score int, note string",
+    )
+    # three distinct signatures -> three retrieval specs
+    shapes = [
+        Shape("ex:A", (MinInclusive("score", 0),)),
+        Shape("ex:B", (NotNull("note"),)),
+        Shape("ex:C", (Pattern("note", "^ok$"),)),  # 'bad'/'x' violate
+    ]
+    rep = ValidationEngine(spark).validate(
+        df, shapes, key_cols=["conv_id", "turn_idx"]
+    )
+    assert rep.violations.select("constraint_component").distinct().count() == 3
+
+    # parity: batch == per-signature results
+    specs = [{"property_path": "score", "target": None},
+             {"property_path": "note", "target": None},
+             {"property_path": "absent_col", "target": None}]
+    batch = similar_cases_batch(df, specs, ["conv_id", "turn_idx"], limit=5)
+    for spec, got in zip(specs, batch):
+        assert got == similar_cases(
+            df, spec["property_path"], ["conv_id", "turn_idx"], limit=5
+        )
+
+    # patch the CONCRETE DataFrame class (pyspark 4 routes the public
+    # pyspark.sql.DataFrame through a classic/connect subclass)
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    expl = Explainer(spark).explain(rep, shapes, df=df, languages=["en"])
+    n_during_explain = calls["n"]
+    rows = expl.collect()
+    assert len(rows) == 3
+    # 1 signature-dedup collect + 1 batched similar-cases collect
+    assert n_during_explain == 2
+    for r in rows:
+        ctx = json.loads(r["retrieved_context"])
+        if r["property_path"] in ("score", "note"):
+            assert ctx["similar_cases"], r["property_path"]
+
+
 def test_domain_rule_formatting():
     """reference :105-119: 'Rule <uri> (label): comment'."""
     rules = [

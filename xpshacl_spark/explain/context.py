@@ -106,6 +106,60 @@ def similar_cases(
     ]
 
 
+def similar_cases_batch(
+    df: DataFrame,
+    specs: Sequence[dict],
+    key_cols: Sequence[str],
+    limit: int = 5,
+) -> list[list[dict]]:
+    """Every signature's similar-cases retrieval in ONE Spark action.
+
+    specs: [{property_path, target}] — one entry per distinct retrieval.
+    Returns a list parallel to specs, each element the same
+    [{node, node_type}] list `similar_cases` would produce.
+
+    Plan: one tagged orderBy(keys).limit(limit) branch per spec
+    (TakeOrderedAndProject — per-task heaps, never a global sort),
+    unioned and collected once. Each branch pushes its own filters to
+    the scan, and the collected relation is <= limit * |specs| rows. A
+    thousand-signature suite is one job instead of a thousand
+    (VERDICT r01 item 4)."""
+    from functools import reduce
+
+    out: list[list[dict]] = [[] for _ in specs]
+    branches = []
+    for i, spec in enumerate(specs):
+        pp = spec.get("property_path")
+        if pp is None or pp not in df.columns:
+            continue
+        cand = df
+        target = spec.get("target")
+        if target:
+            cand = cand.where(F.expr(target))
+        cand = cand.where(F.col(pp).isNull())
+        branches.append(
+            cand.select(F.lit(i).alias("_spec"), *key_cols)
+            .orderBy(*key_cols)
+            .limit(limit)
+        )
+    if not branches:
+        return out
+    by_spec: dict[int, list] = {}
+    for r in reduce(DataFrame.unionByName, branches).collect():
+        by_spec.setdefault(r["_spec"], []).append(r)
+    for i, rows in by_spec.items():
+        node_type = specs[i].get("target") or "row"
+        rows.sort(key=lambda r: tuple((r[k] is None, r[k]) for k in key_cols))
+        out[i] = [
+            {
+                "node": ";".join(f"{k}={r[k]}" for k in key_cols),
+                "node_type": node_type,
+            }
+            for r in rows
+        ]
+    return out
+
+
 def domain_rules(
     rules: Sequence[DomainRule], property_path: Optional[str]
 ) -> list[str]:
@@ -123,16 +177,19 @@ def retrieve_context(
     key_cols: Sequence[str],
     rules: Sequence[DomainRule] = (),
     similar_limit: int = 5,
+    similar: Optional[list] = None,
 ) -> dict:
     """Assemble the DomainContext struct (context_retriever.py:29-38;
-    xpshacl_architecture.py:144-163)."""
+    xpshacl_architecture.py:144-163). Pass `similar` (precomputed via
+    similar_cases_batch) to avoid a per-signature Spark job."""
     frag_row = {
         k: violation.get(k)
         for k in list(key_cols) + ["property_path", "value"]
         if violation.get(k) is not None
     }
-    sims = []
-    if df is not None:
+    if similar is not None:
+        sims = similar
+    elif df is not None:
         sims = similar_cases(
             df,
             violation.get("property_path"),
@@ -140,6 +197,8 @@ def retrieve_context(
             target=getattr(shape, "target", None),
             limit=similar_limit,
         )
+    else:
+        sims = []
     return {
         "ontology_fragments": ontology_fragments(frag_row, key_cols),
         "shape_documentation": shape_documentation(shape) if shape else [],

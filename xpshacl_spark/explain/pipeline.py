@@ -138,16 +138,16 @@ class Explainer:
         distinct signature x language."""
         # early exit when no violations (main.py:128-136)
         sig_rows = self.signatures(report.violations).collect()
-        out_rows = []
-        new_cache_entries = 0
+        prepared = []
         for r in sig_rows:
             rec = r.asDict()
-            vtype = rec["violation_type"]
             sig = ViolationSignature(
                 constraint_id=rec["constraint_component"],
                 property_path=rec["property_path"],
                 # runtime parity: the reference hashes str(ViolationType.X)
-                violation_type=ViolationType.ENUM_REPR.get(vtype, vtype),
+                violation_type=ViolationType.ENUM_REPR.get(
+                    rec["violation_type"], rec["violation_type"]
+                ),
                 constraint_params={},
             )
             shape, params, cv = _shape_constraint_params(
@@ -157,14 +157,48 @@ class Explainer:
             vrec["params"] = params
             vrec["constraint_value"] = cv
             vrec["context"] = dict(rec["context"] or {})
+            prepared.append((rec, vrec, sig, shape))
+
+        # ALL signatures' similar-cases in ONE Spark action (a
+        # per-signature collect loop would fire N jobs): distinct
+        # (property_path, target) retrievals, batched
+        sim_by_key: dict = {}
+        if with_context and df is not None and prepared:
+            from xpshacl_spark.explain.context import similar_cases_batch
+
+            spec_keys = []
+            for _, vrec, _, shape in prepared:
+                key = (vrec.get("property_path"), getattr(shape, "target", None))
+                if key not in sim_by_key:
+                    sim_by_key[key] = []
+                    spec_keys.append(key)
+            results = similar_cases_batch(
+                df,
+                [{"property_path": k[0], "target": k[1]} for k in spec_keys],
+                report.key_cols,
+                self.similar_limit,
+            )
+            sim_by_key = dict(zip(spec_keys, results))
+
+        out_rows = []
+        new_cache_entries = 0
+        for rec, vrec, sig, shape in prepared:
+            vtype = rec["violation_type"]
             tree = build_justification_tree(vrec)
             ctx = retrieve_context(
                 vrec,
                 shape,
-                df if with_context else None,
+                None,
                 report.key_cols,
                 rules=self.rules,
                 similar_limit=self.similar_limit,
+                similar=(
+                    sim_by_key.get(
+                        (vrec.get("property_path"), getattr(shape, "target", None))
+                    )
+                    if with_context and df is not None
+                    else None
+                ),
             )
             for lang in languages:
                 cached = self.cache.get_explanation(sig, lang)
