@@ -349,6 +349,65 @@ def test_similar_cases_batch_one_action(spark, monkeypatch):
             assert ctx["similar_cases"], r["property_path"]
 
 
+def test_batch_llm_generator_executor_side(spark):
+    """The SURVEY §2C distributed-LLM seam: BatchExplanationGenerator
+    runs llm_fn executor-side via mapInPandas and must produce exactly
+    the rows the driver-side llm_fn path produces (same two-prompt
+    request shape), leaving the deterministic-template default — and
+    q_explanations — untouched."""
+    from xpshacl_spark.explain.generator import (
+        BatchExplanationGenerator,
+        ExplanationGenerator,
+    )
+
+    def _mock_llm(prompt: str) -> str:
+        # a closure: cloudpickle ships it BY VALUE to executors (a
+        # test-module top-level function would need the module on the
+        # worker's import path)
+        kind = "EXPLAIN" if "natural language explanation" in prompt else "SUGGEST"
+        lang = (
+            prompt.split(" of why", 1)[0].rsplit(" ", 1)[-1]
+            if kind == "EXPLAIN"
+            else ""
+        )
+        return f"[{kind}:{lang}] len={len(prompt)}"
+
+    df = spark.createDataFrame(
+        [("c1", 0, -5), ("c1", 1, 3), ("c2", 0, None)],
+        "conv_id string, turn_idx int, score int",
+    )
+    shapes = [
+        Shape("ex:S", (MinInclusive("score", 0),)),
+    ]
+    rep = ValidationEngine(spark).validate(
+        df, shapes, key_cols=["conv_id", "turn_idx"]
+    )
+
+    driver_gen = ExplanationGenerator(llm_fn=_mock_llm, model_name="mock-1")
+    batch_gen = BatchExplanationGenerator(llm_fn=_mock_llm, model_name="mock-1")
+    a = Explainer(spark, cache=ExplanationCache(), generator=driver_gen).explain(
+        rep, shapes, df=df, languages=["en", "de"]
+    )
+    b = Explainer(spark, cache=ExplanationCache(), generator=batch_gen).explain(
+        rep, shapes, df=df, languages=["en", "de"]
+    )
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) == 2
+    # llm output actually flowed through (not the template fallback)
+    assert all("[EXPLAIN:" in r[8] for r in rows_a)
+    assert all(r[10] == "mock-1" for r in rows_b)
+
+    # batch generator without llm_fn degrades to the deterministic
+    # template — the correctness default stays intact
+    t = Explainer(
+        spark, cache=ExplanationCache(), generator=BatchExplanationGenerator()
+    ).explain(rep, shapes, df=df, languages=["en"])
+    assert all(
+        r["provided_by_model"] == "template-deterministic-v1" for r in t.collect()
+    )
+
+
 def test_domain_rule_formatting():
     """reference :105-119: 'Rule <uri> (label): comment'."""
     rules = [

@@ -1,0 +1,183 @@
+"""Turtle shapes importer: the reference's shapes-graph on-ramp.
+
+The embedded fixture mirrors /root/reference/data/example_shapes.ttl
+(the reference README's worked example, README.md:174-216: resource1's
+hasAge=-20 violates sh:minInclusive 0); the data fixture is the flat
+tabular projection of data/example_data.ttl. When the reference files
+are present on disk, the same assertions run against them directly.
+"""
+
+import os
+
+import pytest
+
+from xpshacl_spark.compiler import ValidationEngine
+from xpshacl_spark.shapes import (
+    Datatype,
+    MaxInclusive,
+    MinInclusive,
+    NotNull,
+    Pattern,
+)
+from xpshacl_spark.shapes_io import load_shapes
+from xpshacl_spark.shapes_ttl import import_ttl, shapes_from_ttl
+
+REF_TTL = "/root/reference/data/example_shapes.ttl"
+
+EXAMPLE_SHAPES_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:PersonShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [
+        sh:path ex:hasName ;
+        sh:minCount 1 ;
+    ] ;
+    sh:property [
+        sh:path ex:hasAge ;
+        sh:datatype xsd:integer ;
+        sh:minInclusive 0 ;
+        sh:maxInclusive 150 ;
+    ] .
+
+ex:OrganizationShape a sh:NodeShape ;
+    sh:targetClass ex:Organization ;
+    sh:property [
+        sh:path ex:hasName ;
+        sh:minCount 1 ;
+    ] ;
+    sh:property [
+        sh:path ex:foundedOn ;
+        sh:minCount 1 ;
+    ] .
+"""
+
+
+def _example_rows(spark):
+    """Flat projection of data/example_data.ttl: one row per resource."""
+    return spark.createDataFrame(
+        [
+            ("resource1", "Person", None, -20, None),
+            ("resource2", "Person", None, None, None),
+            ("resource3", "Organization", "Example Org", None, None),
+        ],
+        "id string, rdf_type string, hasName string, hasAge int, foundedOn string",
+    )
+
+
+def test_example_shapes_semantics():
+    shapes = shapes_from_ttl(EXAMPLE_SHAPES_TTL)
+    by_id = {s.shape_id: s for s in shapes}
+    person = by_id["http://example.org/PersonShape"]
+    org = by_id["http://example.org/OrganizationShape"]
+    assert person.target == "rdf_type = 'Person'"
+    assert set(person.constraints) == {
+        NotNull("hasName"),
+        Datatype("hasAge", "int", required=False),
+        MinInclusive("hasAge", 0),
+        MaxInclusive("hasAge", 150),
+    }
+    assert set(org.constraints) == {NotNull("hasName"), NotNull("foundedOn")}
+
+
+def test_example_data_violation_counts(spark):
+    """The README worked example (README.md:174-216): resource1's
+    hasAge=-20 fires MinInclusive; plus the minCount misses — exact
+    per-resource counts pinned."""
+    shapes = shapes_from_ttl(EXAMPLE_SHAPES_TTL)
+    rep = ValidationEngine(spark).validate(
+        _example_rows(spark), shapes, key_cols=["id"]
+    )
+    rows = rep.violations.collect()
+    by_focus = {}
+    for r in rows:
+        by_focus.setdefault(r["id"], []).append(r["constraint_component"])
+    assert sorted(by_focus["resource1"]) == [
+        "MinCountConstraintComponent",  # hasName missing
+        "MinInclusiveConstraintComponent",  # hasAge = -20
+    ]
+    assert by_focus["resource2"] == ["MinCountConstraintComponent"]
+    assert by_focus["resource3"] == ["MinCountConstraintComponent"]
+    mininc = [r for r in rows if r["constraint_component"] ==
+              "MinInclusiveConstraintComponent"][0]
+    assert mininc["property_path"] == "hasAge" and mininc["value"] == "-20"
+    # every violating resource is reported exactly as often as it fails
+    assert len(rows) == 4
+
+
+def test_target_and_column_overrides():
+    shapes = shapes_from_ttl(
+        EXAMPLE_SHAPES_TTL,
+        target_map={"http://example.org/Person": "kind = 'person'"},
+        column_map={"http://example.org/hasAge": "age_years"},
+    )
+    person = [s for s in shapes if s.shape_id.endswith("PersonShape")][0]
+    assert person.target == "kind = 'person'"
+    assert MinInclusive("age_years", 0) in person.constraints
+
+
+def test_load_shapes_dispatches_on_ttl(tmp_path):
+    p = str(tmp_path / "shapes.ttl")
+    with open(p, "w") as f:
+        f.write(EXAMPLE_SHAPES_TTL)
+    shapes = load_shapes(p)
+    assert {s.name for s in shapes} == {"PersonShape", "OrganizationShape"}
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TTL), reason="reference absent")
+def test_reference_example_shapes_file():
+    with open(REF_TTL) as f:
+        imp = import_ttl(f.read())
+    assert not imp.skipped
+    assert {s.shape_id for s in imp.shapes} == {
+        "http://example.org/PersonShape",
+        "http://example.org/OrganizationShape",
+    }
+    person = [s for s in imp.shapes if s.shape_id.endswith("PersonShape")][0]
+    assert MinInclusive("hasAge", 0) in person.constraints
+    assert MaxInclusive("hasAge", 150) in person.constraints
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/shark_shapes.ttl"),
+    reason="reference absent",
+)
+def test_shark_shapes_parse_with_skip_report():
+    """The messier real-world file: triple-quoted SPARQL bodies,
+    sh:declare blocks, dataType spelling, uniqueLang — parses, imports
+    the flat-column subset, and reports what it skipped."""
+    with open("/root/reference/data/shark_shapes.ttl") as f:
+        imp = import_ttl(f.read())
+    by_id = {s.shape_id: s for s in imp.shapes}
+    cls = by_id["http://dbpedia.org/gdl-shape#ClassShape"]
+    assert NotNull("label") in cls.constraints
+    assert NotNull("comment") in cls.constraints
+    reasons = {r for _, _, r in imp.skipped}
+    assert "SPARQL constraint not imported" in reasons
+    assert "uniqueLang vacuous on flat column" in reasons
+
+
+def test_ttl_parser_literals_and_flags():
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:severity sh:Warning ;
+  sh:message "check failed" ;
+  sh:property [
+    sh:path ex:code ;
+    sh:pattern "^[a-z]+$" ;
+    sh:flags "i" ;
+    sh:minLength 2 ;
+    sh:maxLength 10 ;
+    sh:in ("alpha" "beta") ;
+  ] .
+"""
+    (s,) = shapes_from_ttl(ttl)
+    assert s.severity == "Warning" and s.message == "check failed"
+    kinds = {type(c).__name__ for c in s.constraints}
+    assert kinds == {"Pattern", "MinLength", "MaxLength", "InSet"}
+    pat = [c for c in s.constraints if isinstance(c, Pattern)][0]
+    assert pat.pattern == "^[a-z]+$" and pat.flags == "i"

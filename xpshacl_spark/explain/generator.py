@@ -105,6 +105,23 @@ def template_explanation(violation: dict, language: str = "en") -> dict:
     }
 
 
+def build_prompts(
+    violation: dict, tree: dict, context: dict, language: str
+) -> tuple[str, str]:
+    """The two reference-shaped prompts for one (signature, language)."""
+    v = json.dumps(violation, default=str)
+    t = json.dumps(tree, default=str)
+    c = json.dumps(context, default=str)
+    return (
+        EXPLANATION_PROMPT_TEMPLATE.format(
+            violation=v, tree=t, context=c, language=language
+        ),
+        SUGGESTION_PROMPT_TEMPLATE.format(
+            violation=v, tree=t, context=c, language=language
+        ),
+    )
+
+
 class ExplanationGenerator:
     """Pluggable generator. Default = deterministic templates; pass
     llm_fn(prompt: str) -> str to route through a model (the two-call
@@ -123,20 +140,10 @@ class ExplanationGenerator:
     ) -> dict:
         if self.llm_fn is None:
             return template_explanation(violation, language)
-        v = json.dumps(violation, default=str)
-        t = json.dumps(tree, default=str)
-        c = json.dumps(context, default=str)
+        expl_prompt, sugg_prompt = build_prompts(violation, tree, context, language)
         try:
-            explanation = self.llm_fn(
-                EXPLANATION_PROMPT_TEMPLATE.format(
-                    violation=v, tree=t, context=c, language=language
-                )
-            ).strip()
-            suggestions = self.llm_fn(
-                SUGGESTION_PROMPT_TEMPLATE.format(
-                    violation=v, tree=t, context=c, language=language
-                )
-            ).strip()
+            explanation = self.llm_fn(expl_prompt).strip()
+            suggestions = self.llm_fn(sugg_prompt).strip()
         except Exception as e:  # error text, no raise (explanation_generator.py:129-159)
             return {
                 "natural_language_explanation": (
@@ -150,3 +157,74 @@ class ExplanationGenerator:
             "correction_suggestions": [suggestions] if suggestions else [],
             "provided_by_model": self.model_name,
         }
+
+
+class BatchExplanationGenerator(ExplanationGenerator):
+    """Executor-side batch LLM client (the SURVEY §2C seam): the
+    uncached (signature, language) prompt pairs ship to executors in
+    Arrow batches via mapInPandas and `llm_fn` runs THERE — at scale a
+    real HTTP client fans out across the cluster instead of serializing
+    HTTPS round-trips on the driver. Same two-prompt request shape and
+    per-row error semantics as the driver-side path; `llm_fn` must be
+    picklable (a top-level function or functools.partial).
+
+    Correctness note: the deterministic template generator remains the
+    default — this class only changes WHERE generation runs, never what
+    the correctness gate verifies."""
+
+    batch = True
+
+    def generate_batch(self, spark, items: list[tuple]) -> list[dict]:
+        """items: [(violation, tree, context, language)] -> list of
+        explanation dicts, in order, generated executor-side."""
+        if self.llm_fn is None:
+            return [
+                template_explanation(v, lang) for v, _, _, lang in items
+            ]
+        rows = []
+        for i, (v, t, c, lang) in enumerate(items):
+            ep, sp = build_prompts(v, t, c, lang)
+            rows.append((i, ep, sp, lang))
+        df = spark.createDataFrame(
+            rows, "idx long, expl_prompt string, sugg_prompt string, language string"
+        )
+        llm_fn, model = self.llm_fn, self.model_name
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"idx": [], "explanation": [], "suggestions": []}
+                for idx, ep, sp, lang in zip(
+                    pdf["idx"], pdf["expl_prompt"], pdf["sugg_prompt"], pdf["language"]
+                ):
+                    try:
+                        e = llm_fn(ep).strip()
+                        s = llm_fn(sp).strip()
+                    except Exception as exc:
+                        e = f"Error generating explanation in {lang}: {exc}"
+                        s = ""
+                    out["idx"].append(idx)
+                    out["explanation"].append(e)
+                    out["suggestions"].append(s)
+                yield pd.DataFrame(out)
+
+        got = {
+            r["idx"]: r
+            for r in df.repartition(max(1, min(len(rows), 32)))
+            .mapInPandas(run, "idx long, explanation string, suggestions string")
+            .collect()
+        }
+        out = []
+        for i, (v, t, c, lang) in enumerate(items):
+            r = got[i]
+            out.append(
+                {
+                    "natural_language_explanation": r["explanation"],
+                    "correction_suggestions": (
+                        [r["suggestions"]] if r["suggestions"] else []
+                    ),
+                    "provided_by_model": model,
+                }
+            )
+        return out

@@ -180,10 +180,11 @@ class Explainer:
             )
             sim_by_key = dict(zip(spec_keys, results))
 
-        out_rows = []
-        new_cache_entries = 0
+        # assemble per-(signature, language) jobs, probing the cache; a
+        # batch generator then runs ALL uncached generations in one
+        # executor-side Arrow pass instead of a driver loop
+        jobs = []
         for rec, vrec, sig, shape in prepared:
-            vtype = rec["violation_type"]
             tree = build_justification_tree(vrec)
             ctx = retrieve_context(
                 vrec,
@@ -202,39 +203,55 @@ class Explainer:
             )
             for lang in languages:
                 cached = self.cache.get_explanation(sig, lang)
-                if cached is not None:
-                    expl = cached
-                else:
-                    expl = self.generator.generate(vrec, tree, ctx, lang)
-                    self.cache.add_violation(
-                        sig,
-                        {
-                            **expl,
-                            "violation": tree["violation"],
-                            "justification_tree": tree,
-                            "retrieved_context": ctx,
-                        },
-                        lang,
-                    )
-                    new_cache_entries += 1
-                suggestions = expl.get("correction_suggestions") or []
-                if isinstance(suggestions, (list, tuple)):
-                    suggestions = SUGGESTION_SEPARATOR.join(suggestions)
-                out_rows.append(
-                    (
-                        signature_to_uri(sig),
-                        rec["shape_id"],
-                        rec["constraint_component"],
-                        rec["property_path"],
-                        vtype,
-                        lang,
-                        json.dumps(tree, default=str),
-                        json.dumps(ctx, default=str),
-                        expl["natural_language_explanation"],
-                        suggestions,
-                        expl.get("provided_by_model"),
-                    )
+                jobs.append((rec, vrec, sig, tree, ctx, lang, cached))
+        pending = [j for j in jobs if j[6] is None]
+        if pending and getattr(self.generator, "batch", False):
+            generated = self.generator.generate_batch(
+                self.spark, [(j[1], j[3], j[4], j[5]) for j in pending]
+            )
+        else:
+            generated = [
+                self.generator.generate(j[1], j[3], j[4], j[5]) for j in pending
+            ]
+        gen_iter = iter(generated)
+
+        out_rows = []
+        new_cache_entries = 0
+        for rec, vrec, sig, tree, ctx, lang, cached in jobs:
+            vtype = rec["violation_type"]
+            if cached is not None:
+                expl = cached
+            else:
+                expl = next(gen_iter)
+                self.cache.add_violation(
+                    sig,
+                    {
+                        **expl,
+                        "violation": tree["violation"],
+                        "justification_tree": tree,
+                        "retrieved_context": ctx,
+                    },
+                    lang,
                 )
+                new_cache_entries += 1
+            suggestions = expl.get("correction_suggestions") or []
+            if isinstance(suggestions, (list, tuple)):
+                suggestions = SUGGESTION_SEPARATOR.join(suggestions)
+            out_rows.append(
+                (
+                    signature_to_uri(sig),
+                    rec["shape_id"],
+                    rec["constraint_component"],
+                    rec["property_path"],
+                    vtype,
+                    lang,
+                    json.dumps(tree, default=str),
+                    json.dumps(ctx, default=str),
+                    expl["natural_language_explanation"],
+                    suggestions,
+                    expl.get("provided_by_model"),
+                )
+            )
         if new_cache_entries and self.cache.path:
             # one save per run (main.py:213-216)
             self.cache.save()

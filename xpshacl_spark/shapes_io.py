@@ -106,9 +106,17 @@ def shapes_from_json(text: str) -> list[S.Shape]:
     return [shape_from_dict(d) for d in json.loads(text)["shapes"]]
 
 
-def load_shapes(path: str) -> list[S.Shape]:
+def load_shapes(path: str, **ttl_kwargs) -> list[S.Shape]:
+    """Load shapes from JSON, or from Turtle when the path ends in
+    .ttl/.turtle (the reference's shapes-graph format — see shapes_ttl
+    for the recognized predicate subset and tabular conventions)."""
     with open(path) as f:
-        return shapes_from_json(f.read())
+        text = f.read()
+    if path.endswith((".ttl", ".turtle")):
+        from xpshacl_spark.shapes_ttl import shapes_from_ttl
+
+        return shapes_from_ttl(text, **ttl_kwargs)
+    return shapes_from_json(text)
 
 
 def save_shapes(path: str, shapes: list[S.Shape]) -> None:

@@ -1,0 +1,462 @@
+"""Turtle (.ttl) shapes importer for the reference's recognized
+SHACL predicate subset.
+
+The reference's entry point parses a Turtle shapes graph
+(/root/reference/src/main.py:55) and indexes the predicates listed in
+extended_shacl_validator.py:88-107 (minCount, maxCount, datatype,
+value-range, pattern/flags, property pairs, nodeKind, targets,
+message/severity, rdfs:comment). This module gives users holding
+existing .ttl shape files (e.g. the reference's example_shapes.ttl /
+shark_shapes.ttl) an on-ramp into the engine's tabular Shape model
+without an RDF library: a small hand-rolled Turtle subset parser
+(prefixes, statements, blank-node property blocks, literals with
+datatype/lang suffixes, collections, triple-quoted strings) feeds a
+predicate->Constraint mapping.
+
+Tabular projection conventions (documented, overridable):
+
+* a property URI maps to the column named by its local name
+  (``ex:hasAge`` -> ``hasAge``); override per-URI with ``column_map``;
+* ``sh:targetClass ex:Person`` maps to the row filter
+  ``rdf_type = 'Person'`` — the standard flat projection of RDF
+  instances keyed by an ``rdf_type`` column; override with
+  ``target_map`` (class URI or local name -> SQL predicate);
+* row-scoped ``sh:minCount >= 1`` becomes NotNull (a flat column holds
+  at most one value per row, so maxCount >= 1 is vacuous and skipped);
+* predicates outside the recognized subset (e.g. sh:sparql SPARQL
+  bodies, sh:uniqueLang over flat columns, sh:declare) are skipped and
+  reported in ``TtlImport.skipped`` rather than failing the load.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from xpshacl_spark import shapes as S
+
+# ---------------------------------------------------------------------------
+# tokenizer / parser for the Turtle subset
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r'"""(?:[^"\\]|\\.|"(?!""))*"""'  # triple-quoted string
+    r'|"(?:[^"\\\n]|\\.)*"'  # quoted string
+    r"|<[^>]*>"  # IRI
+    r"|\^\^"  # datatype suffix marker
+    r"|@[A-Za-z][A-Za-z0-9-]*"  # @prefix / @base / langtag
+    r"|[\[\]();,]"  # punctuation
+    r"|[^\s\[\]();,]+"  # prefixed names, numbers, keywords, '.'
+)
+
+_COMMENT_RE = re.compile(r'#[^\n]*')
+
+
+def _strip_comments(text: str) -> str:
+    """Remove # comments outside of string literals."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':
+            m = _TOKEN_RE.match(text, i)
+            if m:
+                out.append(m.group(0))
+                i = m.end()
+                continue
+        if ch == "<":
+            j = text.find(">", i)
+            if j != -1:
+                out.append(text[i : j + 1])
+                i = j + 1
+                continue
+        if ch == "#":
+            j = text.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks = []
+    for m in _TOKEN_RE.finditer(_strip_comments(text)):
+        t = m.group(0)
+        # split a trailing statement '.' off prefixed-name tokens
+        # (written 'ex:Person.'), but keep decimal numbers intact
+        while (
+            t.endswith(".")
+            and t != "."
+            and not re.fullmatch(r"[+-]?\d+\.\d*", t)
+        ):
+            toks.append(t[:-1])
+            t = "."
+            break
+        toks.append(t)
+    return [t for t in toks if t]
+
+
+@dataclass
+class Literal:
+    value: str
+    datatype: Optional[str] = None  # expanded datatype IRI
+    lang: Optional[str] = None
+
+
+@dataclass
+class Blank:
+    """Anonymous blank node: list of (predicate, [objects])."""
+
+    props: list = field(default_factory=list)
+
+    def objects(self, pred: str) -> list:
+        return [o for p, objs in self.props for o in objs if p == pred]
+
+    def first(self, pred: str):
+        objs = self.objects(pred)
+        return objs[0] if objs else None
+
+
+Node = Union[str, Literal, Blank, list]
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def _peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expand(self, tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            base = self.prefixes.get(pfx)
+            if base is not None:
+                return base + local
+        return tok
+
+    def parse(self) -> list[tuple[str, list]]:
+        """Returns [(subject_iri, [(pred_iri, [objects])])]."""
+        statements = []
+        while self._peek() is not None:
+            t = self._peek()
+            if t in ("@prefix", "@base", "PREFIX", "BASE"):
+                self._parse_prefix()
+                continue
+            subj = self.expand(self._next())
+            props = self._parse_predicate_object_list(stop_at_dot=True)
+            if self._peek() == ".":
+                self._next()
+            statements.append((subj, props))
+        return statements
+
+    def _parse_prefix(self) -> None:
+        kw = self._next()
+        if kw in ("@base", "BASE"):
+            self._next()  # IRI, unused
+        else:
+            pfx = self._next().rstrip(":")
+            iri = self._next()
+            self.prefixes[pfx] = iri[1:-1] if iri.startswith("<") else iri
+        if self._peek() == ".":
+            self._next()
+
+    def _parse_predicate_object_list(self, stop_at_dot: bool) -> list:
+        props = []
+        while True:
+            t = self._peek()
+            if t is None or t == "]" or (stop_at_dot and t == "."):
+                return props
+            pred = self.expand(self._next())
+            objs = [self._parse_object()]
+            while self._peek() == ",":
+                self._next()
+                objs.append(self._parse_object())
+            props.append((pred, objs))
+            if self._peek() == ";":
+                self._next()
+                # tolerate trailing ';' before ']' or '.'
+                continue
+            # no separator: list ends at ']' / '.'
+
+    def _parse_object(self) -> Node:
+        t = self._next()
+        if t == "[":
+            props = self._parse_predicate_object_list(stop_at_dot=False)
+            if self._peek() == "]":
+                self._next()
+            return Blank(props)
+        if t == "(":
+            items = []
+            while self._peek() not in (")", None):
+                items.append(self._parse_object())
+            if self._peek() == ")":
+                self._next()
+            return items
+        if t.startswith('"'):
+            value = t[3:-3] if t.startswith('"""') else t[1:-1]
+            value = (
+                value.replace('\\"', '"')
+                .replace("\\n", "\n")
+                .replace("\\t", "\t")
+                .replace("\\\\", "\\")
+            )
+            datatype = lang = None
+            if self._peek() == "^^":
+                self._next()
+                datatype = self.expand(self._next())
+            elif (nxt := self._peek()) and nxt.startswith("@") and nxt not in (
+                "@prefix",
+                "@base",
+            ):
+                lang = self._next()[1:]
+            return Literal(value, datatype, lang)
+        if re.fullmatch(r"[+-]?\d+", t):
+            return Literal(t, "http://www.w3.org/2001/XMLSchema#integer")
+        if re.fullmatch(r"[+-]?\d*\.\d+(?:[eE][+-]?\d+)?", t):
+            return Literal(t, "http://www.w3.org/2001/XMLSchema#decimal")
+        if t in ("true", "false"):
+            return Literal(t, "http://www.w3.org/2001/XMLSchema#boolean")
+        return self.expand(t)
+
+
+# ---------------------------------------------------------------------------
+# SHACL subset -> Shape mapping
+# ---------------------------------------------------------------------------
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+_XSD_TO_SPARK = {
+    "integer": "int",
+    "int": "int",
+    "long": "bigint",
+    "nonNegativeInteger": "int",
+    "decimal": "double",
+    "double": "double",
+    "float": "double",
+    "boolean": "boolean",
+    "date": "date",
+    "dateTime": "timestamp",
+    "string": "string",
+    "langString": "string",  # rdf:langString: plain string column
+    "anyURI": "string",
+}
+
+
+def local_name(uri: str) -> str:
+    """Fragment / last path segment of a URI (ex:hasAge -> hasAge)."""
+    for sep in ("#", "/", ":"):
+        if sep in uri:
+            uri = uri.rsplit(sep, 1)[1]
+            break
+    return uri
+
+
+def _py_value(obj: Node):
+    if isinstance(obj, Literal):
+        dt = local_name(obj.datatype) if obj.datatype else None
+        if dt in ("integer", "int", "long", "nonNegativeInteger"):
+            return int(obj.value)
+        if dt in ("decimal", "double", "float"):
+            return float(obj.value)
+        if dt == "boolean":
+            return obj.value == "true"
+        return obj.value
+    return obj
+
+
+@dataclass
+class TtlImport:
+    shapes: list
+    skipped: list  # [(shape_id, predicate, reason)]
+
+
+def _property_constraints(
+    block: Blank, column_map: dict, skipped: list, shape_id: str
+) -> list:
+    path = block.first(SH + "path")
+    if not isinstance(path, str):
+        skipped.append((shape_id, SH + "path", "missing or non-IRI sh:path"))
+        return []
+    col = column_map.get(path, column_map.get(local_name(path), local_name(path)))
+    out: list = []
+    pairs = {  # property-pair predicates -> constraint class
+        SH + "equals": S.Equals,
+        SH + "disjoint": S.Disjoint,
+        SH + "lessThan": S.LessThan,
+        SH + "lessThanOrEquals": S.LessThanOrEquals,
+    }
+    flags = None
+    fl = block.first(SH + "flags")
+    if isinstance(fl, Literal):
+        flags = fl.value
+    for pred, objs in block.props:
+        for obj in objs:
+            if pred == SH + "path" or pred == SH + "flags":
+                continue
+            if pred == SH + "minCount":
+                if int(_py_value(obj)) >= 1:
+                    out.append(S.NotNull(col))
+            elif pred == SH + "maxCount":
+                # a flat column holds <= 1 value per row: vacuous
+                skipped.append((shape_id, pred, "maxCount vacuous on flat column"))
+            elif pred == SH + "uniqueLang":
+                skipped.append(
+                    (shape_id, pred, "uniqueLang vacuous on flat column")
+                )
+            elif pred in (SH + "datatype", SH + "dataType"):
+                xsd = local_name(obj if isinstance(obj, str) else str(obj))
+                spark_dt = _XSD_TO_SPARK.get(xsd)
+                if spark_dt:
+                    # required=False: presence is minCount's job in SHACL
+                    out.append(S.Datatype(col, spark_dt, required=False))
+                else:
+                    skipped.append((shape_id, pred, f"unmapped xsd type {xsd}"))
+            elif pred == SH + "minInclusive":
+                out.append(S.MinInclusive(col, _py_value(obj)))
+            elif pred == SH + "maxInclusive":
+                out.append(S.MaxInclusive(col, _py_value(obj)))
+            elif pred == SH + "minExclusive":
+                out.append(S.MinExclusive(col, _py_value(obj)))
+            elif pred == SH + "maxExclusive":
+                out.append(S.MaxExclusive(col, _py_value(obj)))
+            elif pred == SH + "pattern":
+                out.append(S.Pattern(col, _py_value(obj), flags=flags))
+            elif pred == SH + "minLength":
+                out.append(S.MinLength(col, int(_py_value(obj))))
+            elif pred == SH + "maxLength":
+                out.append(S.MaxLength(col, int(_py_value(obj))))
+            elif pred == SH + "in" and isinstance(obj, list):
+                out.append(S.InSet(col, tuple(_py_value(o) for o in obj)))
+            elif pred == SH + "languageIn" and isinstance(obj, list):
+                out.append(
+                    S.InSet(
+                        col,
+                        tuple(_py_value(o) for o in obj),
+                        language_in=True,
+                    )
+                )
+            elif pred == SH + "nodeKind":
+                out.append(S.NodeKind(col, kind=local_name(str(obj))))
+            elif pred in pairs:
+                other_uri = obj if isinstance(obj, str) else str(obj)
+                other = column_map.get(
+                    other_uri,
+                    column_map.get(local_name(other_uri), local_name(other_uri)),
+                )
+                out.append(pairs[pred](col, other))
+            elif pred in (SH + "message", SH + "name", SH + "description",
+                          RDFS_COMMENT, SH + "severity"):
+                pass  # metadata handled at shape level
+            else:
+                skipped.append((shape_id, pred, "unrecognized predicate"))
+    return out
+
+
+def import_ttl(
+    text: str,
+    target_map: Optional[dict] = None,
+    column_map: Optional[dict] = None,
+    type_column: str = "rdf_type",
+) -> TtlImport:
+    """Parse a Turtle shapes document into engine Shapes + skip report."""
+    target_map = dict(target_map or {})
+    column_map = dict(column_map or {})
+    statements = _Parser(_tokenize(text)).parse()
+    shapes = []
+    skipped: list = []
+    for subj, props in statements:
+        blank = Blank(props)
+        types = [str(t) for t in blank.objects(RDF_TYPE)]
+        is_shape = (
+            any(t in (SH + "NodeShape", SH + "PropertyShape", SH + "Shape") for t in types)
+            or blank.first(SH + "property") is not None
+            or blank.first(SH + "path") is not None
+        )
+        if not is_shape:
+            continue
+        # target
+        target = None
+        tc = blank.first(SH + "targetClass")
+        if isinstance(tc, str):
+            target = target_map.get(
+                tc, target_map.get(local_name(tc))
+            ) or f"{type_column} = '{local_name(tc)}'"
+        for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
+            if blank.first(SH + pred) is not None and pred != "targetClass":
+                if target is None:
+                    skipped.append((subj, SH + pred, "target kind not mapped"))
+        # metadata
+        message = None
+        msg = blank.first(SH + "message")
+        if isinstance(msg, Literal):
+            message = msg.value
+        severity = "Violation"
+        sev = blank.first(SH + "severity")
+        if isinstance(sev, str):
+            severity = local_name(sev)
+        description = None
+        cmt = blank.first(RDFS_COMMENT) or blank.first(SH + "description")
+        if isinstance(cmt, Literal):
+            description = cmt.value
+        name = None
+        nm = blank.first(SH + "name") or blank.first(RDFS_LABEL)
+        if isinstance(nm, Literal):
+            name = nm.value
+
+        constraints: list = []
+        for obj in blank.objects(SH + "property"):
+            if isinstance(obj, Blank):
+                constraints.extend(
+                    _property_constraints(obj, column_map, skipped, subj)
+                )
+            else:
+                skipped.append((subj, SH + "property", "non-blank property shape"))
+        if blank.first(SH + "path") is not None:
+            # standalone PropertyShape: the statement itself is the block
+            constraints.extend(
+                _property_constraints(blank, column_map, skipped, subj)
+            )
+        for pred, objs in props:
+            if pred == SH + "sparql":
+                skipped.append((subj, pred, "SPARQL constraint not imported"))
+        if not constraints:
+            skipped.append((subj, "", "shape produced no constraints"))
+            continue
+        shapes.append(
+            S.Shape(
+                shape_id=subj,
+                constraints=tuple(constraints),
+                target=target,
+                severity=severity,
+                message=message,
+                name=name or local_name(subj),
+                description=description,
+            )
+        )
+    return TtlImport(shapes=shapes, skipped=skipped)
+
+
+def shapes_from_ttl(
+    text: str,
+    target_map: Optional[dict] = None,
+    column_map: Optional[dict] = None,
+    type_column: str = "rdf_type",
+) -> list:
+    return import_ttl(text, target_map, column_map, type_column).shapes
