@@ -125,6 +125,10 @@ def run_default() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # each per-query number is the MIN over n_passes FULL interleaved
+        # suite passes (BASELINE.md protocol; host noise only adds time)
+        "n_passes": 2,
+        "per_query_stat": "min-of-2-interleaved",
         "sf": sf,
         "cpus": cpus,
         "transcript_turns": tr["n_turns"],
@@ -313,6 +317,30 @@ ordering spec, broadcast anti-joins for dims, AQE on, salted agg
 available for hot keys).
 
 Reproduce: `python bench.py --scaling`
+
+## Round-2 experiment: LSH bucket-scan expression form
+
+VERDICT r01 asked whether the LSH sign-bucket scan should unroll the
+6x64 plane dots into getItem terms to recover whole-stage codegen.
+Measured at sf0.1 (5,000 x 64-dim vectors, cached corpus, min of 3 warm
+runs of the bucket histogram, local[8]):
+
+| expression form | min sec |
+|---|---|
+| zip_with/aggregate fold per plane (interpreted HOF) | **0.262** |
+| unrolled getItem x 384 terms, one projection | 0.644 |
+| unrolled getItem, staged one column per plane | 0.666 |
+| staged per-plane fold | 0.298 |
+
+The fold WINS 2.4x: 64 discrete getItem calls per plane each re-check
+null/bounds in generated code, while the higher-order function walks
+the ArrayData once per plane; no `ERROR CodeGenerator` fallback occurs
+in either form, so this is not the 64KB-limit effect — the unrolled
+form is simply more per-element work. `sign_bucket` therefore keeps
+the fold (same left-to-right doubles, oracle unchanged). The unrolled
+form remains correct for PAIRWISE dots (cosine_topk/IVF scoring) where
+both sides are data arrays and the term count per projection is 64,
+not 384.
 """)
 
 

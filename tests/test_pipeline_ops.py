@@ -418,9 +418,24 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=2)
+        duplicate_clusters(chain, max_iter=1)
     got = {r.id: r.cluster_id for r in duplicate_clusters(chain).collect()}
     assert got == {i: 0 for i in range(9)}
+
+
+def test_duplicate_clusters_log_rounds_on_long_chain(spark):
+    """Pointer jumping bounds rounds at O(log diameter): a 200-node
+    path converges well within 10 rounds (plain neighbor-min
+    propagation would need ~200 and raise here)."""
+    from xpshacl_spark.operators.dedup import duplicate_clusters
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id
+           for r in duplicate_clusters(chain, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
 
 
 def test_text_parity_invariant(spark):

@@ -165,13 +165,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     This is the step that turns pairwise similarity into an actual
     dedup decision (keep one doc per cluster): iterative min-label
     propagation — each round every vertex takes the min label among
-    itself and its neighbors; converged when no label changes. Rounds
-    needed = graph diameter (near-dup clusters are shallow, typically
-    2-3). Each round is one shuffle (groupBy id); `localCheckpoint`
-    truncates lineage so plans don't grow with iterations — the classic
-    iterative-algorithm requirement at scale. Only ids that appear in
-    at least one pair are returned (isolated docs are their own
-    cluster by definition).
+    itself and its neighbors — ACCELERATED by pointer jumping (each
+    round also replaces a vertex's label with its label's label, the
+    path-doubling step of star-contraction connected components), so
+    convergence needs O(log diameter) rounds instead of O(diameter):
+    a 200-node duplicate chain converges in ~8 rounds, not 200
+    (pinned in tests). Labels only ever move to ids reachable in the
+    pair graph and only decrease, so the fixpoint is exactly the
+    min-reachable-id labeling the recursive-CTE oracle computes. Each
+    round is two shuffles (neighbor groupBy + jump join);
+    `localCheckpoint` truncates lineage so plans don't grow with
+    iterations — the classic iterative-algorithm requirement at scale.
+    Only ids that appear in at least one pair are returned (isolated
+    docs are their own cluster by definition).
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -194,10 +200,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label). The label is itself a
+        # node id, so its row exists; min() keeps monotone decrease.
+        parent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (

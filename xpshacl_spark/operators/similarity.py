@@ -50,11 +50,21 @@ def _plane_col(plane: list[int]) -> Column:
 
 
 def sign_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Bucket id in [0, 2^len(planes)): bit p = 1 iff dot(vec, plane_p) > 0."""
+    """Bucket id in [0, 2^len(planes)): bit p = 1 iff dot(vec, plane_p) > 0.
+
+    The plane dots deliberately use the zip_with/aggregate fold
+    (dim=None), not the unrolled getItem form: measured head-to-head at
+    sf0.1 (6 planes x 64 dims, min of 3 warm runs on a cached corpus)
+    the fold scans in 0.26s vs 0.64s unrolled — 64 per-element getItem
+    accesses each re-check nulls/bounds, while the HOF walks the
+    ArrayData once per plane. Staging the per-plane dots as projected
+    columns does not rescue the unrolled form (0.67s). Same doubles
+    either way (left fold), so oracle parity is unchanged. Numbers in
+    BENCH.md (round 2 experiment)."""
     total = F.lit(0)
     for p, plane in enumerate(planes):
         bit = F.when(
-            _dot(vec, _plane_col(plane), len(plane)) > 0, F.lit(1)
+            _dot(vec, _plane_col(plane), None) > 0, F.lit(1)
         ).otherwise(F.lit(0))
         total = total + bit * F.lit(2**p)
     return total
