@@ -124,7 +124,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: Optional[int] = None,
+    max_doc_freq: Optional[int] = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
@@ -132,6 +132,14 @@ def jaccard_pairs(
     where candidate generation happens; only docs sharing >= 1 shingle
     ever meet) -> count common shingles per pair -> join per-doc set
     sizes -> Jaccard = common / (|A| + |B| - common).
+
+    max_doc_freq caps the inverted-index fan-out and is ON by default:
+    a shingle shared by k docs creates k^2 join rows, so one piece of
+    boilerplate in 10^6 docs means 10^12 candidates. The 10k default is
+    a no-op on small corpora but bounds the worst case at web scale;
+    pass None only when the k^2 blowup is provably absent. Pruned
+    shingles also leave the per-doc set sizes (standard stop-shingle
+    semantics: Jaccard is computed over the pruned universe).
     """
     sh = _maybe_prune_stop_shingles(shingles(df, id_col, text_col, n), max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
