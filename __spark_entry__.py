@@ -18,15 +18,26 @@ from pyspark.sql import functions as F
 
 from xpshacl_spark.compiler import ValidationEngine
 from xpshacl_spark.shapes import (
+    ArrayAll,
+    ArrayMaxCount,
+    ArrayMinCount,
+    ArrayUnique,
+    Closed,
     Expr,
     ForeignKey,
     GroupMinCount,
+    HasValue,
+    InSet,
     MaxInclusive,
     MinInclusive,
+    MinLength,
     Monotonic,
+    NodeRef,
     Not,
     Or,
     Pattern,
+    QualifiedMaxCount,
+    QualifiedMinCount,
     Shape,
     Unique,
     Xone,
@@ -195,6 +206,106 @@ def q_xone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = _one_shape_violations(spark, o, shape, ["o_orderkey"])
     return v.select("o_orderkey", "constraint_component")
+
+
+def q_hasvalue_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:hasValue (SHACL core; outside the reference's recognized
+    predicate subset but evaluated by its pyshacl delegate): every
+    English document must come from source 'src0'. hasValue asserts
+    presence, so NULL would violate too."""
+    d = _load(spark, sf_dir, "documents")
+    shape = Shape(
+        "doc_src_shape",
+        (HasValue("source", "src0"),),
+        target="lang = 'en'",
+    )
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select("doc_id", F.col("value").alias("source"), "constraint_component")
+
+
+def q_qualified_card_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount: each customer
+    must have >= 3 finished ('F') orders and <= 4 open ('O') orders.
+    Both qualified counts share ONE hash aggregation over o_custkey
+    (one shuffle for the whole shape); the universe join still catches
+    zero-order customers on the min side."""
+    o = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    shape = Shape(
+        "cust_qualified_shape",
+        (
+            QualifiedMinCount(
+                ("o_custkey",), 3, where="o_orderstatus = 'F'",
+                universe="cust_keys", column="o_orderkey",
+            ),
+            QualifiedMaxCount(
+                ("o_custkey",), 4, where="o_orderstatus = 'O'",
+                column="o_orderkey",
+            ),
+        ),
+    )
+    engine = ValidationEngine(
+        spark,
+        dims={"cust_keys": cust.select(F.col("c_custkey").alias("o_custkey"))},
+    )
+    rep = engine.validate(o, [shape], key_cols=["o_orderkey", "o_custkey"])
+    return rep.violations.select(
+        F.col("o_custkey").alias("custkey"),
+        "constraint_component",
+        F.element_at(F.col("context"), "actualCount").cast("int").alias("n_qualified"),
+    )
+
+
+def q_closed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:closed + sh:ignoredProperties (SHACL core): documents may only
+    carry (doc_id, text, lang, source) — rows with any other non-null
+    column violate, and the violation value names the offenders
+    (here: n_chars). One fused row scan, zero extra passes."""
+    d = _load(spark, sf_dir, "documents")
+    shape = Shape(
+        "doc_closed_shape",
+        (Closed(declared=("doc_id", "text", "lang", "source")),),
+    )
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select(
+        "doc_id", F.col("value").alias("open_props"), "constraint_component"
+    )
+
+
+def q_node_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:node (shape reference, SHACL core): documents must conform to
+    a referenced 'publishable' node shape (text >= 300 chars AND lang in
+    a Latin-script set). The referenced shape inlines into the same
+    fused scan — the indirection is free at runtime."""
+    d = _load(spark, sf_dir, "documents")
+    good = Shape(
+        "publishable_doc",
+        (MinLength("text", 300), InSet("lang", ("en", "fr", "de"))),
+    )
+    shape = Shape("doc_node_shape", (NodeRef(good, column="text"),))
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select("doc_id", "constraint_component", "violation_type")
+
+
+def q_array_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-valued (array-column) property paths: cardinality, element
+    uniqueness, and a per-element forall predicate over the document's
+    word array — all JVM higher-order functions in ONE fused scan, no
+    explode, no shuffle, no UDF."""
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    shape = Shape(
+        "doc_words_shape",
+        (
+            ArrayMinCount("words", 20),
+            ArrayMaxCount("words", 90),
+            ArrayUnique("words"),
+            ArrayAll("words", "length(x) <= 6"),
+        ),
+    )
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select("doc_id", "constraint_component", "violation_type")
 
 
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monotonic_events": q_monotonic_events,
         "q_logical_orders": q_logical_orders,
         "q_xone_orders": q_xone_orders,
+        "q_hasvalue_documents": q_hasvalue_documents,
+        "q_qualified_card_orders": q_qualified_card_orders,
+        "q_closed_documents": q_closed_documents,
+        "q_node_documents": q_node_documents,
+        "q_array_card_documents": q_array_card_documents,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1372,6 +1488,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, 'XoneConstraintComponent' AS constraint_component "
             "FROM orders WHERE (CAST(o_totalprice > 100000.0 AS INT) + "
             "CAST(o_orderstatus = 'O' AS INT)) <> 1"
+        ),
+        "q_hasvalue_documents": (
+            "SELECT doc_id, source, "
+            "'HasValueConstraintComponent' AS constraint_component "
+            "FROM documents WHERE lang = 'en' "
+            "AND (source IS NULL OR source <> 'src0')"
+        ),
+        "q_qualified_card_orders": (
+            "WITH per_cust AS (SELECT c_custkey, "
+            "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F') AS nf, "
+            "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'O') AS n_open FROM customer c) "
+            "SELECT c_custkey AS custkey, "
+            "'QualifiedMinCountConstraintComponent' AS constraint_component, "
+            "CAST(nf AS INT) AS n_qualified FROM per_cust WHERE nf < 3 "
+            "UNION ALL SELECT c_custkey, "
+            "'QualifiedMaxCountConstraintComponent', CAST(n_open AS INT) "
+            "FROM per_cust WHERE n_open > 4"
+        ),
+        "q_closed_documents": (
+            "SELECT doc_id, 'n_chars' AS open_props, "
+            "'ClosedConstraintComponent' AS constraint_component "
+            "FROM documents WHERE n_chars IS NOT NULL"
+        ),
+        "q_node_documents": (
+            "SELECT doc_id, 'NodeConstraintComponent' AS constraint_component, "
+            "'other' AS violation_type FROM documents "
+            "WHERE NOT ((text IS NULL OR length(text) >= 300) "
+            "AND (lang IS NULL OR lang IN ('en','fr','de')))"
+        ),
+        "q_array_card_documents": (
+            f"WITH w AS (SELECT doc_id, {_RAW_WORDS} AS words FROM documents) "
+            "SELECT doc_id, "
+            "'MinCountConstraintComponent' AS constraint_component, "
+            "'cardinality' AS violation_type FROM w WHERE len(words) < 20 "
+            "UNION ALL SELECT doc_id, 'MaxCountConstraintComponent', "
+            "'cardinality' FROM w WHERE len(words) > 90 "
+            "UNION ALL SELECT doc_id, 'UniquenessConstraintComponent', "
+            "'uniqueness' FROM w WHERE len(list_distinct(words)) <> len(words) "
+            "UNION ALL SELECT doc_id, 'ExprConstraintComponent', 'other' "
+            "FROM w WHERE len(list_filter(words, "
+            "x -> NOT coalesce(length(x) <= 6, false))) > 0"
         ),
         "q_violation_summary": (
             "SELECT * FROM ("

@@ -92,6 +92,16 @@ COMPONENT_VIOLATION_TYPE = {
     "OrConstraintComponent": ViolationType.LOGICAL,
     "XoneConstraintComponent": ViolationType.LOGICAL,
     "SPARQLConstraintComponent": ViolationType.OTHER,
+    # SHACL-core components outside the reference's recognized predicate
+    # set (extended_shacl_validator.py:88-107): its regex classifier
+    # (:260-285) maps Qualified{Min,Max}Count to cardinality (the
+    # `(MinCount|MaxCount)Constraint` pattern matches inside the longer
+    # name) and everything else to OTHER — mirrored here.
+    "QualifiedMinCountConstraintComponent": ViolationType.CARDINALITY,
+    "QualifiedMaxCountConstraintComponent": ViolationType.CARDINALITY,
+    "HasValueConstraintComponent": ViolationType.OTHER,
+    "ClosedConstraintComponent": ViolationType.OTHER,
+    "NodeConstraintComponent": ViolationType.OTHER,
     # north-rule components
     "UniquenessConstraintComponent": ViolationType.UNIQUENESS,
     "ReferentialConstraintComponent": ViolationType.REFERENTIAL,

@@ -311,6 +311,37 @@ class InSet(RowConstraint):
 
 
 @dataclass(frozen=True)
+class HasValue(RowConstraint):
+    """sh:hasValue: the focus node must have `value` among its values.
+
+    Unlike the value-testing components, hasValue asserts PRESENCE, so
+    an absent (NULL) value IS a violation (SHACL core semantics — the
+    reference delegates evaluation to pyshacl,
+    extended_shacl_validator.py:161-181; hasValue is outside its
+    recognized predicate set :88-107 and classifies as OTHER :158-159).
+    On an array (multi-valued path) column the check is membership.
+    """
+
+    column: str
+    value: object
+
+    def component(self) -> str:
+        return "HasValueConstraintComponent"
+
+    def params(self) -> dict:
+        return {"hasValue": self.value}
+
+    def ok(self, df: DataFrame) -> Column:
+        dt = dict(df.dtypes).get(self.column, "")
+        if dt.startswith("array"):
+            return F.coalesce(
+                F.array_contains(F.col(self.column), F.lit(self.value)),
+                F.lit(False),
+            )
+        return F.col(self.column).eqNullSafe(F.lit(self.value))
+
+
+@dataclass(frozen=True)
 class NodeKind(RowConstraint):
     """sh:nodeKind analog: for flat columns, 'value is a well-formed
     id/reference vs free text' via a regex (SURVEY.md §2A #5)."""
@@ -327,6 +358,193 @@ class NodeKind(RowConstraint):
 
     def ok(self, df: DataFrame) -> Column:
         return _null_ok(self.column, F.col(self.column).rlike(self.id_pattern))
+
+
+@dataclass(frozen=True)
+class Closed(RowConstraint):
+    """sh:closed + sh:ignoredProperties: the focus node carries no
+    properties beyond the declared set. Tabular analog: every column of
+    the table outside declared+ignored must be NULL; the violation value
+    names the offending non-null columns. Evaluated inside the same
+    fused row scan as every other row constraint (zero extra passes).
+    SHACL core (pyshacl-evaluated in the reference); outside the
+    reference's recognized predicate set -> OTHER.
+    """
+
+    declared: tuple
+    ignored: tuple = ()
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "ClosedConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "closed": True,
+            "declared": sorted(self.declared),
+            "ignoredProperties": sorted(self.ignored),
+        }
+
+    def _extra(self, df: DataFrame) -> list[str]:
+        keep = set(self.declared) | set(self.ignored)
+        return [c for c in df.columns if c not in keep]
+
+    def ok(self, df: DataFrame) -> Column:
+        cond = F.lit(True)
+        for c in self._extra(df):
+            cond = cond & F.col(c).isNull()
+        return cond
+
+    def value_col(self, df: DataFrame) -> Column:
+        extra = self._extra(df)
+        if not extra:
+            return F.lit(None).cast("string")
+        tags = F.array(
+            *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in extra]
+        )
+        return F.array_join(F.filter(tags, lambda x: x.isNotNull()), ",")
+
+
+@dataclass(frozen=True)
+class NodeRef(RowConstraint):
+    """sh:node: the value must conform to another (named) node shape.
+    In the flat-table model the referenced shape's row constraints are
+    inlined as a conjunction evaluated in the same fused scan — the
+    shape reference costs nothing at runtime. The referenced shape's
+    target (if any) is NOT applied: sh:node conformance is checked on
+    the value node itself, targets only select focus nodes.
+    SHACL core (pyshacl-evaluated in the reference).
+    """
+
+    shape: "Shape"
+    column: Optional[str] = None
+
+    def component(self) -> str:
+        return "NodeConstraintComponent"
+
+    def params(self) -> dict:
+        return {"node": self.shape.shape_id}
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+    def ok(self, df: DataFrame) -> Column:
+        cond = F.lit(True)
+        for c in self.shape.row_constraints():
+            cond = cond & c.ok(df)
+        return cond
+
+
+# --------------------------------------------------------------------------
+# multi-valued (array-column) property paths
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ArrayMinCount(RowConstraint):
+    """sh:minCount over a multi-valued property stored as an array
+    column: the row's array must carry >= min_count elements. A NULL
+    array is zero values (cardinality components see absence, unlike
+    the vacuous-pass value components)."""
+
+    column: str
+    min_count: int = 1
+
+    def component(self) -> str:
+        return "MinCountConstraintComponent"
+
+    def params(self) -> dict:
+        return {"minCount": self.min_count, "scope": "array"}
+
+    def _n(self) -> Column:
+        # size(NULL) is -1 under the legacy flag and NULL otherwise;
+        # normalize both to 0 values
+        n = F.size(F.col(self.column))
+        return F.when(n.isNull() | (n < 0), F.lit(0)).otherwise(n)
+
+    def ok(self, df: DataFrame) -> Column:
+        return self._n() >= F.lit(self.min_count)
+
+    def context_cols(self, df: DataFrame) -> dict[str, Column]:
+        return {
+            "minCount": F.lit(str(self.min_count)),
+            "actualCount": self._n().cast("string"),
+        }
+
+
+@dataclass(frozen=True)
+class ArrayMaxCount(RowConstraint):
+    """sh:maxCount over an array column (see ArrayMinCount)."""
+
+    column: str
+    max_count: int = 1
+
+    def component(self) -> str:
+        return "MaxCountConstraintComponent"
+
+    def params(self) -> dict:
+        return {"maxCount": self.max_count, "scope": "array"}
+
+    def _n(self) -> Column:
+        n = F.size(F.col(self.column))
+        return F.when(n.isNull() | (n < 0), F.lit(0)).otherwise(n)
+
+    def ok(self, df: DataFrame) -> Column:
+        return self._n() <= F.lit(self.max_count)
+
+    def context_cols(self, df: DataFrame) -> dict[str, Column]:
+        return {
+            "maxCount": F.lit(str(self.max_count)),
+            "actualCount": self._n().cast("string"),
+        }
+
+
+@dataclass(frozen=True)
+class ArrayUnique(RowConstraint):
+    """Per-row element uniqueness for a multi-valued path (the
+    sh:uniqueLang analog when the values live in one array cell):
+    the array must contain no duplicate elements. NULL array passes
+    vacuously."""
+
+    column: str
+
+    def component(self) -> str:
+        return "UniquenessConstraintComponent"
+
+    def params(self) -> dict:
+        return {"unique": self.column, "scope": "array"}
+
+    def ok(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        return c.isNull() | (
+            F.size(F.array_distinct(c)) == F.size(c)
+        )
+
+
+@dataclass(frozen=True)
+class ArrayAll(RowConstraint):
+    """Every element of an array column satisfies a SQL predicate over
+    the bound variable `x` (the sh:qualifiedValueShape-on-every-value /
+    per-element value-constraint analog for multi-valued paths).
+    Compiled to the JVM higher-order function `forall` — no UDF, no
+    explode, zero shuffles. NULL array passes vacuously; a NULL
+    predicate result (e.g. NULL element) counts as failing."""
+
+    column: str
+    predicate: str  # SQL boolean expr over `x`, e.g. "length(x) <= 6"
+
+    def component(self) -> str:
+        return "ExprConstraintComponent"
+
+    def params(self) -> dict:
+        return {"forall": self.predicate}
+
+    def ok(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        every = F.expr(
+            f"forall({self.column}, x -> coalesce(({self.predicate}), false))"
+        )
+        return c.isNull() | every
 
 
 @dataclass(frozen=True)
@@ -581,6 +799,43 @@ class GroupMaxCount(Constraint):
 
     def property_path(self) -> Optional[str]:
         return self.column or (self.where or None)
+
+
+@dataclass(frozen=True)
+class QualifiedMinCount(GroupMinCount):
+    """sh:qualifiedValueShape + sh:qualifiedMinCount: each group must
+    have >= min_count rows conforming to the qualifying predicate
+    (`where`, the flat-table rendering of the qualified value shape).
+    Shares the ONE hash aggregation per group key with every other
+    group-count constraint — the qualification is just another
+    count(when(...)) aggregate expression in the same pass. Classifies
+    as cardinality, matching the reference's regex classifier
+    (`(MinCount|MaxCount)Constraint`, extended_shacl_validator.py:262-268,
+    which 'QualifiedMinCountConstraintComponent' also matches)."""
+
+    def component(self) -> str:
+        return "QualifiedMinCountConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "qualifiedMinCount": self.min_count,
+            "qualifiedValueShape": self.where,
+        }
+
+
+@dataclass(frozen=True)
+class QualifiedMaxCount(GroupMaxCount):
+    """sh:qualifiedValueShape + sh:qualifiedMaxCount (see
+    QualifiedMinCount)."""
+
+    def component(self) -> str:
+        return "QualifiedMaxCountConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "qualifiedMaxCount": self.max_count,
+            "qualifiedValueShape": self.where,
+        }
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,17 @@ _CONSTRAINTS = {
 
 _NESTED_FIELDS = {"inner"}
 _NESTED_LIST_FIELDS = {"children"}
-_TUPLE_FIELDS = {"columns", "group_by", "ref_columns", "values", "baseline", "children"}
+_NESTED_SHAPE_FIELDS = {"shape"}  # NodeRef carries a whole referenced Shape
+_TUPLE_FIELDS = {
+    "columns",
+    "group_by",
+    "ref_columns",
+    "values",
+    "baseline",
+    "children",
+    "declared",
+    "ignored",
+}
 
 
 def constraint_to_dict(c: S.Constraint) -> dict:
@@ -49,6 +59,8 @@ def constraint_to_dict(c: S.Constraint) -> dict:
             v = constraint_to_dict(v)
         elif f.name in _NESTED_LIST_FIELDS and v is not None:
             v = [constraint_to_dict(x) for x in v]
+        elif f.name in _NESTED_SHAPE_FIELDS and v is not None:
+            v = shape_to_dict(v)
         elif isinstance(v, tuple):
             v = list(v)
         d[f.name] = v
@@ -68,6 +80,8 @@ def constraint_from_dict(d: dict) -> S.Constraint:
             v = constraint_from_dict(v)
         elif f.name in _NESTED_LIST_FIELDS and isinstance(v, list):
             v = tuple(constraint_from_dict(x) for x in v)
+        elif f.name in _NESTED_SHAPE_FIELDS and isinstance(v, dict):
+            v = shape_from_dict(v)
         elif f.name in _TUPLE_FIELDS and isinstance(v, list):
             v = tuple(v)
         kwargs[f.name] = v
