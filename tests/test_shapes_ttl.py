@@ -181,3 +181,19 @@ ex:S a sh:NodeShape ;
     assert kinds == {"Pattern", "MinLength", "MaxLength", "InSet"}
     pat = [c for c in s.constraints if isinstance(c, Pattern)][0]
     assert pat.pattern == "^[a-z]+$" and pat.flags == "i"
+
+
+def test_ttl_hasvalue():
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [
+    sh:path ex:status ;
+    sh:hasValue "active" ;
+  ] .
+"""
+    (s,) = shapes_from_ttl(ttl)
+    from xpshacl_spark.shapes import HasValue
+
+    assert s.constraints == (HasValue("status", "active"),)

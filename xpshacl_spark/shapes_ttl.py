@@ -344,6 +344,8 @@ def _property_constraints(
                 out.append(S.MaxLength(col, int(_py_value(obj))))
             elif pred == SH + "in" and isinstance(obj, list):
                 out.append(S.InSet(col, tuple(_py_value(o) for o in obj)))
+            elif pred == SH + "hasValue":
+                out.append(S.HasValue(col, _py_value(obj)))
             elif pred == SH + "languageIn" and isinstance(obj, list):
                 out.append(
                     S.InSet(
