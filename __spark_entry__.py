@@ -308,6 +308,50 @@ def q_array_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("doc_id", "constraint_component", "violation_type")
 
 
+def q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate (training-data pipeline): email/IPv4/phone
+    counts per document in one fused zero-shuffle scan. The raw corpus
+    is synthetic words, so deterministic PII strings are planted by
+    doc_id residue — exactly mirrored in the oracle."""
+    from xpshacl_spark.operators.text import pii_flags
+
+    d = _load(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    planted = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), ds, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" call +1(555)123-4467 ")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        pii_flags(planted, "text2")
+        .where(F.col("any_pii"))
+        .select("doc_id", "n_email", "n_ipv4", "n_phone")
+    )
+
+
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate-word
+    fraction (same scan) and per-document modal word (one hash agg on
+    (doc, word) with map-side combine — never a per-row quadratic
+    higher-order scan)."""
+    from xpshacl_spark.operators.text import repetition_stats
+
+    d = _load(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -976,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closed_documents": q_closed_documents,
         "q_node_documents": q_node_documents,
         "q_array_card_documents": q_array_card_documents,
+        "q_pii_documents": q_pii_documents,
+        "q_repetition_documents": q_repetition_documents,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1531,6 +1577,42 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'ExprConstraintComponent', 'other' "
             "FROM w WHERE len(list_filter(words, "
             "x -> NOT coalesce(length(x) <= 6, false))) > 0"
+        ),
+        "q_pii_documents": (
+            "WITH planted AS (SELECT doc_id, text || "
+            "(CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
+            "'@example.com now' ELSE '' END) || "
+            "(CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.' || (doc_id % 250) "
+            "ELSE '' END) || "
+            "(CASE WHEN doc_id % 13 = 0 THEN ' call +1(555)123-4467 ' "
+            "ELSE '' END) AS text2 FROM documents), "
+            "flags AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text2, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
+            "CAST(len(regexp_extract_all(text2, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text2, "
+            "'\\+\\d[\\d().-]{7,}\\d')) AS INT) AS n_phone FROM planted) "
+            "SELECT doc_id, n_email, n_ipv4, n_phone FROM flags "
+            "WHERE n_email > 0 OR n_ipv4 > 0 OR n_phone > 0"
+        ),
+        "q_repetition_documents": (
+            f"WITH w AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '), "
+            "x -> x <> '') AS ws FROM documents), "
+            "s AS (SELECT doc_id, len(ws) AS n_words, "
+            "len(list_distinct(ws)) AS n_distinct FROM w), "
+            "pw AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+            "cnt AS (SELECT doc_id, word, count(*) AS wn FROM pw GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, word, wn FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY wn DESC, word ASC) AS rn FROM cnt) WHERE rn = 1) "
+            "SELECT s.doc_id, n_words, "
+            "round(CASE WHEN n_words = 0 THEN 0.0 "
+            "ELSE 1.0 - n_distinct / CAST(n_words AS DOUBLE) END, 6) "
+            "AS dup_word_frac, top.word AS top_word, "
+            "round(CASE WHEN n_words = 0 THEN 0.0 "
+            "ELSE wn / CAST(n_words AS DOUBLE) END, 6) AS top_word_frac "
+            "FROM s LEFT JOIN top ON s.doc_id = top.doc_id"
         ),
         "q_violation_summary": (
             "SELECT * FROM ("

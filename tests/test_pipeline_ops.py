@@ -587,3 +587,43 @@ def test_asof_join_inclusive_and_null(spark):
     out = asof_join(left, right, ["k"], "ts", "ts", "v", alias="av")
     got = {r.pid: r.av for r in out.collect()}
     assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_pii_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@corp.example.org today"),
+            (2, "server at 10.1.2.3 and 192.168.0.1"),
+            (3, "call +1(555)123-4467 anytime"),
+            (4, "nothing sensitive here"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.any_pii)
+        for r in tx.pii_flags(df, "text").collect()
+    }
+    assert got[1] == (1, 0, 0, True)
+    assert got[2] == (0, 2, 0, True)
+    assert got[3] == (0, 0, 1, True)
+    assert got[4] == (0, 0, 0, False)
+    assert got[5] == (0, 0, 0, False)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),
+            (2, "all words differ here"),
+            (3, "Tie tie BREAK break"),  # 2-2 tie -> lexicographically first
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in tx.repetition_stats(df).collect()}
+    assert got[1]["dup_word_frac"] == 0.5 and got[1]["top_word"] == "spam"
+    assert got[1]["top_word_frac"] == 0.75
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_word_frac"] == 0.25
+    assert got[3]["top_word"] == "break"  # normalized, tie -> min word
+    assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] == 0.0

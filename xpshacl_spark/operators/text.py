@@ -212,6 +212,98 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return analyze(df, text_col)
 
 
+# PII detection regexes, kept in the common Java-regex / RE2 subset so
+# the DuckDB oracle counts identically (no alternation whose greedy-vs-
+# leftmost-longest semantics could diverge between engines).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d().-]{7,}\d",
+}
+
+
+def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII indicator counts (emails, IPv4s, phone-like
+    numbers) + an `any_pii` gate column — the scrubbing/filter primitive
+    of a training-data pipeline. One fused zero-shuffle scan; counting
+    is non-overlapping leftmost matching in both Spark and the oracle."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = df.select(*df.columns, *counts)
+    any_pii = None
+    for name in PII_PATTERNS:
+        t = F.col(f"n_{name}") > 0
+        any_pii = t if any_pii is None else (any_pii | t)
+    return out.withColumn("any_pii", any_pii)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+
+    * dup_word_frac — fraction of word occurrences that are repeats
+      (1 - distinct/total), from array_distinct in the same scan;
+    * top_word / top_word_frac — the modal normalized word and its
+      occurrence fraction (boilerplate detector).
+
+    The mode needs per-(doc, word) counts: explode -> ONE hash
+    aggregation keyed by (doc, word) with map-side combine (the shuffle
+    carries distinct words per doc, not occurrences) -> max_by per doc.
+    A per-doc higher-order-function mode would be O(words x distinct)
+    per row — quadratic in document length — so the agg is the plan
+    that survives 10k-word web documents. Ties break to the
+    lexicographically smallest word (min_by on a (count desc, word)
+    struct via max_by on (count, reversed tie) is avoided: we order by
+    count then word in one struct comparison)."""
+    ws = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.filter(ws, lambda w: w != "").alias("_ws"),
+    )
+    scan = base.select(
+        id_col,
+        F.size("_ws").alias("n_words"),
+        F.size(F.array_distinct("_ws")).alias("n_distinct"),
+    )
+    per_word = (
+        base.select(id_col, F.explode("_ws").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    # max_by over a struct: count desc, then word asc (negate unavailable
+    # for strings, so invert by comparing on (wn, word) with word DESC
+    # inside max -> use min_by on (-wn, word))
+    top = per_word.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("word").alias("w"), F.col("wn").alias("n")),
+            F.struct((-F.col("wn")).alias("a"), F.col("word").alias("b")),
+        ).alias("_top")
+    )
+    joined = scan.join(top, id_col, "left")
+    nw = F.col("n_words").cast("double")
+    return joined.select(
+        id_col,
+        "n_words",
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("n_distinct") / nw
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.col("_top.w").alias("top_word"),
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.col("_top.n") / nw
+            ),
+            6,
+        ).alias("top_word_frac"),
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFrame:
     """Corpus vocabulary: the k most frequent normalized tokens as
     (token, n, rank), ties broken by token ascending.
