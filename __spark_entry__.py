@@ -352,6 +352,19 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d, "doc_id", "text")
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk pretraining layout): global
+    token prefix sum via range partition -> per-partition totals ->
+    driver exclusive prefix -> broadcast offsets -> PARTITIONED window.
+    Value-identical to a global ORDER BY window (the oracle) without
+    its one-task sort."""
+    from xpshacl_spark.operators.packing import pack_sequences
+    from xpshacl_spark.operators.text import token_count
+
+    d = _load(spark, sf_dir, "documents").withColumn("n_toks", token_count("text"))
+    return pack_sequences(d, "doc_id", "n_toks", budget=2048)
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -1022,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_card_documents": q_array_card_documents,
         "q_pii_documents": q_pii_documents,
         "q_repetition_documents": q_repetition_documents,
+        "q_pack_documents": q_pack_documents,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1613,6 +1627,15 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN n_words = 0 THEN 0.0 "
             "ELSE wn / CAST(n_words AS DOUBLE) END, 6) AS top_word_frac "
             "FROM s LEFT JOIN top ON s.doc_id = top.doc_id"
+        ),
+        "q_pack_documents": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            f"ELSE len({_RAW_WORDS}) END AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS cb FROM t) "
+            "SELECT doc_id, n_tokens, CAST(floor(cb / 2048) AS BIGINT) AS pack_id, "
+            "cb % 2048 AS pack_offset FROM c"
         ),
         "q_violation_summary": (
             "SELECT * FROM ("

@@ -627,3 +627,40 @@ def test_repetition_stats(spark):
     assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_word_frac"] == 0.25
     assert got[3]["top_word"] == "break"  # normalized, tie -> min word
     assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] == 0.0
+
+
+def test_pack_sequences_matches_global_prefix(spark):
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    rows = [(i, f"doc {i}", (i * 7) % 13 + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, n int")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "doc_id", "n", budget=20, n_partitions=7).collect()
+    }
+    # reference: plain python exclusive prefix sum in id order
+    run = 0
+    for i, _, n in rows:
+        assert got[i] == (run // 20, run % 20), i
+        run += n
+    assert len(got) == 101
+
+
+def test_pack_sequences_excludes_null_ids_and_tokens(spark):
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 5), (3, None), (4, 5)], "doc_id int, n int"
+    )
+    out = pack_sequences(df, "doc_id", "n", budget=8, n_partitions=2).collect()
+    assert {r.doc_id for r in out} == {1, 4}
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in out}
+    assert got[1] == (0, 0) and got[4] == (0, 5)
+
+
+def test_pack_sequences_bad_budget(spark):
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 2)], "doc_id int, n int")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n", budget=0)

@@ -248,3 +248,19 @@ def test_interval_join_is_equi_join(spark):
     plan = _plan(interval_join(pts, iv, "ts", "a", "b", keys=["k"]))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """pack_sequences' prefix sum must stay partition-parallel: the
+    window is PARTITIONED by the range-partition id, so the plan may
+    never funnel the corpus through a single-partition exchange (the
+    global ORDER BY window it is value-equivalent to would)."""
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, (i * 3) % 11 + 1) for i in range(200)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "doc_id", "n", budget=64, n_partitions=8)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the partitioned local-cumsum window
