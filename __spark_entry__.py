@@ -365,6 +365,56 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "doc_id", "n_toks", budget=2048)
 
 
+def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, DuckDB-oracled: the events table replayed
+    through a file-stream source -> watermarked tumbling-window
+    sh:maxCount (windowed_max_count) -> append-mode memory sink with
+    Trigger.AvailableNow. Append mode emits exactly the windows the
+    final watermark (max event time - 1h) has closed, which the oracle
+    reproduces as `window_end <= max(ts) - 1h` — so the streaming
+    engine's late-data semantics themselves are value-verified, not
+    just unit-tested. Timestamps compare as epoch seconds (tz-proof
+    across engines)."""
+    import tempfile
+    import uuid
+
+    from xpshacl_spark.shapes import GroupMaxCount
+    from xpshacl_spark.streaming import windowed_max_count
+
+    # file-stream sources need a DIRECTORY; the testdata table is a
+    # single file, so stream from a symlink in a fresh temp dir
+    src = tempfile.mkdtemp(prefix="xp_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
+    )
+    ck = tempfile.mkdtemp(prefix="xp_stream_ck_")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    shape = Shape("evt_hourly_rate", (GroupMaxCount(("event_type",), 2),))
+    v = windowed_max_count(
+        stream, shape, ts_col="ts", window_duration="1 hour", watermark="1 hour"
+    )
+    name = "winviol_" + uuid.uuid4().hex[:8]
+    q = (
+        v.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type",
+        F.col("window_start").cast("long").alias("window_start_unix"),
+        F.element_at(F.col("context"), "actualCount").cast("int").alias("n_events"),
+    )
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -1036,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_documents": q_pii_documents,
         "q_repetition_documents": q_repetition_documents,
         "q_pack_documents": q_pack_documents,
+        "q_stream_window_events": q_stream_window_events,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1627,6 +1678,13 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN n_words = 0 THEN 0.0 "
             "ELSE wn / CAST(n_words AS DOUBLE) END, 6) AS top_word_frac "
             "FROM s LEFT JOIN top ON s.doc_id = top.doc_id"
+        ),
+        "q_stream_window_events": (
+            "WITH mx AS (SELECT epoch(max(ts)) AS m FROM events), "
+            "w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wsu, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT event_type, wsu AS window_start_unix, CAST(n AS INT) AS n_events "
+            "FROM w, mx WHERE n > 2 AND wsu + 3600 <= m - 3600"
         ),
         "q_pack_documents": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
