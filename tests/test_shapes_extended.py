@@ -234,3 +234,44 @@ def test_new_kinds_json_roundtrip():
         )
     ]
     assert shapes_from_json(shapes_to_json(shapes)) == shapes
+
+
+# ---------------------------------------------------------------------------
+# explanation pipeline handles the new components end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_new_components_explain_end_to_end(spark, docs):
+    import json
+
+    from xpshacl_spark.explain.pipeline import Explainer
+
+    shapes = [
+        Shape("src_shape", (HasValue("source", "web"),)),  # doc 3 is 'crawl'
+        Shape(
+            "closed_shape",
+            (Closed(declared=("doc_id", "text", "lang", "source", "words")),),
+        ),
+        Shape(
+            "qual_shape",
+            (QualifiedMinCount(("lang",), 2, where="source = 'web'"),),
+        ),
+    ]
+    rep = ValidationEngine(spark).validate(docs, shapes, key_cols=["doc_id"])
+    ex = Explainer(spark)
+    expl = ex.explain(rep, shapes, df=docs, languages=["en"]).collect()
+    comps = {r["constraint_component"] for r in expl}
+    assert "HasValueConstraintComponent" in comps
+    assert "ClosedConstraintComponent" in comps
+    assert "QualifiedMinCountConstraintComponent" in comps
+    for r in expl:
+        assert r["natural_language_explanation"]
+        tree = json.loads(r["justification_tree"])
+        assert tree["justification"]["children"], r["constraint_component"]
+    # the qualified tree reuses the cardinality grammar (substring match
+    # on MinCountConstraintComponent, as in the reference classifier)
+    qual = [
+        r for r in expl
+        if r["constraint_component"] == "QualifiedMinCountConstraintComponent"
+    ][0]
+    assert "values for property" in json.dumps(json.loads(qual["justification_tree"]))
