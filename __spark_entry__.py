@@ -415,6 +415,48 @@ def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (session_window + watermark),
+    value-oracled: append mode emits exactly the sessions whose end
+    (last event + gap) the final watermark passed; the oracle rebuilds
+    them with the batch lag+cumsum idiom and the same watermark cut."""
+    import tempfile
+    import uuid
+
+    from xpshacl_spark.streaming import windowed_session_counts
+
+    src = tempfile.mkdtemp(prefix="xp_sess_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
+    )
+    ck = tempfile.mkdtemp(prefix="xp_sess_ck_")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = windowed_session_counts(
+        stream, ["user_id"], ts_col="ts", gap="30 minutes", watermark="1 hour"
+    )
+    name = "sessviol_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_unix"),
+        F.col("session_end").cast("long").alias("session_end_unix"),
+        "n_events",
+    )
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -1087,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_documents": q_repetition_documents,
         "q_pack_documents": q_pack_documents,
         "q_stream_window_events": q_stream_window_events,
+        "q_stream_sessions": q_stream_sessions,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1685,6 +1728,21 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
             "SELECT event_type, wsu AS window_start_unix, CAST(n AS INT) AS n_events "
             "FROM w, mx WHERE n > 2 AND wsu + 3600 <= m - 3600"
+        ),
+        "q_stream_sessions": (
+            "WITH mx AS (SELECT epoch(max(ts)) AS m FROM events), "
+            "s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS nb "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "x AS (SELECT user_id, ts, sum(nb) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS sidx FROM s), "
+            "g AS (SELECT user_id, sidx, count(*) AS n_events, "
+            "CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_unix, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end_unix, "
+            "epoch(max(ts)) + 1800 AS en FROM x GROUP BY 1, 2) "
+            "SELECT user_id, session_start_unix, session_end_unix, n_events "
+            "FROM g, mx WHERE en <= m - 3600"
         ),
         "q_pack_documents": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "

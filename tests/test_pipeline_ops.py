@@ -664,3 +664,21 @@ def test_pack_sequences_bad_budget(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id int, n int")
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n", budget=0)
+
+
+def test_lsh_plan_tradeoffs():
+    from xpshacl_spark.operators.dedup import lsh_plan
+
+    # high threshold -> prefers more rows per band (sharper S-curve)
+    hi = lsh_plan(0.9, num_hashes=16)
+    lo = lsh_plan(0.3, num_hashes=16)
+    assert hi["rows_per_band"] >= lo["rows_per_band"]
+    assert hi["bands"] * hi["rows_per_band"] == 16
+    assert hi["p_at_threshold"] >= 0.9 or hi == max(
+        [hi], key=lambda o: o["p_at_threshold"]
+    )
+    # probabilities follow the S-curve formula exactly
+    b, r = lo["bands"], lo["rows_per_band"]
+    assert lo["p_at_threshold"] == 1.0 - (1.0 - 0.3**r) ** b
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)

@@ -283,6 +283,44 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 8,
+    target_recall: float = 0.9,
+) -> dict:
+    """Pick the (bands, rows_per_band) factorization of `num_hashes`
+    for a Jaccard threshold: candidate-pair probability for similarity
+    s is p(s) = 1 - (1 - s^r)^b (standard S-curve; Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets ch.3). Among factorizations with
+    p(threshold) >= target_recall, choose the one with the LOWEST
+    false-positive mass (p at 0.5*threshold) — fewer candidates = a
+    smaller bucket self-join, the cost driver at 100 TB. Falls back to
+    the max-recall factorization when none meets the target.
+
+    Driver-side arithmetic over <= num_hashes options; returns
+    {"bands", "rows_per_band", "p_at_threshold", "p_at_half"}.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    opts = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        p_t = 1.0 - (1.0 - threshold**r) ** b
+        p_h = 1.0 - (1.0 - (0.5 * threshold) ** r) ** b
+        opts.append({
+            "bands": b,
+            "rows_per_band": r,
+            "p_at_threshold": p_t,
+            "p_at_half": p_h,
+        })
+    good = [o for o in opts if o["p_at_threshold"] >= target_recall]
+    if good:
+        return min(good, key=lambda o: o["p_at_half"])
+    return max(opts, key=lambda o: o["p_at_threshold"])
+
+
 def lsh_bands(
     sig: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:

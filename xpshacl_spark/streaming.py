@@ -266,6 +266,39 @@ def windowed_min_count(
     )
 
 
+def windowed_session_counts(
+    stream_df: DataFrame,
+    group_by: Sequence[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time SESSION windows (gap-based sessionization) on a
+    stream: per (group, session) event counts with session bounds,
+    where a session's end = last event + gap (Spark session_window
+    semantics). Emitted in append mode once the watermark passes the
+    session end, i.e. the gap has provably elapsed.
+
+    This is the streaming twin of operators.sessions.sessionize (the
+    batch lag+cumsum plan); the batch form labels sessions with a
+    per-group index, the stream form identifies them by their bounds
+    (a stream cannot know a session's ordinal without total history).
+    State is bounded: one open session struct per active group, closed
+    by the watermark. Value-oracled end-to-end in
+    __spark_entry__.q_stream_sessions."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("_w"), *group_by)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *group_by,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_max_count(
     stream_df: DataFrame,
     shape: Shape,
