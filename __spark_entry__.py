@@ -585,6 +585,20 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synth_media(d), every_n=30, fps=30, max_frames=16)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded media features: clamp the longest
+    side to 256 preserving aspect ratio — pure column math over the
+    deterministic decode stub."""
+    from xpshacl_spark.operators.multimodal import (
+        decode_media,
+        resize_plan,
+        synth_media,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    return resize_plan(decode_media(synth_media(d)), max_side=256)
+
+
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass column profiler (relation form, exact distinct
     for oracle parity; the engine's dict form uses HLL sketches)."""
@@ -1141,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
         "q_media_features": q_media_features,
         "q_media_frames": q_media_frames,
+        "q_media_resize": q_media_resize,
         "q_profile_stats": q_profile_stats,
         "q_signature_dedup": q_signature_dedup,
         "q_datatype_events": q_datatype_events,
@@ -1815,6 +1830,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id * 7) % 1024 + 16 AS INT) AS width, "
             "CAST((doc_id * 13) % 768 + 16 AS INT) AS height "
             "FROM documents"
+        ),
+        "q_media_resize": (
+            "WITH feat AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CAST((doc_id * 7) % 1024 + 16 AS INT) AS width, "
+            "CAST((doc_id * 13) % 768 + 16 AS INT) AS height FROM documents), "
+            "s AS (SELECT *, CASE WHEN greatest(width, height) <= 256 THEN 1.0 "
+            "ELSE 256 / CAST(greatest(width, height) AS DOUBLE) END AS sc "
+            "FROM feat) "
+            "SELECT media_id, kind, width, height, round(sc, 6) AS scale, "
+            "CAST(floor(width * sc) AS INT) AS out_width, "
+            "CAST(floor(height * sc) AS INT) AS out_height FROM s"
         ),
         "q_media_frames": (
             "WITH v AS (SELECT doc_id, "
