@@ -477,3 +477,18 @@ def test_explainer_end_to_end(spark, tmp_path):
         if x["language"] == "en"
     ][0]["natural_language_explanation"]
     assert en1 == en2
+
+
+def test_similar_cases_batch_null_key_ordering(spark):
+    """Batch path must mirror Spark's NULLS FIRST ascending order."""
+    from xpshacl_spark.explain.context import similar_cases, similar_cases_batch
+
+    df = spark.createDataFrame(
+        [(None, 1, None), (2, 2, None), (1, 3, None)],
+        "conv_id int, turn_idx int, tool string",
+    )
+    spec = {"property_path": "tool", "target": None}
+    one = similar_cases(df, "tool", ["conv_id", "turn_idx"], limit=3)
+    batch = similar_cases_batch(df, [spec], ["conv_id", "turn_idx"], limit=3)[0]
+    assert batch == one
+    assert one[0]["node"].startswith("conv_id=None")  # NULLS FIRST

@@ -682,3 +682,12 @@ def test_lsh_plan_tradeoffs():
     assert lo["p_at_threshold"] == 1.0 - (1.0 - 0.3**r) ** b
     with pytest.raises(ValueError):
         lsh_plan(0.0)
+
+
+def test_pack_sequences_empty_preserves_id_type(spark):
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id string, n int")
+    out = pack_sequences(df, "doc_id", "n", budget=8)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() == 0

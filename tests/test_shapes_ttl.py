@@ -197,3 +197,57 @@ ex:S a sh:NodeShape ;
     from xpshacl_spark.shapes import HasValue
 
     assert s.constraints == (HasValue("status", "active"),)
+
+
+def test_ttl_targetnode_skips_without_mapping():
+    """A targetNode shape with no row mapping must be SKIPPED, not
+    silently validated against every row."""
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetNode ex:alice ;
+  sh:property [ sh:path ex:age ; sh:minCount 1 ] .
+"""
+    imp = import_ttl(ttl)
+    assert imp.shapes == []
+    assert any("target kind not mapped" in r for _, _, r in imp.skipped)
+    # with a mapping, the shape imports scoped to the mapped predicate
+    imp2 = import_ttl(ttl, target_map={"alice": "name = 'alice'"})
+    (s,) = imp2.shapes
+    assert s.target == "name = 'alice'"
+
+
+def test_ttl_iri_values_project_to_local_names():
+    """sh:hasValue / sh:in with IRI objects must compare against the
+    tabular (local-name) form, matching the path/targetClass convention."""
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [ sh:path ex:gender ; sh:hasValue ex:Male ] ;
+  sh:property [ sh:path ex:status ; sh:in (ex:Active ex:Closed) ] .
+"""
+    (s,) = shapes_from_ttl(ttl)
+    from xpshacl_spark.shapes import HasValue, InSet
+
+    hv = [c for c in s.constraints if isinstance(c, HasValue)][0]
+    assert hv.value == "Male"
+    ins = [c for c in s.constraints if isinstance(c, InSet)][0]
+    assert ins.values == ("Active", "Closed")
+
+
+def test_ttl_escaped_backslash_in_pattern():
+    r"""Turtle 'a\\nb' is backslash+n (a regex newline CLASS, not a
+    literal newline) — single-pass unescaping must preserve it."""
+    ttl = r"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [ sh:path ex:code ; sh:pattern "a\\nb" ; sh:minLength 1 ] .
+"""
+    (s,) = shapes_from_ttl(ttl)
+    pat = [c for c in s.constraints if isinstance(c, Pattern)][0]
+    assert pat.pattern == "a\\nb"  # backslash + n survives

@@ -67,6 +67,28 @@ def ontology_fragments(row: dict, key_cols: Sequence[str]) -> list[str]:
     return frags
 
 
+def _case_candidates(
+    df: DataFrame, property_path: str, target: Optional[str]
+) -> DataFrame:
+    """The shared anti-join filter: same-population rows LACKING the
+    violated property (context_retriever.py:68-135). Single definition
+    so the one-shot and batch retrievals cannot drift."""
+    cand = df
+    if target:
+        cand = cand.where(F.expr(target))
+    return cand.where(F.col(property_path).isNull())
+
+
+def _render_nodes(rows, key_cols: Sequence[str], node_type: str) -> list[dict]:
+    return [
+        {
+            "node": ";".join(f"{k}={r[k]}" for k in key_cols),
+            "node_type": node_type,
+        }
+        for r in rows
+    ]
+
+
 def similar_cases(
     df: DataFrame,
     property_path: Optional[str],
@@ -75,16 +97,12 @@ def similar_cases(
     exclude: Optional[dict] = None,
     limit: int = 5,
 ) -> list[dict]:
-    """The similar-cases anti-join: same-population rows that LACK the
-    violated property, excluding the focus row itself
-    (context_retriever.py:68-135). Returns [{node, node_type}] dicts
-    mirroring the reference output shape."""
+    """The similar-cases anti-join, one retrieval (the batch form is
+    similar_cases_batch). Returns [{node, node_type}] dicts mirroring
+    the reference output shape."""
     if property_path is None or property_path not in df.columns:
         return []
-    cand = df
-    if target:
-        cand = cand.where(F.expr(target))
-    cand = cand.where(F.col(property_path).isNull())
+    cand = _case_candidates(df, property_path, target)
     if exclude:
         keep = F.lit(False)
         for k, v in exclude.items():
@@ -96,14 +114,7 @@ def similar_cases(
         .limit(limit)
         .collect()
     )
-    node_type = target or "row"
-    return [
-        {
-            "node": ";".join(f"{k}={r[k]}" for k in key_cols),
-            "node_type": node_type,
-        }
-        for r in rows
-    ]
+    return _render_nodes(rows, key_cols, target or "row")
 
 
 def similar_cases_batch(
@@ -132,11 +143,7 @@ def similar_cases_batch(
         pp = spec.get("property_path")
         if pp is None or pp not in df.columns:
             continue
-        cand = df
-        target = spec.get("target")
-        if target:
-            cand = cand.where(F.expr(target))
-        cand = cand.where(F.col(pp).isNull())
+        cand = _case_candidates(df, pp, spec.get("target"))
         branches.append(
             cand.select(F.lit(i).alias("_spec"), *key_cols)
             .orderBy(*key_cols)
@@ -148,15 +155,10 @@ def similar_cases_batch(
     for r in reduce(DataFrame.unionByName, branches).collect():
         by_spec.setdefault(r["_spec"], []).append(r)
     for i, rows in by_spec.items():
-        node_type = specs[i].get("target") or "row"
-        rows.sort(key=lambda r: tuple((r[k] is None, r[k]) for k in key_cols))
-        out[i] = [
-            {
-                "node": ";".join(f"{k}={r[k]}" for k in key_cols),
-                "node_type": node_type,
-            }
-            for r in rows
-        ]
+        # Spark's ascending orderBy is NULLS FIRST — mirror it exactly so
+        # the batch path returns the same ordering as similar_cases
+        rows.sort(key=lambda r: tuple((r[k] is not None, r[k]) for k in key_cols))
+        out[i] = _render_nodes(rows, key_cols, specs[i].get("target") or "row")
     return out
 
 

@@ -77,8 +77,21 @@ def pack_sequences(
         offsets.append((row["_pid"], run))
         run += row["_t"]
     if not offsets:
+        # preserve the INPUT id type in the empty result (a hardcoded
+        # type would break unionByName with a non-empty run's output)
+        from pyspark.sql import types as T
+
+        id_field = base.schema[id_col]
         return spark.createDataFrame(
-            [], f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_field.dataType, id_field.nullable),
+                    T.StructField("n_tokens", T.LongType()),
+                    T.StructField("pack_id", T.LongType()),
+                    T.StructField("pack_offset", T.LongType()),
+                ]
+            ),
         )
     off_df = F.broadcast(
         spark.createDataFrame(offsets, "_pid int, _part_off long")

@@ -130,6 +130,11 @@ def load_shapes(path: str, **ttl_kwargs) -> list[S.Shape]:
         from xpshacl_spark.shapes_ttl import shapes_from_ttl
 
         return shapes_from_ttl(text, **ttl_kwargs)
+    if ttl_kwargs:
+        raise TypeError(
+            f"{sorted(ttl_kwargs)} only apply to Turtle inputs; "
+            f"'{path}' is JSON"
+        )
     return shapes_from_json(text)
 
 

@@ -208,11 +208,15 @@ class _Parser:
             return items
         if t.startswith('"'):
             value = t[3:-3] if t.startswith('"""') else t[1:-1]
-            value = (
-                value.replace('\\"', '"')
-                .replace("\\n", "\n")
-                .replace("\\t", "\t")
-                .replace("\\\\", "\\")
+            # single-pass unescape: sequential .replace() corrupts
+            # escaped backslashes ("a\\nb" — backslash, n — must stay
+            # a literal backslash + n, not become a newline)
+            value = re.sub(
+                r"\\(.)",
+                lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
+                    m.group(1), m.group(1)
+                ),
+                value,
             )
             datatype = lang = None
             if self._peek() == "^^":
@@ -281,6 +285,19 @@ def _py_value(obj: Node):
     return obj
 
 
+def _cell_value(obj: Node, column_map: dict):
+    """Value of a constraint object as it appears in a table CELL:
+    literals keep their typed value; IRI objects follow the module's
+    tabular convention (targetClass, paths) and project to the mapped
+    or local name — 'sh:hasValue ex:Male' must compare against 'Male',
+    not 'http://example.org/Male'."""
+    if isinstance(obj, Literal):
+        return _py_value(obj)
+    if isinstance(obj, str):
+        return column_map.get(obj, column_map.get(local_name(obj), local_name(obj)))
+    return obj
+
+
 @dataclass
 class TtlImport:
     shapes: list
@@ -343,9 +360,11 @@ def _property_constraints(
             elif pred == SH + "maxLength":
                 out.append(S.MaxLength(col, int(_py_value(obj))))
             elif pred == SH + "in" and isinstance(obj, list):
-                out.append(S.InSet(col, tuple(_py_value(o) for o in obj)))
+                out.append(
+                    S.InSet(col, tuple(_cell_value(o, column_map) for o in obj))
+                )
             elif pred == SH + "hasValue":
-                out.append(S.HasValue(col, _py_value(obj)))
+                out.append(S.HasValue(col, _cell_value(obj, column_map)))
             elif pred == SH + "languageIn" and isinstance(obj, list):
                 out.append(
                     S.InSet(
@@ -400,10 +419,27 @@ def import_ttl(
             target = target_map.get(
                 tc, target_map.get(local_name(tc))
             ) or f"{type_column} = '{local_name(tc)}'"
+        unmapped_target = None
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
-            if blank.first(SH + pred) is not None and pred != "targetClass":
-                if target is None:
-                    skipped.append((subj, SH + pred, "target kind not mapped"))
+            tn = blank.first(SH + pred)
+            if tn is None:
+                continue
+            if target is None:
+                mapped = target_map.get(
+                    str(tn), target_map.get(local_name(str(tn)))
+                )
+                if mapped:
+                    target = mapped
+                else:
+                    unmapped_target = SH + pred
+        if unmapped_target and target is None:
+            # a targeted shape without a row mapping must NOT silently
+            # validate every row — skip it and say so
+            skipped.append(
+                (subj, unmapped_target,
+                 "target kind not mapped (pass target_map=) — shape skipped")
+            )
+            continue
         # metadata
         message = None
         msg = blank.first(SH + "message")
