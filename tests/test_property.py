@@ -145,3 +145,63 @@ def test_connected_components_match_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+arrays = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)), max_size=6
+    ),
+)
+
+
+@given(
+    rows=st.lists(st.tuples(texts, arrays), min_size=1, max_size=20),
+    k=st.integers(min_value=0, max_value=4),
+)
+@SLOW
+def test_extended_row_checks_match_python_oracle(spark, rows, k):
+    """Round-2 components against a Python oracle: hasValue presence
+    semantics, closed offender detection, array cardinality/uniqueness/
+    forall with NULL arrays and NULL elements."""
+    from xpshacl_spark.shapes import (
+        ArrayAll,
+        ArrayMinCount,
+        ArrayUnique,
+        Closed,
+        HasValue,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, xs) for i, (t, xs) in enumerate(rows)],
+        "k int, t string, xs array<string>",
+    )
+    shape = Shape(
+        "ext",
+        (
+            HasValue("t", "a"),
+            Closed(declared=("k", "xs")),
+            ArrayMinCount("xs", k),
+            ArrayUnique("xs"),
+            ArrayAll("xs", "length(x) <= 1"),
+        ),
+    )
+    rep = ValidationEngine(spark).validate(df, [shape], key_cols=["k"])
+    got = {(r.k, r.constraint_component) for r in rep.violations.collect()}
+
+    expect = set()
+    for i, (t, xs) in enumerate(rows):
+        if t != "a":  # hasValue: NULL (absence) also violates
+            expect.add((i, "HasValueConstraintComponent"))
+        if t is not None:  # closed: non-null undeclared column t
+            expect.add((i, "ClosedConstraintComponent"))
+        n = 0 if xs is None else len(xs)
+        if n < k:
+            expect.add((i, "MinCountConstraintComponent"))
+        if xs is not None and len(set(map(repr, xs))) != len(xs):
+            expect.add((i, "UniquenessConstraintComponent"))
+        if xs is not None and any(
+            e is None or len(e) > 1 for e in xs
+        ):
+            expect.add((i, "ExprConstraintComponent"))
+    assert got == expect
