@@ -264,3 +264,19 @@ def test_pack_sequences_no_global_sort(spark):
     plan = _plan(out)
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan  # the partitioned local-cumsum window
+
+
+def test_repetition_stats_single_scan_no_join(spark, tmp_path):
+    """repetition_stats derives n_words/n_distinct from the same
+    (doc, word) counts relation as the modal word — the corpus is read
+    ONCE, with no join back (a second scan of a 100 TB text column
+    would double the job's IO)."""
+    from xpshacl_spark.operators.text import repetition_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b a") for i in range(10)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(p)
+    plan = _plan(repetition_stats(spark.read.parquet(p)))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -250,44 +250,45 @@ def repetition_stats(
     * top_word / top_word_frac — the modal normalized word and its
       occurrence fraction (boilerplate detector).
 
-    The mode needs per-(doc, word) counts: explode -> ONE hash
-    aggregation keyed by (doc, word) with map-side combine (the shuffle
-    carries distinct words per doc, not occurrences) -> max_by per doc.
-    A per-doc higher-order-function mode would be O(words x distinct)
-    per row — quadratic in document length — so the agg is the plan
-    that survives 10k-word web documents. Ties break to the
-    lexicographically smallest word (min_by on a (count desc, word)
-    struct via max_by on (count, reversed tie) is avoided: we order by
-    count then word in one struct comparison)."""
+    The mode needs per-(doc, word) counts, so the plan is ONE read of
+    the text column -> explode_outer (a NULL-word row keeps empty
+    documents alive) -> hash agg on (doc, word) with map-side combine
+    (the shuffle carries distinct words per doc, not occurrences) ->
+    per-doc agg deriving n_words = sum(counts) and n_distinct =
+    count(*) from the SAME relation — no second scan of the corpus and
+    no join back. A per-doc higher-order-function mode would be
+    O(words x distinct) per row — quadratic in document length — so
+    the agg is the plan that survives 10k-word web documents. Ties
+    break to the lexicographically smallest word via min_by on a
+    (-count, word) key; the NULL-word sentinel sorts last so it is
+    only chosen when the document has no words at all."""
     ws = F.split(normalize_text(text_col), " ")
-    base = df.select(
-        F.col(id_col),
-        F.filter(ws, lambda w: w != "").alias("_ws"),
-    )
-    scan = base.select(
-        id_col,
-        F.size("_ws").alias("n_words"),
-        F.size(F.array_distinct("_ws")).alias("n_distinct"),
-    )
     per_word = (
-        base.select(id_col, F.explode("_ws").alias("word"))
+        df.select(
+            F.col(id_col),
+            F.explode_outer(F.filter(ws, lambda w: w != "")).alias("word"),
+        )
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("wn"))
     )
-    # max_by over a struct: count desc, then word asc (negate unavailable
-    # for strings, so invert by comparing on (wn, word) with word DESC
-    # inside max -> use min_by on (-wn, word))
+    real = F.col("word").isNotNull()
     top = per_word.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("wn")).otherwise(0)).alias("n_words"),
+        F.count(F.when(real, 1)).alias("n_distinct"),
         F.min_by(
-            F.struct(F.col("word").alias("w"), F.col("wn").alias("n")),
-            F.struct((-F.col("wn")).alias("a"), F.col("word").alias("b")),
-        ).alias("_top")
+            F.when(real, F.struct(F.col("word").alias("w"), F.col("wn").alias("n"))),
+            # key: non-null words first, then count desc, then word asc
+            F.struct(
+                F.col("word").isNull().alias("z"),
+                (-F.col("wn")).alias("a"),
+                F.col("word").alias("b"),
+            ),
+        ).alias("_top"),
     )
-    joined = scan.join(top, id_col, "left")
     nw = F.col("n_words").cast("double")
-    return joined.select(
+    return top.select(
         id_col,
-        "n_words",
+        F.col("n_words").cast("int").alias("n_words"),
         F.round(
             F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
                 1.0 - F.col("n_distinct") / nw
