@@ -251,3 +251,49 @@ ex:S a sh:NodeShape ;
     (s,) = shapes_from_ttl(ttl)
     pat = [c for c in s.constraints if isinstance(c, Pattern)][0]
     assert pat.pattern == "a\\nb"  # backslash + n survives
+
+
+def test_rdf_data_table_from_reference_file(spark):
+    """File-to-file parity with the reference CLI: its own
+    example_data.ttl + example_shapes.ttl through our engine reproduce
+    the README worked example (README.md:174-216) — 4 violations."""
+    from xpshacl_spark.rdf_data import align_to_shapes, read_rdf_table
+
+    df = read_rdf_table(spark, "/root/reference/data/example_data.ttl")
+    assert dict(df.dtypes) == {
+        "id": "string", "rdf_type": "string", "hasAge": "bigint",
+        "hasName": "string",
+    }
+    rows = {r.id: r.asDict() for r in df.collect()}
+    assert rows["resource1"]["hasAge"] == -20
+    assert rows["resource3"]["hasName"] == "Example Org"
+
+    shapes = load_shapes("/root/reference/data/example_shapes.ttl")
+    # the graph has no foundedOn triple at all; alignment adds the
+    # absent-everywhere column so SHACL absence semantics apply
+    df = align_to_shapes(df, shapes)
+    rep = ValidationEngine(spark).validate(df, shapes, key_cols=["id"])
+    got = sorted(
+        (r["id"], r["constraint_component"]) for r in rep.violations.collect()
+    )
+    assert got == [
+        ("resource1", "MinCountConstraintComponent"),
+        ("resource1", "MinInclusiveConstraintComponent"),
+        ("resource2", "MinCountConstraintComponent"),
+        ("resource3", "MinCountConstraintComponent"),
+    ]
+
+
+def test_rdf_data_multivalued_predicate_becomes_array(spark):
+    from xpshacl_spark.rdf_data import rdf_table
+
+    ttl = """
+@prefix ex: <http://example.org/> .
+ex:d1 a ex:Doc ; ex:tag "a" ; ex:tag "b" ; ex:n 3 .
+ex:d2 a ex:Doc ; ex:tag "c" ; ex:n 4 .
+"""
+    df = rdf_table(spark, ttl)
+    assert dict(df.dtypes)["tag"] == "array<string>"
+    rows = {r.id: r.asDict() for r in df.collect()}
+    assert rows["d1"]["tag"] == ["a", "b"] and rows["d2"]["tag"] == ["c"]
+    assert rows["d1"]["n"] == 3
