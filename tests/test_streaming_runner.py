@@ -262,3 +262,28 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     )
     assert proc.returncode == 3, proc.stderr[-3000:]
     assert os.path.isdir(f"{out}/violations") and os.path.isdir(f"{out}/manifest")
+
+
+def test_runner_cli_ttl_data_and_shapes(spark, tmp_path):
+    """The reference CLI's exact entry shape — Turtle data + Turtle
+    shapes — through our runner: the README worked example's violation
+    counts come out of the JSON summary."""
+    from xpshacl_spark import runner
+
+    out = str(tmp_path / "ttl_out")
+    rc = runner.main(
+        [
+            "--input", "/root/reference/data/example_data.ttl",
+            "--shapes", "/root/reference/data/example_shapes.ttl",
+            "--output", out,
+        ]
+    )
+    assert rc == 3  # violations found
+    v = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{out}/violations"
+    )
+    assert v.count() == 4
+    got = {
+        (r["id"], r["constraint_component"]) for r in v.collect()
+    }
+    assert ("resource1", "MinInclusiveConstraintComponent") in got

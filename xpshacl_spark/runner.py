@@ -88,7 +88,17 @@ def main(argv=None) -> int:
     else:
         if not args.input:
             ap.error("--input is required unless --replay is given")
-        df = spark.read.parquet(args.input)
+        if args.input.endswith((".ttl", ".turtle")):
+            # the reference CLI's exact entry: --data D --shapes S, both
+            # Turtle (main.py:54-55); driver-side parse for file-sized
+            # graphs only (rdf_data docstring)
+            from xpshacl_spark.rdf_data import align_to_shapes, read_rdf_table
+
+            df = align_to_shapes(read_rdf_table(spark, args.input), shapes)
+            if args.key_cols == "conv_id,turn_idx":  # default is tabular
+                key_cols = ["id"]
+        else:
+            df = spark.read.parquet(args.input)
         report = runner.run(df, shapes, key_cols=key_cols)
 
     counts = report.counts().collect()
