@@ -297,3 +297,49 @@ ex:d2 a ex:Doc ; ex:tag "c" ; ex:n 4 .
     rows = {r.id: r.asDict() for r in df.collect()}
     assert rows["d1"]["tag"] == ["a", "b"] and rows["d2"]["tag"] == ["c"]
     assert rows["d1"]["n"] == 3
+
+
+def test_ttl_logical_constraints():
+    """Standard SHACL logical forms: sh:or/sh:xone lists of blank
+    shapes (each over its own path or the enclosing one) and sh:not."""
+    from xpshacl_spark.shapes import And, MaxLength, MinLength, Not, Or, Xone
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [
+    sh:path ex:code ;
+    sh:or ( [ sh:minLength 2 ] [ sh:maxLength 0 ] ) ;
+    sh:not [ sh:minLength 9 ; sh:maxLength 10 ] ;
+  ] ;
+  sh:property [
+    sh:path ex:kind ;
+    sh:xone ( [ sh:minLength 3 ] [ sh:path ex:alt ; sh:minLength 1 ] ) ;
+  ] .
+"""
+    (s,) = shapes_from_ttl(ttl)
+    by_type = {type(c): c for c in s.constraints}
+    assert by_type[Or].children == (MinLength("code", 2), MaxLength("code", 0))
+    assert by_type[Not].inner == And(
+        (MinLength("code", 9), MaxLength("code", 10)), column="code"
+    )
+    xone = by_type[Xone]
+    assert xone.children == (MinLength("kind", 3), MinLength("alt", 1))
+
+
+def test_ttl_deactivated_shape_skipped():
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:Off a sh:NodeShape ;
+  sh:deactivated true ;
+  sh:property [ sh:path ex:x ; sh:minCount 1 ] .
+ex:On a sh:NodeShape ;
+  sh:property [ sh:path ex:y ; sh:minCount 1 ] .
+"""
+    imp = import_ttl(ttl)
+    assert [s.shape_id for s in imp.shapes] == ["http://example.org/On"]
+    assert any("deactivated" in r for _, _, r in imp.skipped)

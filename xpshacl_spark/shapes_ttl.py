@@ -304,6 +304,34 @@ class TtlImport:
     skipped: list  # [(shape_id, predicate, reason)]
 
 
+def _child_constraint(
+    obj, col: str, column_map: dict, skipped: list, shape_id: str
+):
+    """One child of a logical list: a blank shape block, compiled over
+    its own sh:path if present else the enclosing column. Multiple
+    predicates in one child AND together (SHACL: a shape conforms when
+    ALL its constraints hold)."""
+    if not isinstance(obj, Blank):
+        skipped.append((shape_id, SH + "or", "non-blank logical child"))
+        return None
+    child_path = obj.first(SH + "path")
+    if isinstance(child_path, str):
+        child_col = column_map.get(
+            child_path,
+            column_map.get(local_name(child_path), local_name(child_path)),
+        )
+    else:
+        child_col = col
+    cs = [
+        c
+        for c in _block_constraints(obj, child_col, column_map, skipped, shape_id)
+        if isinstance(c, S.RowConstraint)
+    ]
+    if not cs:
+        return None
+    return cs[0] if len(cs) == 1 else S.And(tuple(cs), column=child_col)
+
+
 def _property_constraints(
     block: Blank, column_map: dict, skipped: list, shape_id: str
 ) -> list:
@@ -312,12 +340,23 @@ def _property_constraints(
         skipped.append((shape_id, SH + "path", "missing or non-IRI sh:path"))
         return []
     col = column_map.get(path, column_map.get(local_name(path), local_name(path)))
+    return _block_constraints(block, col, column_map, skipped, shape_id)
+
+
+def _block_constraints(
+    block: Blank, col: str, column_map: dict, skipped: list, shape_id: str
+) -> list:
     out: list = []
     pairs = {  # property-pair predicates -> constraint class
         SH + "equals": S.Equals,
         SH + "disjoint": S.Disjoint,
         SH + "lessThan": S.LessThan,
         SH + "lessThanOrEquals": S.LessThanOrEquals,
+    }
+    logical = {  # list-valued logical predicates -> constraint class
+        SH + "or": S.Or,
+        SH + "and": S.And,
+        SH + "xone": S.Xone,
     }
     flags = None
     fl = block.first(SH + "flags")
@@ -326,6 +365,27 @@ def _property_constraints(
     for pred, objs in block.props:
         for obj in objs:
             if pred == SH + "path" or pred == SH + "flags":
+                continue
+            if pred in logical and isinstance(obj, list):
+                children = tuple(
+                    c
+                    for c in (
+                        _child_constraint(o, col, column_map, skipped, shape_id)
+                        for o in obj
+                    )
+                    if c is not None
+                )
+                if children:
+                    out.append(logical[pred](children, column=col))
+                else:
+                    skipped.append((shape_id, pred, "no importable children"))
+                continue
+            if pred == SH + "not":
+                inner = _child_constraint(obj, col, column_map, skipped, shape_id)
+                if inner is not None:
+                    out.append(S.Not(inner, column=col))
+                else:
+                    skipped.append((shape_id, pred, "no importable inner shape"))
                 continue
             if pred == SH + "minCount":
                 if int(_py_value(obj)) >= 1:
@@ -411,6 +471,12 @@ def import_ttl(
             or blank.first(SH + "path") is not None
         )
         if not is_shape:
+            continue
+        deact = blank.first(SH + "deactivated")
+        if isinstance(deact, Literal) and _py_value(deact) is True:
+            # sh:deactivated true: the shape exists but must not be
+            # validated (SHACL core) — recorded, not compiled
+            skipped.append((subj, SH + "deactivated", "shape deactivated"))
             continue
         # target
         target = None
