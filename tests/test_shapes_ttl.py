@@ -343,3 +343,38 @@ ex:On a sh:NodeShape ;
     imp = import_ttl(ttl)
     assert [s.shape_id for s in imp.shapes] == ["http://example.org/On"]
     assert any("deactivated" in r for _, _, r in imp.skipped)
+
+
+def test_load_shapes_rejects_ttl_kwargs_for_json(tmp_path):
+    from xpshacl_spark.shapes import MinInclusive, Shape
+    from xpshacl_spark.shapes_io import save_shapes
+
+    p = str(tmp_path / "s.json")
+    save_shapes(p, [Shape("s", (MinInclusive("x", 0),))])
+    with pytest.raises(TypeError, match="Turtle"):
+        load_shapes(p, target_map={"a": "b"})
+
+
+def test_align_to_shapes_recurses_into_nested_shapes(spark):
+    from xpshacl_spark.rdf_data import align_to_shapes
+    from xpshacl_spark.shapes import (
+        ForeignKey,
+        MinLength,
+        NodeRef,
+        Not,
+        Shape,
+    )
+
+    df = spark.createDataFrame([(1,)], "id int")
+    shapes = [
+        Shape(
+            "s",
+            (
+                Not(MinLength("a", 1)),
+                NodeRef(Shape("inner", (MinLength("b", 1),))),
+                ForeignKey(("c",), "dim", ("k",)),
+            ),
+        )
+    ]
+    out = align_to_shapes(df, shapes)
+    assert set(out.columns) == {"id", "a", "b", "c"}
