@@ -20,6 +20,15 @@ from xpshacl_spark.model import (
 )
 from xpshacl_spark.shapes import (
     Shape,
+    HasValue,
+    Closed,
+    NodeRef,
+    QualifiedMinCount,
+    QualifiedMaxCount,
+    ArrayMinCount,
+    ArrayMaxCount,
+    ArrayUnique,
+    ArrayAll,
     Datatype,
     MinInclusive,
     MaxInclusive,
@@ -57,10 +66,21 @@ from xpshacl_spark.streaming import (
     validate_stream,
     windowed_max_count,
     windowed_min_count,
+    windowed_session_counts,
 )
 
 __all__ = [
     "ViolationType",
+    "HasValue",
+    "Closed",
+    "NodeRef",
+    "QualifiedMinCount",
+    "QualifiedMaxCount",
+    "ArrayMinCount",
+    "ArrayMaxCount",
+    "ArrayUnique",
+    "ArrayAll",
+    "windowed_session_counts",
     "VIOLATION_COLUMNS",
     "violation_struct_fields",
     "Shape",
