@@ -42,20 +42,30 @@ def write_bucketed(
     sort_cols: Optional[Sequence[str]] = None,
     path: Optional[str] = None,
     mode: str = "overwrite",
+    single_file_per_bucket: bool = True,
 ) -> DataFrame:
     """Persist `df` hash-bucketed by `bucket_cols` into catalog table
     `table` (external at `path` when given) and return the bucketed
     relation. One shuffle now, zero shuffles for every later equi-join
     or aggregation on the bucket key.
 
-    The pre-write repartition keeps exactly one file per bucket instead
-    of one per (task, bucket) — at 1000 writing tasks and 1024 buckets
-    that is the difference between 1024 files and a million.
+    single_file_per_bucket repartitions to exactly n_buckets write
+    tasks, so file count = n_buckets instead of (tasks x buckets) —
+    at 1000 writing tasks and 1024 buckets that is 1024 files vs a
+    million. It also makes each bucket ONE task's write: size
+    n_buckets so table_bytes / n_buckets stays in the low GBs, or pass
+    False to let every input task write its own per-bucket files
+    (more files, but bounded task sizes when n_buckets must stay small
+    to match an existing table's layout).
     """
     bucket_cols = list(bucket_cols)
-    writer = (
+    src = (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
-        .write.mode(mode)
+        if single_file_per_bucket
+        else df
+    )
+    writer = (
+        src.write.mode(mode)
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
     )
