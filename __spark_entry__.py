@@ -457,6 +457,38 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, value-oracled: orders and customer are
+    written bucketed on the join key (the one-time shuffle), then the
+    zero-Exchange bucketed sort-merge join aggregates spend per
+    high-order customer. Plan shape is pinned in test_bucketing; this
+    query pins the RESULT."""
+    import uuid
+
+    from xpshacl_spark.operators.bucketing import colocated_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    write_bucketed(o, f"bo_{tag}", ["custkey"], 8, sort_cols=["custkey"],
+                   path=f"/tmp/xp_bucketed/o_{tag}")
+    write_bucketed(c, f"bc_{tag}", ["custkey"], 8, sort_cols=["custkey"],
+                   path=f"/tmp/xp_bucketed/c_{tag}")
+    j = colocated_join(spark, f"bo_{tag}", f"bc_{tag}", ["custkey"])
+    return (
+        j.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .where(F.col("n_orders") >= 14)
+    )
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -1144,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_documents": q_pack_documents,
         "q_stream_window_events": q_stream_window_events,
         "q_stream_sessions": q_stream_sessions,
+        "q_bucketed_join_orders": q_bucketed_join_orders,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1743,6 +1776,12 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
             "SELECT event_type, wsu AS window_start_unix, CAST(n AS INT) AS n_events "
             "FROM w, mx WHERE n > 2 AND wsu + 3600 <= m - 3600"
+        ),
+        "q_bucketed_join_orders": (
+            "SELECT o_custkey AS custkey, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_spend "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "GROUP BY 1 HAVING count(*) >= 14"
         ),
         "q_stream_sessions": (
             "WITH mx AS (SELECT epoch(max(ts)) AS m FROM events), "
