@@ -463,22 +463,20 @@ def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-Exchange bucketed sort-merge join aggregates spend per
     high-order customer. Plan shape is pinned in test_bucketing; this
     query pins the RESULT."""
-    import uuid
-
     from xpshacl_spark.operators.bucketing import colocated_join, write_bucketed
 
-    tag = uuid.uuid4().hex[:8]
+    # fixed names + overwrite: repeated runs replace, never accumulate
     o = _load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
     c = _load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_acctbal"
     )
-    write_bucketed(o, f"bo_{tag}", ["custkey"], 8, sort_cols=["custkey"],
-                   path=f"/tmp/xp_bucketed/o_{tag}")
-    write_bucketed(c, f"bc_{tag}", ["custkey"], 8, sort_cols=["custkey"],
-                   path=f"/tmp/xp_bucketed/c_{tag}")
-    j = colocated_join(spark, f"bo_{tag}", f"bc_{tag}", ["custkey"])
+    write_bucketed(o, "xp_bucketed_orders", ["custkey"], 8,
+                   sort_cols=["custkey"], path="/tmp/xp_bucketed/orders")
+    write_bucketed(c, "xp_bucketed_customer", ["custkey"], 8,
+                   sort_cols=["custkey"], path="/tmp/xp_bucketed/customer")
+    j = colocated_join(spark, "xp_bucketed_orders", "xp_bucketed_customer", ["custkey"])
     return (
         j.groupBy("custkey")
         .agg(

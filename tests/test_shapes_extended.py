@@ -275,3 +275,32 @@ def test_new_components_explain_end_to_end(spark, docs):
         if r["constraint_component"] == "QualifiedMinCountConstraintComponent"
     ][0]
     assert "values for property" in json.dumps(json.loads(qual["justification_tree"]))
+
+
+def test_value_constraints_lift_over_array_columns(spark):
+    """SHACL: a value constraint applies to EVERY value node — on a
+    multi-valued (array) path the same MinLength/Pattern/InSet classes
+    check each element (forall), no separate array class needed."""
+    df = spark.createDataFrame(
+        [
+            (1, ["abc", "def"]),
+            (2, ["abc", "x"]),      # one too-short element
+            (3, None),               # no value nodes: vacuous pass
+            (4, ["ok", None]),       # NULL element = absent node: passes len>=2
+            (5, []),                 # zero value nodes: vacuous pass
+        ],
+        "id int, xs array<string>",
+    )
+    shape = Shape("s", (MinLength("xs", 2),))
+    v = _violations(spark, df, shape, ["id"]).violations
+    assert {r.id for r in v.collect()} == {2}
+
+    shape2 = Shape(
+        "s2",
+        (
+            # every element lowercase alpha; every element in the set
+            InSet("xs", ("abc", "def", "ok")),
+        ),
+    )
+    v2 = _violations(spark, df, shape2, ["id"]).violations
+    assert {r.id for r in v2.collect()} == {2}  # 'x' not in set

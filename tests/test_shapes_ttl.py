@@ -378,3 +378,80 @@ def test_align_to_shapes_recurses_into_nested_shapes(spark):
     ]
     out = align_to_shapes(df, shapes)
     assert set(out.columns) == {"id", "a", "b", "c"}
+
+
+def test_rdf_data_multitype_subject_raises_or_explodes(spark):
+    from xpshacl_spark.rdf_data import rdf_table
+
+    ttl = """
+@prefix ex: <http://example.org/> .
+ex:r1 a ex:Person, ex:Employee ; ex:hasAge 5 .
+ex:r2 a ex:Person .
+"""
+    with pytest.raises(ValueError, match="multiple rdf:type"):
+        rdf_table(spark, ttl)
+    df = rdf_table(spark, ttl, explode_types=True)
+    rows = {(r.id, r.rdf_type) for r in df.collect()}
+    assert rows == {("r1", "Person"), ("r1", "Employee"), ("r2", "Person")}
+    assert dict(df.dtypes)["rdf_type"] == "string"
+
+
+def test_rdf_data_local_name_collision_keeps_full_iris(spark):
+    from xpshacl_spark.rdf_data import rdf_table
+
+    ttl = """
+@prefix a: <http://a.org/> .
+@prefix b: <http://b.org/> .
+a:item1 a:p 1 .
+b:item1 a:p 2 .
+"""
+    df = rdf_table(spark, ttl)
+    ids = sorted(r.id for r in df.collect())
+    assert ids == ["http://a.org/item1", "http://b.org/item1"]
+    assert dict(df.dtypes)["p"] == "bigint"  # no phantom merge into array
+
+
+def test_ttl_not_xone_vacuous_on_absent_property(spark):
+    """SHACL parity: zero value nodes satisfy sh:not and sh:xone —
+    rows missing the property must NOT be flagged by imported shapes."""
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [
+    sh:path ex:code ;
+    sh:not [ sh:minLength 9 ] ;
+    sh:xone ( [ sh:minLength 3 ] [ sh:maxLength 1 ] ) ;
+  ] .
+"""
+    shapes = shapes_from_ttl(ttl)
+    df = spark.createDataFrame(
+        [(1, None), (2, "abcdefghij"), (3, "ab")],
+        "id int, code string",
+    )
+    rep = ValidationEngine(spark).validate(df, shapes, key_cols=["id"])
+    got = {(r.id, r.constraint_component) for r in rep.violations.collect()}
+    # row 1 (absent property) is clean; row 2 breaks sh:not; row 3
+    # matches NEITHER xone branch (len 2): exactly-one fails
+    assert got == {
+        (2, "NotConstraintComponent"),
+        (3, "XoneConstraintComponent"),
+    }
+
+
+def test_ttl_deactivated_property_shape_skipped():
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:property [ sh:deactivated true ; sh:path ex:x ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:y ; sh:minCount 1 ] .
+"""
+    imp = import_ttl(ttl)
+    (s,) = imp.shapes
+    from xpshacl_spark.shapes import NotNull
+
+    assert s.constraints == (NotNull("y"),)
+    assert any("property shape deactivated" in r for _, _, r in imp.skipped)

@@ -60,14 +60,23 @@ def rdf_table(
     id_column: str = "id",
     type_column: str = "rdf_type",
     column_map: Optional[dict] = None,
+    explode_types: bool = False,
 ) -> DataFrame:
     """Parse a Turtle document into a wide DataFrame (one row per
-    subject, sorted by id for determinism)."""
+    subject, sorted by id for determinism).
+
+    Subjects keep their local-name id unless two distinct IRIs share a
+    local name, in which case the colliding subjects keep their FULL
+    IRIs (never silently merged). A subject with multiple rdf:type
+    values raises unless explode_types=True, which duplicates the row
+    once per type — the tabular rendering of 'a node is a focus node of
+    every shape targeting any of its classes'.
+    """
     column_map = dict(column_map or {})
     rows: dict[str, dict] = {}
     multi: set[str] = set()
     for subj, props in _Parser(_tokenize(text)).parse():
-        row = rows.setdefault(local_name(subj), {})
+        row = rows.setdefault(subj, {})
         for pred, objs in props:
             if pred == RDF_TYPE:
                 col = type_column
@@ -85,6 +94,41 @@ def rdf_table(
                     multi.add(col)
                 else:
                     row[col] = val
+
+    # local-name ids, falling back to the full IRI on collision — two
+    # distinct subjects must never merge into one focus row
+    by_local: dict[str, list] = {}
+    for subj in rows:
+        by_local.setdefault(local_name(subj), []).append(subj)
+    ids = {
+        subj: (ln if len(subjs) == 1 else subj)
+        for ln, subjs in by_local.items()
+        for subj in subjs
+    }
+
+    # multi-typed subjects: rdf_type as an array would crash every
+    # targetClass equality filter — surface it instead
+    if type_column in multi:
+        if not explode_types:
+            bad = sorted(
+                ids[s] for s, r in rows.items()
+                if isinstance(r.get(type_column), list)
+            )
+            raise ValueError(
+                f"subjects with multiple rdf:type values: {bad[:5]} — pass "
+                "explode_types=True to duplicate each such row once per type"
+            )
+        exploded: dict[str, dict] = {}
+        for subj, r in rows.items():
+            tv = r.get(type_column)
+            if isinstance(tv, list):
+                for i, t in enumerate(tv):
+                    exploded[f"{subj}#t{i}"] = {**r, type_column: t}
+                    ids[f"{subj}#t{i}"] = ids[subj]
+            else:
+                exploded[subj] = r
+        rows = exploded
+        multi.discard(type_column)
 
     cols = sorted({c for r in rows.values() for c in r})
     fields = [T.StructField(id_column, T.StringType(), False)]
@@ -118,8 +162,8 @@ def rdf_table(
         return v
 
     data = [
-        tuple([sid] + [_cell(c, rows[sid].get(c)) for c in cols])
-        for sid in sorted(rows)
+        tuple([ids[subj]] + [_cell(c, rows[subj].get(c)) for c in cols])
+        for subj in sorted(rows, key=lambda s: (ids[s], s))
     ]
     return spark.createDataFrame(data, schema)
 

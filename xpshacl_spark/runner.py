@@ -81,6 +81,11 @@ def main(argv=None) -> int:
     elif args.incremental:
         if not args.input:
             ap.error("--input is required with --incremental")
+        if args.input.endswith((".ttl", ".turtle")):
+            ap.error(
+                "--incremental tracks parquet file lineage; Turtle inputs "
+                "are single-document graphs — run without --incremental"
+            )
         df = spark.read.parquet(args.input)
         report = runner.run_incremental(
             args.input, shapes, key_cols=key_cols, force=args.force_incremental

@@ -83,6 +83,34 @@ def _null_ok(col: str, cond: Column) -> Column:
     return F.col(col).isNull() | cond
 
 
+class ValueConstraint(RowConstraint):
+    """A value-testing constraint that applies to EVERY value node of
+    its path (SHACL property-shape semantics). Subclasses implement
+    `ok_value(v)` — the predicate over ONE value.
+
+    On a scalar column the path has at most one value node: NULL is
+    absence (vacuous pass), otherwise ok_value decides. On an array
+    column (a multi-valued path) the predicate must hold for every
+    element — compiled to the JVM higher-order `forall`, zero extra
+    scans; NULL elements are absent value nodes and pass vacuously,
+    mirroring the scalar rule. This is what makes `sh:minLength` et al
+    correct over repeated RDF predicates ingested as arrays
+    (rdf_data.rdf_table) without a separate array constraint class.
+    """
+
+    def ok_value(self, v: Column) -> Column:
+        raise NotImplementedError
+
+    def ok(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        dt = dict(df.dtypes).get(self.column, "")
+        if dt.startswith("array"):
+            return c.isNull() | F.forall(
+                c, lambda v: v.isNull() | self.ok_value(v)
+            )
+        return c.isNull() | self.ok_value(c)
+
+
 # --------------------------------------------------------------------------
 # row-level value constraints  (SURVEY.md §2A #3, #5-#12)
 # --------------------------------------------------------------------------
@@ -153,7 +181,7 @@ class NotNull(RowConstraint):
 
 
 @dataclass(frozen=True)
-class MinInclusive(RowConstraint):
+class MinInclusive(ValueConstraint):
     """sh:minInclusive (extended_shacl_validator.py:94; README worked
     example README.md:176-210)."""
 
@@ -166,12 +194,12 @@ class MinInclusive(RowConstraint):
     def params(self) -> dict:
         return {"minInclusive": self.bound}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column) >= F.lit(self.bound))
+    def ok_value(self, v: Column) -> Column:
+        return v >= F.lit(self.bound)
 
 
 @dataclass(frozen=True)
-class MaxInclusive(RowConstraint):
+class MaxInclusive(ValueConstraint):
     """sh:maxInclusive (extended_shacl_validator.py:96)."""
 
     column: str
@@ -183,12 +211,12 @@ class MaxInclusive(RowConstraint):
     def params(self) -> dict:
         return {"maxInclusive": self.bound}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column) <= F.lit(self.bound))
+    def ok_value(self, v: Column) -> Column:
+        return v <= F.lit(self.bound)
 
 
 @dataclass(frozen=True)
-class MinExclusive(RowConstraint):
+class MinExclusive(ValueConstraint):
     """sh:minExclusive (extended_shacl_validator.py:93)."""
 
     column: str
@@ -200,12 +228,12 @@ class MinExclusive(RowConstraint):
     def params(self) -> dict:
         return {"minExclusive": self.bound}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column) > F.lit(self.bound))
+    def ok_value(self, v: Column) -> Column:
+        return v > F.lit(self.bound)
 
 
 @dataclass(frozen=True)
-class MaxExclusive(RowConstraint):
+class MaxExclusive(ValueConstraint):
     """sh:maxExclusive (extended_shacl_validator.py:95)."""
 
     column: str
@@ -217,12 +245,12 @@ class MaxExclusive(RowConstraint):
     def params(self) -> dict:
         return {"maxExclusive": self.bound}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column) < F.lit(self.bound))
+    def ok_value(self, v: Column) -> Column:
+        return v < F.lit(self.bound)
 
 
 @dataclass(frozen=True)
-class Pattern(RowConstraint):
+class Pattern(ValueConstraint):
     """sh:pattern + sh:flags (extended_shacl_validator.py:97-98).
 
     Flags are folded into the Java regex as an inline group, e.g.
@@ -248,12 +276,12 @@ class Pattern(RowConstraint):
             return f"(?{self.flags}){self.pattern}"
         return self.pattern
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column).rlike(self._full_pattern()))
+    def ok_value(self, v: Column) -> Column:
+        return v.rlike(self._full_pattern())
 
 
 @dataclass(frozen=True)
-class MinLength(RowConstraint):
+class MinLength(ValueConstraint):
     """sh:minLength (exercised by the reference data generator,
     data/synthetic_data_generator.py:83)."""
 
@@ -266,12 +294,12 @@ class MinLength(RowConstraint):
     def params(self) -> dict:
         return {"minLength": self.length}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.length(self.column) >= F.lit(self.length))
+    def ok_value(self, v: Column) -> Column:
+        return F.length(v) >= F.lit(self.length)
 
 
 @dataclass(frozen=True)
-class MaxLength(RowConstraint):
+class MaxLength(ValueConstraint):
     """sh:maxLength (data/synthetic_data_generator.py:84, overlong-string
     injection :46-53)."""
 
@@ -284,12 +312,12 @@ class MaxLength(RowConstraint):
     def params(self) -> dict:
         return {"maxLength": self.length}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.length(self.column) <= F.lit(self.length))
+    def ok_value(self, v: Column) -> Column:
+        return F.length(v) <= F.lit(self.length)
 
 
 @dataclass(frozen=True)
-class InSet(RowConstraint):
+class InSet(ValueConstraint):
     """sh:in / sh:languageIn analog: membership in a small literal set
     (data/synthetic_data_generator.py:97). For membership against a
     *table*, use ForeignKey instead."""
@@ -306,8 +334,8 @@ class InSet(RowConstraint):
     def params(self) -> dict:
         return {"in": list(self.values)}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column).isin(*self.values))
+    def ok_value(self, v: Column) -> Column:
+        return v.isin(*self.values)
 
 
 @dataclass(frozen=True)
@@ -342,7 +370,7 @@ class HasValue(RowConstraint):
 
 
 @dataclass(frozen=True)
-class NodeKind(RowConstraint):
+class NodeKind(ValueConstraint):
     """sh:nodeKind analog: for flat columns, 'value is a well-formed
     id/reference vs free text' via a regex (SURVEY.md §2A #5)."""
 
@@ -356,8 +384,8 @@ class NodeKind(RowConstraint):
     def params(self) -> dict:
         return {"nodeKind": self.kind}
 
-    def ok(self, df: DataFrame) -> Column:
-        return _null_ok(self.column, F.col(self.column).rlike(self.id_pattern))
+    def ok_value(self, v: Column) -> Column:
+        return v.rlike(self.id_pattern)
 
 
 @dataclass(frozen=True)
@@ -655,6 +683,12 @@ class Not(RowConstraint):
 
     inner: RowConstraint
     column: Optional[str] = None
+    #: SHACL property-shape parity: with NO value nodes (NULL column)
+    #: sh:not is satisfied vacuously — the inner shape's vacuous pass
+    #: must not invert into a violation. Off by default (the engine's
+    #: native semantics treat Not as a plain row predicate flip, which
+    #: the existing oracled queries pin); the TTL importer turns it on.
+    vacuous_on_null: bool = False
 
     def component(self) -> str:
         return "NotConstraintComponent"
@@ -666,7 +700,10 @@ class Not(RowConstraint):
         return self.column or self.inner.property_path()
 
     def ok(self, df: DataFrame) -> Column:
-        return ~self.inner.ok(df)
+        base = ~self.inner.ok(df)
+        if self.vacuous_on_null and self.column:
+            return F.col(self.column).isNull() | base
+        return base
 
 
 @dataclass(frozen=True)
@@ -723,6 +760,11 @@ class Xone(RowConstraint):
 
     children: tuple
     column: Optional[str] = None
+    #: see Not.vacuous_on_null — on a NULL path every child passes
+    #: vacuously, making the conforming count len(children) != 1; SHACL
+    #: property-shape semantics say zero value nodes conform. The TTL
+    #: importer sets this; native shapes keep the plain count.
+    vacuous_on_null: bool = False
 
     def component(self) -> str:
         return "XoneConstraintComponent"
@@ -738,7 +780,10 @@ class Xone(RowConstraint):
         for c in self.children:
             t = c.ok(df).cast("int")
             total = t if total is None else total + t
-        return total == F.lit(1)
+        base = total == F.lit(1)
+        if self.vacuous_on_null and self.column:
+            return F.col(self.column).isNull() | base
+        return base
 
 
 # --------------------------------------------------------------------------

@@ -305,14 +305,15 @@ class TtlImport:
 
 
 def _child_constraint(
-    obj, col: str, column_map: dict, skipped: list, shape_id: str
+    obj, col: str, column_map: dict, skipped: list, shape_id: str,
+    pred: str,
 ):
     """One child of a logical list: a blank shape block, compiled over
     its own sh:path if present else the enclosing column. Multiple
     predicates in one child AND together (SHACL: a shape conforms when
     ALL its constraints hold)."""
     if not isinstance(obj, Blank):
-        skipped.append((shape_id, SH + "or", "non-blank logical child"))
+        skipped.append((shape_id, pred, "non-blank logical child"))
         return None
     child_path = obj.first(SH + "path")
     if isinstance(child_path, str):
@@ -346,6 +347,12 @@ def _property_constraints(
 def _block_constraints(
     block: Blank, col: str, column_map: dict, skipped: list, shape_id: str
 ) -> list:
+    deact = block.first(SH + "deactivated")
+    if isinstance(deact, Literal) and _py_value(deact) is True:
+        # sh:deactivated on a property shape (or logical child): the
+        # whole block produces no validation results (SHACL core)
+        skipped.append((shape_id, SH + "deactivated", "property shape deactivated"))
+        return []
     out: list = []
     pairs = {  # property-pair predicates -> constraint class
         SH + "equals": S.Equals,
@@ -370,20 +377,30 @@ def _block_constraints(
                 children = tuple(
                     c
                     for c in (
-                        _child_constraint(o, col, column_map, skipped, shape_id)
+                        _child_constraint(o, col, column_map, skipped, shape_id, pred)
                         for o in obj
                     )
                     if c is not None
                 )
                 if children:
-                    out.append(logical[pred](children, column=col))
+                    cls = logical[pred]
+                    if cls is S.Xone:
+                        # SHACL parity: zero value nodes conform
+                        out.append(cls(children, column=col, vacuous_on_null=True))
+                    else:
+                        out.append(cls(children, column=col))
                 else:
                     skipped.append((shape_id, pred, "no importable children"))
                 continue
             if pred == SH + "not":
-                inner = _child_constraint(obj, col, column_map, skipped, shape_id)
+                inner = _child_constraint(
+                    obj, col, column_map, skipped, shape_id, SH + "not"
+                )
                 if inner is not None:
-                    out.append(S.Not(inner, column=col))
+                    # SHACL parity: with no value nodes sh:not is
+                    # vacuously satisfied (the inner vacuous pass must
+                    # not invert into a violation)
+                    out.append(S.Not(inner, column=col, vacuous_on_null=True))
                 else:
                     skipped.append((shape_id, pred, "no importable inner shape"))
                 continue
@@ -443,8 +460,8 @@ def _block_constraints(
                 )
                 out.append(pairs[pred](col, other))
             elif pred in (SH + "message", SH + "name", SH + "description",
-                          RDFS_COMMENT, SH + "severity"):
-                pass  # metadata handled at shape level
+                          RDFS_COMMENT, SH + "severity", SH + "deactivated"):
+                pass  # metadata handled at shape/block level
             else:
                 skipped.append((shape_id, pred, "unrecognized predicate"))
     return out
