@@ -190,6 +190,88 @@ def run_scaling_worker(cpus: int, input_path: str) -> None:
     spark.stop()
 
 
+def _scaling_shards(n_convs: int, n_shards: int) -> list:
+    """Shard the scaling input by conv_id hash — whole conversations
+    stay together, so per-conv group/window/uniqueness checks are exact
+    per shard (the same property a real cluster gets from hash
+    partitioning the table by its group key)."""
+    root = f"/tmp/xpshacl_bench/shards_{n_convs}_{n_shards}"
+    paths = [f"{root}/s{i}" for i in range(n_shards)]
+    if not all(os.path.isdir(p) for p in paths):
+        from pyspark.sql import functions as F
+
+        spark = build_spark(32)
+        df = spark.read.parquet(_scaling_input(n_convs))
+        for i, p in enumerate(paths):
+            df.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)) == i
+            ).write.mode("overwrite").parquet(p)
+        spark.stop()
+    return paths
+
+
+def _spawn_worker(input_path: str):
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--_scaling-worker",
+         "1", input_path],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def _worker_result(proc) -> dict:
+    out, err = proc.communicate(timeout=1800)
+    lines = [l for l in out.splitlines() if l.startswith("SCALING_RESULT ")]
+    if not lines:
+        sys.stderr.write(out[-2000:] + err[-4000:])
+        raise RuntimeError("scaling worker failed")
+    return json.loads(lines[-1].removeprefix("SCALING_RESULT "))
+
+
+def run_scaling_procs(n_convs: int, n_procs: int = 4, reps: int = 3) -> None:
+    """Executors-as-PROCESSES protocol (closer to a real cluster than
+    threads): level N = one local[1] JVM validating the full input;
+    level 4N = n_procs CONCURRENT local[1] JVMs, each validating its
+    conv_id-hash shard — separate heaps (no shared-GC stalls), separate
+    scheduler state (no shared-JVM lock contention), exactly what
+    distinct executors on a cluster are. Per-level cost = validate time
+    only (startup/warmup excluded at BOTH levels, as in thread mode);
+    the 4N wall is the SLOWEST shard (the straggler defines a stage).
+    Levels interleave per rep and score by min, same noise protocol as
+    run_scaling."""
+    full = _scaling_input(n_convs)
+    shards = _scaling_shards(n_convs, n_procs)
+    ones, manys = [], []
+    n_turns_total = None
+    for _ in range(reps):
+        r1 = _worker_result(_spawn_worker(full))
+        ones.append(r1["sec"])
+        n_turns_total = r1["n_turns"]
+        procs = [_spawn_worker(p) for p in shards]
+        rs = [_worker_result(p) for p in procs]
+        manys.append(max(r["sec"] for r in rs))
+    t1, tn = min(ones), min(manys)
+    thr1 = n_turns_total / t1
+    thrn = n_turns_total / tn
+    eff = (thrn / thr1) / n_procs
+    print(json.dumps({
+        "metric": "scaling_efficiency_procs",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "protocol": "1 executor-process vs N concurrent executor-processes "
+                    "over conv_id-hash shards; per-level min over reps; "
+                    "wall at N = slowest shard",
+        "n_procs": n_procs,
+        "levels": {
+            "1": {"sec": round(t1, 3), "secs": sorted(round(s, 3) for s in ones),
+                  "turns_per_sec": round(thr1, 1)},
+            str(n_procs): {"sec": round(tn, 3),
+                           "secs": sorted(round(s, 3) for s in manys),
+                           "turns_per_sec": round(thrn, 1)},
+        },
+        "n_turns": n_turns_total,
+    }))
+
+
 def run_scaling(n_convs: int, levels=(1, 4), reps: int = 5) -> None:
     """Same job, same input, N vs 4N parallelism; `reps` fresh-JVM runs
     per level, scored by the MIN (the host VM is noisy — steal +
@@ -350,5 +432,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1200000"))
         run_scaling(n)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-procs":
+        n = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1200000"))
+        run_scaling_procs(n)
     else:
         run_default()

@@ -62,7 +62,11 @@ def pack_sequences(
 
     # 1. ascending id ranges per partition; cache so the totals pass and
     # the final pass see the SAME partitioning without recomputing the
-    # (possibly expensive) upstream plan twice
+    # (possibly expensive) upstream plan twice. localCheckpoint holds
+    # the (id, n_tokens) projection in executor storage — two narrow
+    # longs per row, ~16 bytes/doc, so even 10^10 docs fit a modest
+    # cluster; for larger-than-memory safety swap in a parquet
+    # write/read round-trip at the same point.
     ranged = (
         base.repartitionByRange(n_partitions, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
