@@ -352,6 +352,16 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d, "doc_id", "text")
 
 
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per-document mean
+    ln(corpus word frequency) — explode -> vocab join -> per-doc agg,
+    all keyed hash operations."""
+    from xpshacl_spark.operators.text import unigram_logprob
+
+    d = _load(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk pretraining layout): global
     token prefix sum via range partition -> per-partition totals ->
@@ -1172,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_documents": q_pii_documents,
         "q_repetition_documents": q_repetition_documents,
         "q_pack_documents": q_pack_documents,
+        "q_unigram_quality": q_unigram_quality,
         "q_stream_window_events": q_stream_window_events,
         "q_stream_sessions": q_stream_sessions,
         "q_bucketed_join_orders": q_bucketed_join_orders,
@@ -1795,6 +1806,15 @@ def oracle_sql() -> dict[str, str]:
             "epoch(max(ts)) + 1800 AS en FROM x GROUP BY 1, 2) "
             "SELECT user_id, session_start_unix, session_end_unix, n_events "
             "FROM g, mx WHERE en <= m - 3600"
+        ),
+        "q_unigram_quality": (
+            f"WITH w AS (SELECT doc_id, unnest(list_filter(string_split({_NORM}, ' '), "
+            "x -> x <> '')) AS word FROM documents), "
+            "v AS (SELECT word, count(*) AS wn FROM w GROUP BY 1), "
+            "t AS (SELECT sum(wn) AS t FROM v) "
+            "SELECT doc_id, CAST(count(*) AS INT) AS n_words, "
+            "round(avg(ln(wn / CAST(t AS DOUBLE))), 6) AS logprob "
+            "FROM w JOIN v USING (word), t GROUP BY doc_id"
         ),
         "q_pack_documents": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "

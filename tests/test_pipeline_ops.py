@@ -691,3 +691,18 @@ def test_pack_sequences_empty_preserves_id_type(spark):
     out = pack_sequences(df, "doc_id", "n", budget=8)
     assert dict(out.dtypes)["doc_id"] == "string"
     assert out.count() == 0
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the dog")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_words, r.logprob) for r in
+           tx.unigram_logprob(df).collect()}
+    # corpus: the=3, cat=1, dog=1, total=5
+    lp1 = (2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    lp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert got[1] == (3, round(lp1, 6))
+    assert got[2] == (2, round(lp2, 6))

@@ -305,6 +305,50 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_count: float = 0.5,
+) -> DataFrame:
+    """Corpus-relative unigram log-probability per document — the
+    CCNet/Gopher-style language-model quality filter with the LM
+    reduced to its unigram term (deterministic, no external model):
+
+        score(doc) = mean over word occurrences of
+                     ln(count(word) / total_words),
+
+    where counts come from THIS corpus (OOV impossible by construction;
+    `oov_count` substitutes when scoring against a FOREIGN vocabulary
+    via the optional join below). Low scores = rare-word soup
+    (boilerplate hashes, gibberish); high scores = common fluent text.
+
+    Plan: one explode -> (doc, word) counts are NOT needed — the word
+    relation joins the corpus vocabulary (a broadcast when small, a
+    plain shuffle join at web scale where the vocabulary itself is
+    big) and re-aggregates by doc: two hash aggs + one join, all keyed,
+    map-side combined. Returns (id, n_words, logprob)."""
+    ws = F.split(normalize_text(text_col), " ")
+    words_rel = df.select(
+        F.col(id_col),
+        F.explode(F.filter(ws, lambda w: w != "")).alias("word"),
+    )
+    vocab = words_rel.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    total = vocab.agg(F.sum("wn").alias("t"))
+    scored = (
+        words_rel.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.log(F.col("wn").cast("double") / F.col("t"))).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFrame:
     """Corpus vocabulary: the k most frequent normalized tokens as
     (token, n, rank), ties broken by token ascending.
