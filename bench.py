@@ -402,22 +402,24 @@ Reproduce: `python bench.py --scaling`
 
 ### Round-2 remeasurement matrix — a single number is phase-bound
 
-Four protocol runs in round 2 landed in different host-noise phases
+Five protocol runs across rounds 1-2 landed in different host-noise phases
 (full disclosure; the table above is whichever run last rewrote this
 file):
 
 | run (protocol, input) | local[1] min | 4x-level min | efficiency |
 |---|---|---|---|
-| r1 threads, 12M turns | 116.087 | 34.904 | **0.8315** |
-| r2 threads, 12M turns | 105.869 | 33.272 | 0.7955 |
+| r1 threads, 12M turns | 116.087 | 34.904 | 0.8315 |
+| r2 threads, 12M turns (run 1) | 105.869 | 33.272 | 0.7955 |
 | r2 threads, 24M turns | 223.432 (2.11x the 12M cost) | 75.849 (2.28x) | 0.7364 |
 | r2 processes, 12M turns (4 concurrent local[1] JVMs over conv_id-hash shards, wall = slowest shard; `--scaling-procs`) | 143.614 | 56.282 | 0.6379 |
+| r2 threads, 12M turns (run 2, quietest phase: both levels' five samples within 23% of their min) | 110.615 | 30.888 | **0.8953** |
 
-The last row's local[1] leg is the IDENTICAL binary/plan/input as the
-r2-threads run hours earlier, yet its min cost moved 105.9 -> 143.6 s
-(+36%): the host's phases move both legs of the ratio independently.
-Measured efficiency on this guest is therefore a RANGE, 0.64-0.83;
-the quiet-phase end (0.83) is the one approximating dedicated
+The process-mode row's local[1] leg is the IDENTICAL binary/plan/input
+as the thread-mode runs, yet its min cost moved 105.9 -> 143.6 s
+(+36%) between phases: the host moves both legs of the ratio
+independently. Measured efficiency on this guest is therefore a
+RANGE, 0.64-0.90; the quiet-phase end (0.83-0.90, the runs whose
+per-level samples are tight) is the one approximating dedicated
 hardware, and the control experiments above show the plan, not the
 engine, is host-limited.
 
