@@ -706,3 +706,14 @@ def test_unigram_logprob(spark):
     lp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
     assert got[1] == (3, round(lp1, 6))
     assert got[2] == (2, round(lp2, 6))
+
+
+def test_unigram_logprob_external_vocab_oov(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "the zzz")], "doc_id int, text string")
+    vocab = spark.createDataFrame([("the", 8), ("cat", 2)], "word string, wn long")
+    got = tx.unigram_logprob(df, vocab=vocab).collect()[0]
+    # the=8/10; zzz OOV -> 0.5/10
+    expect = (math.log(8 / 10) + math.log(0.5 / 10)) / 2
+    assert got.n_words == 2 and got.logprob == round(expect, 6)

@@ -310,6 +310,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     oov_count: float = 0.5,
+    vocab: "DataFrame | None" = None,
 ) -> DataFrame:
     """Corpus-relative unigram log-probability per document — the
     CCNet/Gopher-style language-model quality filter with the LM
@@ -323,24 +324,35 @@ def unigram_logprob(
     via the optional join below). Low scores = rare-word soup
     (boilerplate hashes, gibberish); high scores = common fluent text.
 
-    Plan: one explode -> (doc, word) counts are NOT needed — the word
-    relation joins the corpus vocabulary (a broadcast when small, a
-    plain shuffle join at web scale where the vocabulary itself is
-    big) and re-aggregates by doc: two hash aggs + one join, all keyed,
-    map-side combined. Returns (id, n_words, logprob)."""
+    Plan: explode -> join the vocabulary -> re-aggregate by doc (two
+    hash aggs + one keyed join, map-side combined). Pass `vocab` (a
+    (word, wn) DataFrame, e.g. a persisted reference vocabulary) for
+    the production shape: ONE scan of the corpus and OOV words scored
+    at `oov_count`. Without it the vocabulary is derived from the
+    corpus itself — convenient and oracle-exact, but the self-join
+    means the text column is scanned twice (fine at test scale;
+    precompute and persist the vocab at 100 TB). Returns
+    (id, n_words, logprob)."""
     ws = F.split(normalize_text(text_col), " ")
     words_rel = df.select(
         F.col(id_col),
         F.explode(F.filter(ws, lambda w: w != "")).alias("word"),
     )
-    vocab = words_rel.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    if vocab is None:
+        vocab = words_rel.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+        join_how = "inner"  # every corpus word is in its own vocab
+    else:
+        join_how = "left"  # OOV words score at oov_count
     total = vocab.agg(F.sum("wn").alias("t"))
     scored = (
-        words_rel.join(vocab, "word")
+        words_rel.join(vocab, "word", join_how)
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
-            (F.log(F.col("wn").cast("double") / F.col("t"))).alias("lp"),
+            F.log(
+                F.coalesce(F.col("wn").cast("double"), F.lit(float(oov_count)))
+                / F.col("t")
+            ).alias("lp"),
         )
     )
     return scored.groupBy(id_col).agg(
