@@ -352,6 +352,22 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d, "doc_id", "text")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 word
+    5-grams with an eval-set document (cross-table shingle inverted
+    index). The eval set is planted deterministically as verbatim
+    copies of the first 20 docs, renumbered — mirrored in the oracle."""
+    from xpshacl_spark.operators.dedup import contamination_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    eval_df = d.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return contamination_pairs(
+        d, eval_df, "doc_id", "text", n=5, min_common=3
+    )
+
+
 def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality score: per-document mean
     ln(corpus word frequency) — explode -> vocab join -> per-doc agg,
@@ -1182,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_documents": q_pii_documents,
         "q_repetition_documents": q_repetition_documents,
         "q_pack_documents": q_pack_documents,
+        "q_decontaminate": q_decontaminate,
         "q_unigram_quality": q_unigram_quality,
         "q_stream_window_events": q_stream_window_events,
         "q_stream_sessions": q_stream_sessions,
@@ -1806,6 +1823,20 @@ def oracle_sql() -> dict[str, str]:
             "epoch(max(ts)) + 1800 AS en FROM x GROUP BY 1, 2) "
             "SELECT user_id, session_start_unix, session_end_unix, n_events "
             "FROM g, mx WHERE en <= m - 3600"
+        ),
+        "q_decontaminate": (
+            f"WITH nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "
+            "sh5 AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1), "
+            "i -> array_to_string(ws[i:i+4], ' '))) AS shingle FROM nw), "
+            "pruned AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, "
+            "count(*) OVER (PARTITION BY shingle) AS df FROM sh5) "
+            "WHERE df <= 10000), "
+            "ev AS (SELECT doc_id + 1000000 AS eval_id, shingle FROM sh5 "
+            "WHERE doc_id < 20) "
+            "SELECT p.doc_id AS train_id, ev.eval_id, "
+            "count(*) AS n_common FROM pruned p JOIN ev USING (shingle) "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         "q_unigram_quality": (
             f"WITH w AS (SELECT doc_id, unnest(list_filter(string_split({_NORM}, ' '), "

@@ -717,3 +717,25 @@ def test_unigram_logprob_external_vocab_oov(spark):
     # the=8/10; zzz OOV -> 0.5/10
     expect = (math.log(8 / 10) + math.log(0.5 / 10)) / 2
     assert got.n_words == 2 and got.logprob == round(expect, 6)
+
+
+def test_contamination_pairs_cross_table(spark):
+    from xpshacl_spark.operators.dedup import contamination_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words in every position here now"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.train_id, r.eval_id): r.n_common
+        for r in contamination_pairs(train, ev, "doc_id", "text", n=5).collect()
+    }
+    # eval has 3 distinct 5-gram shingles, all inside train doc 1
+    assert got == {(1, 100): 3}

@@ -283,6 +283,39 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_common: int = 1,
+    max_doc_freq: Optional[int] = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, n_common) pairs
+    where a training document shares >= min_common word n-grams with an
+    evaluation document — the standard pre-training hygiene check
+    (long n-grams, n ~ 8-13, so incidental phrase overlap doesn't
+    fire). Same inverted-index plan as jaccard_pairs, but ACROSS two
+    tables: shingle the small eval set, join the training shingles on
+    shingle (eval side broadcasts when it fits), count per pair. The
+    stop-shingle cap bounds hot boilerplate shingles on the TRAIN side,
+    where the k^2-free cross join can still fan out k_train x k_eval.
+    Filter training docs by anti-joining the returned train_ids."""
+    sh_t = _maybe_prune_stop_shingles(
+        shingles(train, id_col, text_col, n), max_doc_freq
+    )
+    sh_e = shingles(eval_df, id_col, text_col, n).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return (
+        sh_t.join(sh_e, "shingle")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
 def lsh_plan(
     threshold: float,
     num_hashes: int = 8,
