@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # keep catalog-table data out of the launch directory (bucketed
+        # tables pass explicit external paths; this covers any default)
+        .config("spark.sql.warehouse.dir", "/tmp/xpshacl_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
