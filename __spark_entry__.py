@@ -513,6 +513,62 @@ def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline, value-oracled as ONE chain:
+    plant duplicates + PII deterministically -> single-scan quality
+    gate (PII-free, >= 20 tokens, duplicate-word fraction <= 0.6 via
+    zero-shuffle HOFs) -> exact dedup keeping the min doc per content
+    fingerprint (keyed window) -> sequence packing at a 512-token
+    budget (scalable prefix sum). The pipeline output is each kept
+    document's pack assignment."""
+    from pyspark.sql import Window
+
+    from xpshacl_spark.operators.packing import pack_sequences
+    from xpshacl_spark.operators.text import fingerprint, normalize_text, token_count
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionByName(
+        d.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        )
+    )
+    text2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    nws = F.filter(F.split(normalize_text("text"), " "), lambda w: w != "")
+    dupf = F.lit(1.0) - F.size(F.array_distinct(nws)) / F.greatest(
+        F.size(nws), F.lit(1)
+    ).cast("double")
+    scored = planted.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.regexp_extract_all(
+                text2, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), F.lit(0)
+            )
+        ).alias("n_email"),
+        token_count("text").alias("n_toks"),
+        F.round(dupf, 6).alias("dupf"),
+        fingerprint("text").alias("fp"),
+    )
+    keep = scored.where(
+        (F.col("n_email") == 0) & (F.col("n_toks") >= 20) & (F.col("dupf") <= 0.6)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        keep.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "n_toks")
+    )
+    return pack_sequences(deduped, "doc_id", "n_toks", budget=512)
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
     (SURVEY.md §2C union + dedup)."""
@@ -1203,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_window_events": q_stream_window_events,
         "q_stream_sessions": q_stream_sessions,
         "q_bucketed_join_orders": q_bucketed_join_orders,
+        "q_training_pipeline": q_training_pipeline,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1823,6 +1880,32 @@ def oracle_sql() -> dict[str, str]:
             "epoch(max(ts)) + 1800 AS en FROM x GROUP BY 1, 2) "
             "SELECT user_id, session_start_unix, session_end_unix, n_events "
             "FROM g, mx WHERE en <= m - 3600"
+        ),
+        "q_training_pipeline": (
+            "WITH planted AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+            "WHERE doc_id < 50), "
+            "pii AS (SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 THEN "
+            "text || ' contact user' || doc_id || '@example.com now' "
+            "ELSE text END AS text2 FROM planted), "
+            "q AS (SELECT doc_id, text, "
+            "len(regexp_extract_all(text2, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_RAW_WORDS}) END AS n_toks, "
+            f"1.0 - len(list_distinct(list_filter(string_split({_NORM}, ' '), "
+            f"x -> x <> ''))) / CAST(greatest(len(list_filter(string_split({_NORM}, "
+            "' '), x -> x <> '')), 1) AS DOUBLE) AS dupf FROM pii), "
+            "keep AS (SELECT * FROM q WHERE n_email = 0 AND n_toks >= 20 "
+            "AND round(dupf, 6) <= 0.6), "
+            f"dedup AS (SELECT doc_id, n_toks FROM (SELECT doc_id, n_toks, "
+            f"row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) "
+            "AS rn FROM keep) WHERE rn = 1), "
+            "c AS (SELECT doc_id, n_toks, coalesce(sum(n_toks) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS cb FROM dedup) "
+            "SELECT doc_id, n_toks AS n_tokens, "
+            "CAST(floor(cb / 512) AS BIGINT) AS pack_id, "
+            "cb % 512 AS pack_offset FROM c"
         ),
         "q_decontaminate": (
             f"WITH nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "
