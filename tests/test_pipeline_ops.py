@@ -739,3 +739,44 @@ def test_contamination_pairs_cross_table(spark):
     }
     # eval has 3 distinct 5-gram shingles, all inside train doc 1
     assert got == {(1, 100): 3}
+
+
+def test_train_ivf_centroids_beats_hash_centroids(spark):
+    """KMeans-trained cells must capture clustered data better than the
+    deterministic hash centroids: same-cluster vectors land in the same
+    cell far more often."""
+    import random
+
+    from xpshacl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(7)
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0],
+               [0.0, 0.0, 5.0, 0.0], [0.0, 0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append(
+            (i, c, [x + rng.gauss(0, 0.2) for x in centers[c]])
+        )
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+
+    def purity(cents):
+        a = ivf_assign(
+            df, "vec_id", "embedding", centroids=cents
+        ).join(df.select("vec_id", "label"), "vec_id")
+        from pyspark.sql import functions as F
+        top = (
+            a.groupBy("label", "cell").count()
+            .groupBy("label").agg(F.max("count").alias("m"))
+            .agg(F.sum("m")).collect()[0][0]
+        )
+        return top / 200
+
+    trained = train_ivf_centroids(df, "embedding", 4)
+    assert len(trained) == 4 and len(trained[0]) == 4
+    assert purity(trained) >= 0.99
+    assert purity(trained) > purity(ivf_centroids(4, 4))  # hash cells split clusters

@@ -149,6 +149,27 @@ def ivf_centroids(
     return cells
 
 
+def train_ivf_centroids(
+    df, vec_col: str, n_cells: int, seed: int = 42, max_iter: int = 20
+) -> list[list[float]]:
+    """Data-trained coarse quantizer: k-means|| over the embedding
+    column (Spark MLlib — distributed, one pass per iteration), emitted
+    in the same rounded-literal form as ivf_centroids so the result
+    plugs straight into ivf_scores/ivf_assign/ivf_ann_topk. Use this
+    offline at corpus-build time (real IVF practice); the hash
+    centroids stay the deterministic default the oracles embed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        [round(float(x), 6) for x in center] for center in model.clusterCenters()
+    ]
+
+
 def ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
     """Array of centroid cosine-proxy scores (dot / centroid-norm; the
     vector's own norm is constant across cells so argmax is unchanged).
@@ -199,12 +220,17 @@ def ivf_assign(
     n_cells: int = 4,
     dim: int = 64,
     seed: str = "ivf",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """(vec_id, embedding, cell): coarse-quantizer assignment of every
     vector — one zero-shuffle scan. At 100 TB the corpus is WRITTEN
     partitioned by cell (partitionBy / Iceberg bucket transform) so a
-    query scans nprobe partitions instead of the whole table."""
-    cents = ivf_centroids(n_cells, dim, seed)
+    query scans nprobe partitions instead of the whole table.
+
+    Pass `centroids` (e.g. from train_ivf_centroids' k-means) to use a
+    data-trained quantizer; the deterministic hash centroids remain the
+    oracle-embedded default."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
     staged = _with_cell(
         emb.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
