@@ -205,3 +205,29 @@ def test_extended_row_checks_match_python_oracle(spark, rows, k):
         ):
             expect.add((i, "ExprConstraintComponent"))
     assert got == expect
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    nparts=st.integers(min_value=1, max_value=9),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@SLOW
+def test_pack_sequences_property(spark, tokens, nparts, budget):
+    """pack_sequences == the plain Python exclusive prefix sum for any
+    token sizes, budget, and partition count (the distributed
+    decomposition must be invisible in the result)."""
+    from xpshacl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id int, n int"
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "doc_id", "n", budget, n_partitions=nparts).collect()
+    }
+    run = 0
+    for i, n in enumerate(tokens):
+        assert got[i] == (run // budget, run % budget)
+        run += n
+    assert len(got) == len(tokens)
