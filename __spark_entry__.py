@@ -1925,10 +1925,12 @@ def oracle_sql() -> dict[str, str]:
             f"WITH w AS (SELECT doc_id, unnest(list_filter(string_split({_NORM}, ' '), "
             "x -> x <> '')) AS word FROM documents), "
             "v AS (SELECT word, count(*) AS wn FROM w GROUP BY 1), "
-            "t AS (SELECT sum(wn) AS t FROM v) "
-            "SELECT doc_id, CAST(count(*) AS INT) AS n_words, "
+            "t AS (SELECT sum(wn) AS t FROM v), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words, "
             "round(avg(ln(wn / CAST(t AS DOUBLE))), 6) AS logprob "
-            "FROM w JOIN v USING (word), t GROUP BY doc_id"
+            "FROM w JOIN v USING (word), t GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words, agg.logprob "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
         "q_pack_documents": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "

@@ -200,7 +200,7 @@ def _scaling_shards(n_convs: int, n_shards: int) -> list:
     if not all(os.path.isdir(p) for p in paths):
         from pyspark.sql import functions as F
 
-        spark = build_spark(32)
+        spark = build_spark(16)  # >16 threads hits the host's spin collapse
         df = spark.read.parquet(_scaling_input(n_convs))
         for i, p in enumerate(paths):
             df.where(
@@ -247,7 +247,15 @@ def run_scaling_procs(n_convs: int, n_procs: int = 4, reps: int = 3) -> None:
         ones.append(r1["sec"])
         n_turns_total = r1["n_turns"]
         procs = [_spawn_worker(p) for p in shards]
-        rs = [_worker_result(p) for p in procs]
+        try:
+            rs = [_worker_result(p) for p in procs]
+        except Exception:
+            # reap the siblings: orphan local[1] JVMs would keep burning
+            # CPU and contaminate every later rep's timings
+            for pr in procs:
+                if pr.poll() is None:
+                    pr.kill()
+            raise
         manys.append(max(r["sec"] for r in rs))
     t1, tn = min(ones), min(manys)
     thr1 = n_turns_total / t1
@@ -270,6 +278,11 @@ def run_scaling_procs(n_convs: int, n_procs: int = 4, reps: int = 3) -> None:
         },
         "n_turns": n_turns_total,
     }))
+    _record_run(
+        f"processes, {n_turns_total:,} turns ({n_procs} concurrent "
+        "local[1] JVMs over conv_id-hash shards; --scaling-procs)",
+        t1, tn, round(eff, 4),
+    )
 
 
 def run_scaling(n_convs: int, levels=(1, 4), reps: int = 5) -> None:
@@ -339,7 +352,39 @@ def run_scaling(n_convs: int, levels=(1, 4), reps: int = 5) -> None:
         "n_shapes": results[hi]["n_shapes"],
     }
     print(json.dumps(summary))
+    _record_run(
+        f"threads, {summary['n_turns']:,} turns",
+        results[lo]["sec"], results[hi]["sec"], round(eff, 4),
+    )
     _write_bench_md(summary, lo, hi)
+
+
+_RUNS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "SCALING_RUNS.jsonl")
+
+
+def _record_run(label: str, lo_sec: float, hi_sec: float, eff: float) -> None:
+    with open(_RUNS_PATH, "a") as f:
+        f.write(json.dumps({
+            "label": label, "lo_sec": round(lo_sec, 3),
+            "hi_sec": round(hi_sec, 3), "eff": round(eff, 4),
+        }) + "\n")
+
+
+def _run_rows() -> str:
+    rows = []
+    try:
+        with open(_RUNS_PATH) as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+    except FileNotFoundError:
+        return "| (no recorded runs) | — | — | — |"
+    best = max(r["eff"] for r in runs)
+    for r in runs:
+        eff = f"**{r['eff']}**" if r["eff"] == best else f"{r['eff']}"
+        rows.append(
+            f"| {r['label']} | {r['lo_sec']} | {r['hi_sec']} | {eff} |"
+        )
+    return "\n".join(rows)
 
 
 def _write_bench_md(s: dict, lo: int, hi: int) -> None:
@@ -400,25 +445,21 @@ available for hot keys).
 
 Reproduce: `python bench.py --scaling`
 
-### Round-2 remeasurement matrix — a single number is phase-bound
+### Remeasurement matrix — a single number is phase-bound
 
-Five protocol runs across rounds 1-2 landed in different host-noise phases
-(full disclosure; the table above is whichever run last rewrote this
-file):
+Every protocol run is appended to SCALING_RUNS.jsonl and rendered
+below (full disclosure; the table above is whichever run last rewrote
+this file):
 
 | run (protocol, input) | local[1] min | 4x-level min | efficiency |
 |---|---|---|---|
-| r1 threads, 12M turns | 116.087 | 34.904 | 0.8315 |
-| r2 threads, 12M turns (run 1) | 105.869 | 33.272 | 0.7955 |
-| r2 threads, 24M turns | 223.432 (2.11x the 12M cost) | 75.849 (2.28x) | 0.7364 |
-| r2 processes, 12M turns (4 concurrent local[1] JVMs over conv_id-hash shards, wall = slowest shard; `--scaling-procs`) | 143.614 | 56.282 | 0.6379 |
-| r2 threads, 12M turns (run 2, quietest phase: both levels' five samples within 23% of their min) | 110.615 | 30.888 | **0.8953** |
+{_run_rows()}
 
 The process-mode row's local[1] leg is the IDENTICAL binary/plan/input
 as the thread-mode runs, yet its min cost moved 105.9 -> 143.6 s
 (+36%) between phases: the host moves both legs of the ratio
 independently. Measured efficiency on this guest is therefore a
-RANGE, 0.64-0.90; the quiet-phase end (0.83-0.90, the runs whose
+RANGE (see the efficiency column); the quiet-phase end (the runs whose
 per-level samples are tight) is the one approximating dedicated
 hardware, and the control experiments above show the plan, not the
 engine, is host-limited.

@@ -780,3 +780,13 @@ def test_train_ivf_centroids_beats_hash_centroids(spark):
     assert len(trained) == 4 and len(trained[0]) == 4
     assert purity(trained) >= 0.99
     assert purity(trained) > purity(ivf_centroids(4, 4))  # hash cells split clusters
+
+
+def test_unigram_logprob_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "!!!")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_words, r.logprob) for r in
+           tx.unigram_logprob(df).collect()}
+    assert got[2] == (0, None)  # zero-word doc present, unscored
+    assert got[1][0] == 3

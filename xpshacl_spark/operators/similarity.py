@@ -251,12 +251,17 @@ def ivf_ann_topk(
     nprobe: int = 1,
     dim: int = 64,
     seed: str = "ivf",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file probing: score only corpus
     vectors whose cell is among the query's `nprobe` best cells.
     Same output schema as cosine_topk; recall grows with nprobe
-    (nprobe = n_cells degrades to exact brute force)."""
-    cents = ivf_centroids(n_cells, dim, seed)
+    (nprobe = n_cells degrades to exact brute force). Pass the SAME
+    `centroids` used at ivf_assign/write time (e.g. the
+    train_ivf_centroids k-means result) — probing with a different
+    quantizer than the one that partitioned the corpus silently
+    collapses recall."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
     c = _with_cell(
         emb.select(
             F.col(id_col).alias("vec_id"),

@@ -355,9 +355,18 @@ def unigram_logprob(
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_words"),
         F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+    # a document with ZERO words has no exploded rows — join back so it
+    # still appears (n_words 0, logprob NULL): a quality filter that
+    # anti-joins low scorers must not let empty docs slip through by
+    # absence
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        "logprob",
     )
 
 

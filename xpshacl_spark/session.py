@@ -49,8 +49,10 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # keep catalog-table data out of the launch directory (bucketed
-        # tables pass explicit external paths; this covers any default)
-        .config("spark.sql.warehouse.dir", "/tmp/xpshacl_warehouse")
+        # tables pass explicit external paths; this covers any default),
+        # per-process so concurrent sessions' managed tables never
+        # clobber each other's files
+        .config("spark.sql.warehouse.dir", f"/tmp/xpshacl_warehouse_{os.getpid()}")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
