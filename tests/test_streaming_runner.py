@@ -287,3 +287,37 @@ def test_runner_cli_ttl_data_and_shapes(spark, tmp_path):
         (r["id"], r["constraint_component"]) for r in v.collect()
     }
     assert ("resource1", "MinInclusiveConstraintComponent") in got
+
+
+def test_runner_cli_csv_and_jsonl_inputs(spark, tmp_path):
+    """The runner accepts CSV and JSON-lines inputs (header+inferSchema
+    for CSV), so shape suites run against raw exports without a
+    parquet conversion step."""
+    from xpshacl_spark import runner
+    from xpshacl_spark.shapes import MinInclusive, Shape
+    from xpshacl_spark.shapes_io import save_shapes
+
+    shp = str(tmp_path / "s.json")
+    save_shapes(shp, [Shape("score_ok", (MinInclusive("score", 0),))])
+
+    csvp = str(tmp_path / "in.csv")
+    with open(csvp, "w") as f:
+        f.write("id,score\n1,5\n2,-3\n3,7\n")
+    out1 = str(tmp_path / "o1")
+    rc = runner.main(
+        ["--input", csvp, "--shapes", shp, "--key-cols", "id", "--output", out1]
+    )
+    assert rc == 3
+    v = spark.read.option("recursiveFileLookup", "true").parquet(f"{out1}/violations")
+    assert [r.id for r in v.collect()] == [2]
+
+    jsp = str(tmp_path / "in.jsonl")
+    with open(jsp, "w") as f:
+        f.write('{"id": 1, "score": 5}\n{"id": 2, "score": -9}\n')
+    out2 = str(tmp_path / "o2")
+    rc = runner.main(
+        ["--input", jsp, "--shapes", shp, "--key-cols", "id", "--output", out2]
+    )
+    assert rc == 3
+    v2 = spark.read.option("recursiveFileLookup", "true").parquet(f"{out2}/violations")
+    assert [r.id for r in v2.collect()] == [2]

@@ -102,6 +102,12 @@ def main(argv=None) -> int:
             df = align_to_shapes(read_rdf_table(spark, args.input), shapes)
             if args.key_cols == "conv_id,turn_idx":  # default is tabular
                 key_cols = ["id"]
+        elif args.input.endswith(".csv"):
+            df = spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(args.input)
+        elif args.input.endswith((".json", ".jsonl", ".ndjson")):
+            df = spark.read.json(args.input)
         else:
             df = spark.read.parquet(args.input)
         report = runner.run(df, shapes, key_cols=key_cols)
