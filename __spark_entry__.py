@@ -1098,7 +1098,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    kept = qual.join(F.broadcast(losers), "doc_id", "left_anti")
+    # Plain keyed left-anti (AQE picks the strategy): at web scale the
+    # near-dup loser set is commonly 30-50% of the corpus, so a forced
+    # broadcast would OOM the driver/executors.  Locally AQE still
+    # broadcasts the small side; at 100 TB it falls back to a shuffled
+    # hash join on doc_id.
+    kept = qual.join(losers, "doc_id", "left_anti")
     return hash_sample(kept, ["doc_id"], 0.8, seed="corpus").select(
         "doc_id", "lang", "quality"
     )
@@ -1236,7 +1241,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate runs only the FIRST 50
+    # entries.  The head therefore carries (a) queries never driver-proven
+    # or changed this round, (b) new queries, (c) a rotation of
+    # already-proven ones; queries with green driver rows from earlier
+    # rounds rotate to the tail.
     return {
+        # never driver-proven before r03
+        "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        # oracle CAST fixed this round (r02 hash flag)
+        "q_pack_documents": q_pack_documents,
+        "q_training_pipeline": q_training_pipeline,
+        # changed this round (broadcast drop / CC algorithm)
+        "q_corpus_prep": q_corpus_prep,
+        "q_dedup_clusters": q_dedup_clusters,
+        # r01-proven, rotated out of the r02 window — re-prove
+        "q_asof_events": q_asof_events,
+        "q_violation_rollup": q_violation_rollup,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_vocabulary": q_vocabulary,
+        "q_sample_documents": q_sample_documents,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_quantiles_lineitem": q_quantiles_lineitem,
+        "q_topk_documents": q_topk_documents,
+        # r02-proven rotation (fills the 50-query window)
         "q_range_lineitem_qty": q_range_lineitem_qty,
         "q_range_customer_acctbal": q_range_customer_acctbal,
         "q_pattern_part_name": q_pattern_part_name,
@@ -1253,13 +1282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_card_documents": q_array_card_documents,
         "q_pii_documents": q_pii_documents,
         "q_repetition_documents": q_repetition_documents,
-        "q_pack_documents": q_pack_documents,
         "q_decontaminate": q_decontaminate,
         "q_unigram_quality": q_unigram_quality,
         "q_stream_window_events": q_stream_window_events,
         "q_stream_sessions": q_stream_sessions,
         "q_bucketed_join_orders": q_bucketed_join_orders,
-        "q_training_pipeline": q_training_pipeline,
         "q_violation_summary": q_violation_summary,
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1275,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_stats": q_profile_stats,
         "q_signature_dedup": q_signature_dedup,
         "q_datatype_events": q_datatype_events,
+        # --- tail: green driver rows in r01/r02, rotated out of the
+        # --- 50-query window this round
         "q_bounds_events": q_bounds_events,
         "q_pair_lineitem": q_pair_lineitem,
         "q_inset_lengths_documents": q_inset_lengths_documents,
@@ -1287,18 +1316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_events": q_sessionize_events,
         "q_interval_join_events": q_interval_join_events,
         "q_asof_join_events": q_asof_join_events,
-        "q_asof_events": q_asof_events,
-        "q_violation_rollup": q_violation_rollup,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "q_vocabulary": q_vocabulary,
-        "q_corpus_prep": q_corpus_prep,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_sample_documents": q_sample_documents,
-        "q_ann_ivf_topk": q_ann_ivf_topk,
-        "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "q_ann_lsh_topk": q_ann_lsh_topk,
-        "q_quantiles_lineitem": q_quantiles_lineitem,
-        "q_topk_documents": q_topk_documents,
     }
 
 
@@ -1905,7 +1922,7 @@ def oracle_sql() -> dict[str, str]:
             "1 PRECEDING), 0) AS cb FROM dedup) "
             "SELECT doc_id, n_toks AS n_tokens, "
             "CAST(floor(cb / 512) AS BIGINT) AS pack_id, "
-            "cb % 512 AS pack_offset FROM c"
+            "CAST(cb % 512 AS BIGINT) AS pack_offset FROM c"
         ),
         "q_decontaminate": (
             f"WITH nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "
@@ -1939,7 +1956,7 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
             "0) AS cb FROM t) "
             "SELECT doc_id, n_tokens, CAST(floor(cb / 2048) AS BIGINT) AS pack_id, "
-            "cb % 2048 AS pack_offset FROM c"
+            "CAST(cb % 2048 AS BIGINT) AS pack_offset FROM c"
         ),
         "q_violation_summary": (
             "SELECT * FROM ("

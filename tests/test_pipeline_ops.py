@@ -130,6 +130,17 @@ def test_embedding_near_dup(spark, vecs):
     assert all(a != 0 or b != 3 for a, b in rows)
 
 
+def test_embedding_near_dup_quadratic_guard(spark, vecs):
+    # no block_col -> O(n^2) cross join; must raise unless explicitly allowed
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dup_pairs(vecs, "vec_id", "embedding")
+    # explicit opt-in still works (verification-scale path)
+    out = embedding_near_dup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, allow_quadratic=True
+    )
+    assert (0, 1) in {(r.id_a, r.id_b) for r in out.collect()}
+
+
 def test_cosine_topk_exact(spark, vecs):
     out = cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=4)
     rows = sorted(out.collect(), key=lambda r: r.rank)

@@ -559,6 +559,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     block_col: Optional[str] = None,
     dim: Optional[int] = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine >= threshold.
 
@@ -566,11 +567,21 @@ def embedding_near_dup_pairs(
     quadratic blowup: pairs are only formed within a block. Without it
     this is a full O(n^2) cross join — fine for verification scale,
     wrong at 100 TB (use lsh_sign_buckets from operators.similarity).
+    The quadratic path therefore RAISES unless the caller opts in with
+    allow_quadratic=True, so a missing block column can't silently ship
+    an all-pairs plan to a large cluster.
 
     Each vector's self-norm is computed ONCE per row before the join
     (not per pair); cos = dot/(norm_a*norm_b) is bit-identical to the
     per-pair form because sqrt(dot(v,v)) is the same double either way.
     """
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_near_dup_pairs without block_col is a full O(n^2) "
+            "cross join; pass block_col (label/LSH-bucket column) or opt "
+            "in explicitly with allow_quadratic=True for verification-"
+            "scale runs"
+        )
     cols = [
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
