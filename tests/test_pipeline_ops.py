@@ -429,7 +429,7 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=1)
+        duplicate_clusters(chain, max_iter=1, local_contract=False)
     got = {r.id: r.cluster_id for r in duplicate_clusters(chain).collect()}
     assert got == {i: 0 for i in range(9)}
 
@@ -445,8 +445,32 @@ def test_duplicate_clusters_log_rounds_on_long_chain(spark):
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     got = {r.id: r.cluster_id
-           for r in duplicate_clusters(chain, max_iter=10).collect()}
+           for r in duplicate_clusters(
+               chain, max_iter=10, local_contract=False).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_duplicate_clusters_local_contract_across_partitions(spark):
+    """The partition-local contraction path: a 200-node chain scattered
+    over 16 partitions contracts each partition's fragment to one local
+    root; the boundary graph (<=16 vertices per component) converges in
+    very few pointer-jump rounds. Result identical to the global
+    fixpoint, and far under the raw-path round bound."""
+    from xpshacl_spark.operators.dedup import duplicate_clusters
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    ).repartitionByRange(16, "id_a")
+    got = {r.id: r.cluster_id
+           for r in duplicate_clusters(chain, max_iter=6).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    # two disjoint components stay disjoint through contraction
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    ).repartition(4)
+    got2 = {r.id: r.cluster_id for r in duplicate_clusters(two).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_text_parity_invariant(spark):

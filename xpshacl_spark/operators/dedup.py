@@ -166,30 +166,16 @@ def jaccard_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over near-dup pairs: (id, cluster_id) where
-    cluster_id is the MIN id reachable through the pair graph.
-
-    This is the step that turns pairwise similarity into an actual
-    dedup decision (keep one doc per cluster): iterative min-label
-    propagation — each round every vertex takes the min label among
-    itself and its neighbors — ACCELERATED by pointer jumping (each
-    round also replaces a vertex's label with its label's label, the
-    path-doubling step of star-contraction connected components), so
-    convergence needs O(log diameter) rounds instead of O(diameter):
-    a 200-node duplicate chain converges in ~8 rounds, not 200
-    (pinned in tests). Labels only ever move to ids reachable in the
-    pair graph and only decrease, so the fixpoint is exactly the
-    min-reachable-id labeling the recursive-CTE oracle computes. Each
-    round is two shuffles (neighbor groupBy + jump join);
-    `localCheckpoint` truncates lineage so plans don't grow with
-    iterations — the classic iterative-algorithm requirement at scale.
-    Only ids that appear in at least one pair are returned (isolated
-    docs are their own cluster by definition).
+def _minlabel_pointer_jump(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation with pointer jumping over an undirected
+    edge list (src, dst): returns (id, label) where label is the MIN id
+    reachable from id. O(log diameter) rounds; each round every vertex
+    takes the min label among itself and its neighbors, then replaces
+    its label with its label's label (path doubling). Labels only move
+    to reachable ids and only decrease, so the fixpoint is exactly the
+    min-reachable-id labeling. `localCheckpoint` truncates lineage so
+    plans don't grow with iterations. Raises on non-convergence.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -245,7 +231,106 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"duplicate_clusters did not converge in {max_iter} rounds "
             "(pair-graph diameter exceeds max_iter); raise max_iter"
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 20, local_contract: bool = True
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id is the MIN id reachable through the pair graph. This is
+    the step that turns pairwise similarity into an actual dedup
+    decision (keep one doc per cluster). Only ids that appear in at
+    least one pair are returned (isolated docs are their own cluster by
+    definition).
+
+    Two-level algorithm (local_contract=True, the at-scale default):
+
+    1. **Partition-local contraction** — one `mapInPandas` pass runs a
+       path-compressed union-find over each partition's edges with the
+       MIN id as representative. Zero shuffle; the Python loop is
+       Arrow-batched and touches each edge once. Output: (id, lroot)
+       for every id in the partition.
+    2. **Boundary graph** — a node seen in k partitions carries k local
+       roots; one groupBy connects them star-wise to their min. This
+       contracted graph has one vertex per local subcomponent — at web
+       scale orders of magnitude smaller than the edge list, because
+       only components CROSSING partition boundaries survive.
+    3. **Pointer jumping on the contracted graph** — the O(log
+       diameter) min-label loop (`_minlabel_pointer_jump`) runs where
+       each round's shuffle is proportional to the boundary graph, not
+       the full corpus. Global min = min over local minima, and every
+       local min is a vertex of the contracted graph, so composing
+       id -> lroot -> global label reproduces exactly the
+       min-reachable-id labeling of the recursive-CTE oracle.
+
+    local_contract=False falls back to pointer jumping over the raw
+    edge list (same fixpoint; used by tests to pin the round count).
+    Non-convergence of the iterative stage raises instead of silently
+    splitting long duplicate chains.
+    """
+    edges = pairs.where(F.col("id_a") != F.col("id_b")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    if not local_contract:
+        return _minlabel_pointer_jump(edges, max_iter).select(
+            "id", F.col("label").alias("cluster_id")
+        )
+
+    idt = pairs.schema["id_a"].dataType.simpleString()
+
+    def _part_cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for pdf in batches:
+            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                a, b = int(a), int(b)
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if ra < rb:  # min id becomes the representative
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        if seen:
+            ids = sorted(seen)
+            yield pd.DataFrame({"id": ids, "lroot": [find(i) for i in ids]})
+
+    local = edges.mapInPandas(_part_cc, schema=f"id {idt}, lroot {idt}")
+    # per node: min local root + the set of local roots it bridges
+    g = (
+        local.groupBy("id")
+        .agg(
+            F.min("lroot").alias("mr"),
+            F.collect_set("lroot").alias("rs"),
+        )
+        .localCheckpoint()
+    )
+    contracted = (
+        g.select(F.explode("rs").alias("src"), F.col("mr").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    groots = _minlabel_pointer_jump(contracted, max_iter)
+    return (
+        g.join(groots, g["mr"] == groots["id"], "left")
+        .select(
+            g["id"],
+            F.coalesce(F.col("label"), F.col("mr")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_keep_ids(clusters: DataFrame) -> DataFrame:
