@@ -492,3 +492,121 @@ def test_similar_cases_batch_null_key_ordering(spark):
     batch = similar_cases_batch(df, [spec], ["conv_id", "turn_idx"], limit=3)[0]
     assert batch == one
     assert one[0]["node"].startswith("conv_id=None")  # NULLS FIRST
+
+
+# ---------------------------------------------------------------------------
+# Violation-KG Turtle export/import (kg_ttl.py)
+# ---------------------------------------------------------------------------
+
+
+def _full_cache(sig):
+    from xpshacl_spark.explain.cache import ExplanationCache
+
+    c = ExplanationCache()
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": 'Text with "quotes",\nnewline \\ backslash',
+            "correction_suggestions": ["Fix A", "Fix B"],
+            "provided_by_model": "template",
+            "violation": {"focus_node": "row-1", "value": "bad"},
+            "justification_tree": {"justification": {"statement": "s"}},
+            "retrieved_context": {"ontology_fragments": ["f1"]},
+        },
+        "en",
+    )
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": "Deutscher Text",
+            "correction_suggestions": ["Korrektur"],
+            "provided_by_model": "template",
+        },
+        "de",
+    )
+    return c
+
+
+def test_kg_ttl_roundtrip_semantics(sig, tmp_path):
+    """cache -> .ttl -> cache preserves has/get semantics per language
+    and the reference triple layout (violation_kg.py:219-284)."""
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle, save_kg_turtle
+
+    c = _full_cache(sig)
+    p = str(tmp_path / "validation_kg.ttl")
+    save_kg_turtle(c, p)
+    text = open(p).read()
+    assert "a xsh:ViolationSignature" in text
+    assert "a xsh:Explanation" in text
+    assert "xsh:hasExplanation" in text
+    assert '@en' in text and '@de' in text
+
+    c2 = kg_from_turtle(p)
+    for lang, nlt in (("en", 'Text with "quotes",\nnewline \\ backslash'),
+                      ("de", "Deutscher Text")):
+        assert c2.has_violation(sig, lang)
+        got = c2.get_explanation(sig, lang)
+        assert got["natural_language_explanation"] == nlt
+        # expl-node-level facts shared across languages (reference
+        # violation_kg.py:160-199)
+        assert got["provided_by_model"] == "template"
+        assert got["violation"] == {"focus_node": "row-1", "value": "bad"}
+    assert c2.get_explanation(sig, "en")["correction_suggestions"] == ["Fix A", "Fix B"]
+    assert c2.get_explanation(sig, "de")["correction_suggestions"] == ["Korrektur"]
+
+
+def test_kg_ttl_roundtrip_idempotent(sig, tmp_path):
+    """ttl -> cache -> ttl is byte-stable and the fact count is
+    preserved across repeated round trips."""
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle, kg_to_turtle
+
+    c = _full_cache(sig)
+    t1 = kg_to_turtle(c)
+    c2 = kg_from_turtle(t1)
+    t2 = kg_to_turtle(c2)
+    assert t1 == t2
+    c3 = kg_from_turtle(t2)
+    assert c3.size() == c2.size()
+    pd1 = c2._df.fillna("~"); pd2 = c3._df.fillna("~")
+    assert pd1.equals(pd2)
+
+
+def test_kg_ttl_nine_facts_preserved(sig):
+    """The reference's 9-triples-per-full-add invariant survives the
+    round trip (tests/test_violation_kg.py:44-62 analog)."""
+    from xpshacl_spark.explain.cache import ExplanationCache
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle, kg_to_turtle
+
+    c = ExplanationCache()
+    c.add_violation(
+        sig,
+        {
+            "natural_language_explanation": "Test explanation",
+            "correction_suggestions": ["Suggestion1", "Suggestion2"],
+        },
+    )
+    assert c.size() == 9
+    back = kg_from_turtle(kg_to_turtle(c))
+    assert back.size() == 9
+
+
+def test_kg_ttl_reads_reference_style_file(tmp_path):
+    """A hand-written rdflib-style file (full IRIs, different statement
+    order) parses into the same cache."""
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle
+    from xpshacl_spark.explain.signature import ViolationSignature, signature_to_uri
+
+    s = ViolationSignature("c1", "p1", "t1", {})
+    uri = signature_to_uri(s)
+    text = f"""@prefix xsh: <http://xpshacl.org/#> .
+<{uri}_explanation> a xsh:Explanation ;
+    xsh:naturalLanguageText "hello"@en .
+<{uri}> xsh:constraintComponent "c1" ;
+    a xsh:ViolationSignature ;
+    xsh:propertyPath "p1" ;
+    xsh:violationType "t1" ;
+    xsh:hasExplanation <{uri}_explanation> .
+"""
+    c = kg_from_turtle(text)
+    assert c.has_violation(s, "en")
+    assert c.get_explanation(s, "en")["natural_language_explanation"] == "hello"

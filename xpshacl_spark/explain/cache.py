@@ -112,15 +112,27 @@ class ExplanationCache:
         suggestions = (
             str(cs).split(SUGGESTION_SEPARATOR) if cs is not None and not pd.isna(cs) else []
         )
+
+        # model + JSON blobs live on the EXPLANATION NODE in the
+        # reference (violation_kg.py:160-199), shared by all languages —
+        # fall back to any row of the signature if this language's row
+        # doesn't carry them (they are stored once per signature).
+        sig_rows = self._df[self._df["signature_id"] == uri]
+
+        def _node_level(col: str):
+            if not pd.isna(row[col]) and row[col] is not None:
+                return row[col]
+            vals = sig_rows[col].dropna()
+            return vals.iloc[0] if len(vals) else None
+
+        model = _node_level("provided_by_model")
         return {
             "natural_language_explanation": row["natural_language_explanation"],
             "correction_suggestions": suggestions,
-            "provided_by_model": (
-                None if pd.isna(row["provided_by_model"]) else row["provided_by_model"]
-            ),
-            "violation": _loads(row["violation_json"]),
-            "justification_tree": _loads(row["justification_tree_json"]),
-            "retrieved_context": _loads(row["retrieved_context_json"]),
+            "provided_by_model": None if model is None else model,
+            "violation": _loads(_node_level("violation_json")),
+            "justification_tree": _loads(_node_level("justification_tree_json")),
+            "retrieved_context": _loads(_node_level("retrieved_context_json")),
         }
 
     def add_violation(
