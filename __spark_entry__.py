@@ -378,6 +378,32 @@ def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, "doc_id", "text")
 
 
+def q_unigram_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-shape unigram scoring: the vocabulary is built from a
+    reference slice (even doc_ids), persisted ONCE as a managed table,
+    and scoring reads it back — so the corpus text is scanned exactly
+    once per scoring run (the at-100TB shape; q_unigram_quality's
+    self-derived vocab scans twice). Odd docs contain words absent from
+    the even-doc vocabulary, exercising the OOV path (count 0.5)."""
+    from xpshacl_spark.operators.text import normalize_text, unigram_logprob
+
+    d = _load(spark, sf_dir, "documents")
+    vocab = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(
+            F.explode(
+                F.filter(F.split(normalize_text("text"), " "), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    spark.sql("DROP TABLE IF EXISTS unigram_vocab_prod")
+    vocab.write.mode("overwrite").saveAsTable("unigram_vocab_prod")
+    persisted = spark.table("unigram_vocab_prod")
+    return unigram_logprob(d, "doc_id", "text", oov_count=0.5, vocab=persisted)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk pretraining layout): global
     token prefix sum via range partition -> per-partition totals ->
@@ -711,6 +737,20 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(decode_media(synth_media(d)), max_side=256)
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path end-to-end: JVM-side solid-color binary PPM
+    payloads (header + unhex(repeat(rgb_hex, w*h))) are byte-parsed by
+    decode_media(real=True)'s pure-Python P6 decoder through the same
+    Arrow-batched mapInPandas plan a PIL-backed decoder would use. The
+    oracle recomputes width/height/mean from the id arithmetic (mean of
+    a solid color = (r+g+b)/3) — so a wrong header parse, stride, or
+    pixel count shows up as a value mismatch."""
+    from xpshacl_spark.operators.multimodal import decode_media, synth_ppm_media
+
+    d = _load(spark, sf_dir, "documents")
+    return decode_media(synth_ppm_media(d), real=True)
+
+
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass column profiler (relation form, exact distinct
     for oracle parity; the engine's dict form uses HLL sketches)."""
@@ -840,6 +880,43 @@ def q_group_maxcount_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.violations.select(
         "user_id",
         F.element_at(F.col("context"), "actualCount").cast("int").alias("n_clicks"),
+    )
+
+
+def q_salted_skew_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salt_partitions='auto' end-to-end on a DELIBERATELY skewed group
+    key: ~70% of lineitem rows collapse onto one hot key (-1). The skew
+    probe (compiler._auto_salt, 1% row sample) must decide to salt —
+    guarded at runtime so the driver row is red if the probe ever stops
+    firing — and the salted two-phase count is algebraic, so the result
+    is value-identical to the oracle's plain GROUP BY ... HAVING."""
+    from xpshacl_spark.shapes import GroupMaxCount
+
+    li = _load(spark, sf_dir, "lineitem")
+    # keep row-distinguishing columns: the probe samples on a FULL-ROW
+    # hash, so a frame reduced to the group key alone would sample hot
+    # groups all-or-nothing
+    skewed = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 7, F.lit(-1))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("gkey"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    shape = Shape("skewed_card_shape", (GroupMaxCount(("gkey",), 5, column="gkey"),))
+    engine = ValidationEngine(spark)
+    rep = engine.validate(
+        skewed, [shape], key_cols=["gkey"], salt_partitions="auto"
+    )
+    decided = rep.metrics.get("auto_salt", {}).get("gkey", 0)
+    if not decided or decided <= 0:
+        raise AssertionError(
+            f"skew probe failed to salt a 70%-hot key (auto_salt={rep.metrics.get('auto_salt')})"
+        )
+    return rep.violations.select(
+        "gkey",
+        F.element_at(F.col("context"), "actualCount").cast("int").alias("n_rows"),
     )
 
 
@@ -1256,6 +1333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed this round (broadcast drop / CC algorithm)
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
+        # new in r03
+        "q_media_decode_real": q_media_decode_real,
+        "q_unigram_external": q_unigram_external,
+        "q_salted_skew_validation": q_salted_skew_validation,
         # r01-proven, rotated out of the r02 window — re-prove
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
@@ -1299,11 +1380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         "q_media_frames": q_media_frames,
         "q_media_resize": q_media_resize,
+        # --- tail: green driver rows in r01/r02, rotated out of the
+        # --- 50-query window this round
         "q_profile_stats": q_profile_stats,
         "q_signature_dedup": q_signature_dedup,
         "q_datatype_events": q_datatype_events,
-        # --- tail: green driver rows in r01/r02, rotated out of the
-        # --- 50-query window this round
         "q_bounds_events": q_bounds_events,
         "q_pair_lineitem": q_pair_lineitem,
         "q_inset_lengths_documents": q_inset_lengths_documents,
@@ -1949,6 +2030,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words, agg.logprob "
             "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
+        "q_unigram_external": (
+            f"WITH w AS (SELECT doc_id, unnest(list_filter(string_split({_NORM}, ' '), "
+            "x -> x <> '')) AS word FROM documents), "
+            "v AS (SELECT word, count(*) AS wn FROM w WHERE doc_id % 2 = 0 "
+            "GROUP BY 1), "
+            "t AS (SELECT sum(wn) AS t FROM v), "
+            "agg AS (SELECT w.doc_id, CAST(count(*) AS INT) AS n_words, "
+            "round(avg(ln(coalesce(wn, 0.5) / CAST(t AS DOUBLE))), 6) AS logprob "
+            "FROM w LEFT JOIN v USING (word), t GROUP BY w.doc_id) "
+            "SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words, agg.logprob "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
         "q_pack_documents": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             f"ELSE len({_RAW_WORDS}) END AS n_tokens FROM documents), "
@@ -2020,6 +2113,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id * 7) % 1024 + 16 AS INT) AS width, "
             "CAST((doc_id * 13) % 768 + 16 AS INT) AS height "
             "FROM documents"
+        ),
+        "q_media_decode_real": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, 'ppm' AS format, "
+            "CAST(doc_id % 13 + 1 AS INT) AS width, "
+            "CAST(doc_id % 11 + 1 AS INT) AS height, "
+            "round((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) "
+            "/ 3.0, 6) AS mean_pixel FROM documents"
         ),
         "q_media_resize": (
             "WITH feat AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
@@ -2096,6 +2196,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, 'MaxLengthConstraintComponent', text "
             "FROM documents WHERE text IS NOT NULL AND length(text) > 500"
+        ),
+        "q_salted_skew_validation": (
+            "SELECT gkey, CAST(count(*) AS INT) AS n_rows FROM "
+            "(SELECT CASE WHEN l_orderkey % 10 < 7 THEN -1 "
+            "ELSE l_orderkey END AS gkey FROM lineitem) "
+            "GROUP BY gkey HAVING count(*) > 5"
         ),
         "q_group_maxcount_clicks": (
             "SELECT user_id, CAST(count(*) AS INT) AS n_clicks FROM events "

@@ -250,9 +250,14 @@ def test_media_roundtrip(spark, docs):
         assert 16 <= r.width < 1040 and 16 <= r.height < 784
 
 
-def test_media_real_decode_raises(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_media(synth_media(docs), real=True)
+def test_media_real_decode_unrecognized_payloads_null(spark, docs):
+    """real=True no longer raises: it actually decodes BMP/PPM payloads
+    (see test_real_decode_bmp_and_ppm). synth_media payloads are raw
+    utf-8 text — no parser recognizes them, so every feature is NULL
+    (quarantine-not-crash semantics for corrupt blobs at scale)."""
+    rows = decode_media(synth_media(docs), real=True).collect()
+    assert len(rows) == len(DOCS)
+    assert all(r.format is None and r.width is None for r in rows)
 
 
 def test_resize_plan(spark):
@@ -825,3 +830,61 @@ def test_unigram_logprob_keeps_empty_docs(spark):
            tx.unigram_logprob(df).collect()}
     assert got[2] == (0, None)  # zero-word doc present, unscored
     assert got[1][0] == 3
+
+
+def test_real_decode_bmp_and_ppm(spark):
+    """decode_media(real=True): actual byte-level decoding through the
+    same mapInPandas plan — pure-Python BMP/PPM parsers prove the codec
+    seam (swap in PIL later without touching the distributed plan)."""
+    import struct
+
+    from xpshacl_spark.operators.multimodal import decode_media
+
+    def make_bmp(w, h, rgb):
+        row = bytes(rgb[::-1]) * w  # BMP stores BGR
+        stride = (len(row) + 3) & ~3
+        row = row + b"\x00" * (stride - len(row))
+        pixels = row * h
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        return hdr + dib + pixels
+
+    def make_ppm(w, h, rgb):
+        return f"P6\n# comment\n{w} {h}\n255\n".encode() + bytes(rgb) * (w * h)
+
+    rows = [
+        (1, "image", bytearray(make_bmp(4, 3, (10, 20, 30))), None),
+        (2, "image", bytearray(make_ppm(5, 2, (60, 90, 120))), None),
+        (3, "image", bytearray(b"not an image"), None),
+        (4, "image", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    got = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 4, 3)
+    assert got[1].mean_pixel == 20.0  # mean of (10,20,30)
+    assert (got[2].format, got[2].width, got[2].height) == ("ppm", 5, 2)
+    assert got[2].mean_pixel == 90.0
+    assert got[3].format is None and got[3].width is None
+    assert got[4].format is None
+
+
+def test_synth_ppm_media_roundtrip(spark):
+    """JVM-side PPM synthesis -> real decoder: dims and solid-color
+    mean recomputed from the id arithmetic match exactly."""
+    from xpshacl_spark.operators.multimodal import decode_media, synth_ppm_media
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 7, 255, 300)], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in
+           decode_media(synth_ppm_media(docs), real=True).collect()}
+    for i in (0, 1, 7, 255, 300):
+        w, h = i % 13 + 1, i % 11 + 1
+        r_, g_, b_ = i % 256, (i * 7) % 256, (i * 13) % 256
+        row = out[i]
+        assert (row.format, row.width, row.height) == ("ppm", w, h)
+        assert row.mean_pixel == round((r_ + g_ + b_) / 3.0, 6)
