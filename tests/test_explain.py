@@ -610,3 +610,115 @@ def test_kg_ttl_reads_reference_style_file(tmp_path):
     c = kg_from_turtle(text)
     assert c.has_violation(s, "en")
     assert c.get_explanation(s, "en")["natural_language_explanation"] == "hello"
+
+
+# ---------------------------------------------------------------------------
+# HTTP LLM clients (llm_clients.py) against a local mock server
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mock_llm_server():
+    import http.server
+    import json as _json
+    import threading
+
+    requests_seen = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(n))
+            requests_seen.append((self.path, dict(self.headers), body))
+            if self.path == "/api/chat":  # ollama shape
+                out = {"message": {"role": "assistant",
+                                   "content": f"OLLAMA::{body['messages'][0]['content'][:20]}"}}
+            else:  # openai chat-completions shape
+                out = {"choices": [{"message": {
+                    "role": "assistant",
+                    "content": f"LLM[{body['model']}]::{body['messages'][0]['content'][:20]}"}}]}
+            data = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", requests_seen
+    srv.shutdown()
+
+
+def test_llm_route_resolution():
+    from xpshacl_spark.explain.llm_clients import resolve_route
+
+    assert resolve_route("gpt-4o-mini")[1] == "OPENAI_API_KEY"
+    assert resolve_route("gemini-1.5-flash")[1] == "GEMINI_API_KEY"
+    assert resolve_route("claude-x")[1] == "ANTHROPIC_API_KEY"
+    url, env = resolve_route("gemma:2b")  # unknown -> ollama local
+    assert env is None and "11434" in url
+
+
+def test_llm_missing_key_raises(monkeypatch):
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(ValueError, match="OPENAI_API_KEY"):
+        http_llm_fn("gpt-4o-mini")
+
+
+def test_llm_openai_style_against_mock(mock_llm_server):
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, seen = mock_llm_server
+    fn = http_llm_fn("gpt-4o-mini", base_url=base + "/v1", api_key="k-test")
+    out = fn("Explain the violation")
+    assert out == "LLM[gpt-4o-mini]::Explain the violation"[:len(out)]
+    path, headers, body = seen[-1]
+    assert path == "/v1/chat/completions"
+    assert headers.get("Authorization") == "Bearer k-test"
+    assert body["messages"][0]["role"] == "user"
+
+
+def test_llm_ollama_style_against_mock(mock_llm_server):
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, seen = mock_llm_server
+    fn = http_llm_fn("gemma:2b", base_url=base)
+    out = fn("Explain this")
+    assert out.startswith("OLLAMA::")
+    assert seen[-1][0] == "/api/chat"
+    assert seen[-1][2]["stream"] is False
+
+
+def test_llm_error_returns_string_not_raises():
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    # port 9 (discard) refuses: reference-style error-string semantics
+    fn = http_llm_fn("gpt-4o-mini", base_url="http://127.0.0.1:9/v1",
+                     api_key="k", timeout=0.5)
+    assert fn("x").startswith("Error generating explanation:")
+
+
+def test_llm_fn_plugs_into_generator(mock_llm_server):
+    from xpshacl_spark.explain.generator import ExplanationGenerator
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, _ = mock_llm_server
+    gen = ExplanationGenerator(
+        llm_fn=http_llm_fn("gpt-4o-mini", base_url=base + "/v1", api_key="k"),
+        model_name="gpt-4o-mini",
+    )
+    v = {"shape_id": "s", "constraint_component": "MinCountConstraintComponent",
+         "violation_type": "cardinality", "message": "missing role",
+         "focus_node": "conv-1", "property_path": "role", "value": None,
+         "severity": "Violation", "context": {}}
+    out = gen.generate(v, tree={"justification": {"statement": "s"}},
+                       context={}, language="en")
+    assert out["natural_language_explanation"].startswith("LLM[gpt-4o-mini]::")
+    assert out["provided_by_model"] == "gpt-4o-mini"
