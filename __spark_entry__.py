@@ -883,6 +883,33 @@ def q_group_maxcount_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the web-corpus per-DOMAIN cap): keep
+    at most 20 docs per source in deterministic md5-hash order. Runs
+    the EXACT two-phase salted form (salt=4 — per-(source, salt-of-key)
+    pre-cap bounds any reducer, then the final window sees <= cap*salt
+    rows per source), which the oracle's plain ROW_NUMBER() window must
+    reproduce row-for-row."""
+    from xpshacl_spark.operators.sample import cap_per_group
+
+    d = _load(spark, sf_dir, "documents")
+    return cap_per_group(
+        d, ["source"], ["doc_id"], cap=20, seed="cap", salt=4
+    ).select("doc_id", "source")
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span boilerplate signal: per doc, how many of
+    its distinct word 5-gram spans occur in >= 2 docs corpus-wide. No
+    pairwise fan-out (one df-join row per (doc, span)) — the scalable
+    alternative to pair enumeration when only the per-doc ratio is
+    needed."""
+    from xpshacl_spark.operators.dedup import duplicate_span_stats
+
+    d = _load(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", n=5)
+
+
 def q_salted_skew_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """salt_partitions='auto' end-to-end on a DELIBERATELY skewed group
     key: ~70% of lineitem rows collapse onto one hot key (-1). The skew
@@ -1337,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_real": q_media_decode_real,
         "q_unigram_external": q_unigram_external,
         "q_salted_skew_validation": q_salted_skew_validation,
+        "q_cap_per_source": q_cap_per_source,
+        "q_dup_span_stats": q_dup_span_stats,
         # r01-proven, rotated out of the r02 window — re-prove
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
@@ -1378,10 +1407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
         "q_media_features": q_media_features,
-        "q_media_frames": q_media_frames,
-        "q_media_resize": q_media_resize,
         # --- tail: green driver rows in r01/r02, rotated out of the
         # --- 50-query window this round
+        "q_media_frames": q_media_frames,
+        "q_media_resize": q_media_resize,
         "q_profile_stats": q_profile_stats,
         "q_signature_dedup": q_signature_dedup,
         "q_datatype_events": q_datatype_events,
@@ -2196,6 +2225,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, 'MaxLengthConstraintComponent', text "
             "FROM documents WHERE text IS NOT NULL AND length(text) > 500"
+        ),
+        "q_cap_per_source": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "substr(md5('cap' || '|' || CAST(doc_id AS VARCHAR)), 1, 8), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "q_dup_span_stats": (
+            f"WITH nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1), "
+            "i -> array_to_string(ws[i:i+4], ' '))) AS shingle FROM nw), "
+            "dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), "
+            "per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, "
+            "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans "
+            "FROM sh JOIN dfq USING (shingle) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, "
+            "coalesce(n_dup_spans, 0) AS n_dup_spans, "
+            "round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) AS dup_ratio "
+            "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
         ),
         "q_salted_skew_validation": (
             "SELECT gkey, CAST(count(*) AS INT) AS n_rows FROM "

@@ -888,3 +888,47 @@ def test_synth_ppm_media_roundtrip(spark):
         row = out[i]
         assert (row.format, row.width, row.height) == ("ppm", w, h)
         assert row.mean_pixel == round((r_ + g_ + b_) / 3.0, 6)
+
+
+def test_cap_per_group_deterministic_and_salted(spark):
+    from xpshacl_spark.operators.sample import cap_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = cap_per_group(df, ["source"], ["doc_id"], cap=4)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in by_src.values())
+    # partitioning-independent: same selection after a repartition
+    kept2 = {(r.source, r.doc_id)
+             for r in cap_per_group(df.repartition(7), ["source"], ["doc_id"], cap=4).collect()}
+    assert kept2 == {(s, d) for s, v in by_src.items() for d in v}
+    # exact two-phase salted form is value-identical to the plain window
+    salted = {(r.source, r.doc_id)
+              for r in cap_per_group(df, ["source"], ["doc_id"], cap=4, salt=5).collect()}
+    assert salted == kept2
+    # cap larger than the group keeps everything
+    assert cap_per_group(df, ["source"], ["doc_id"], cap=100).count() == 60
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["source"], ["doc_id"], cap=0)
+
+
+def test_duplicate_span_stats(spark):
+    from xpshacl_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),        # spans: abcde, bcdef, cdefg
+            (1, "a b c d e x y"),        # spans: abcde, bcdex, cdexy -> 1 shared
+            (2, "p q r s t u"),          # spans: pqrst, qrstu -> unique
+            (3, "short one"),            # no 5-gram spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text", n=5).collect()}
+    assert (got[0].n_spans, got[0].n_dup_spans) == (3, 1)
+    assert (got[1].n_spans, got[1].n_dup_spans) == (3, 1)
+    assert got[1].dup_ratio == round(1 / 3, 6)
+    assert (got[2].n_spans, got[2].n_dup_spans) == (2, 0)
+    assert (got[3].n_spans, got[3].n_dup_spans, got[3].dup_ratio) == (0, 0, None)

@@ -696,3 +696,49 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """C4-style duplicated-span signal per document: of a doc's distinct
+    word n-gram spans, how many also occur in at least one OTHER doc.
+    Docs dominated by corpus-repeated spans are boilerplate (nav bars,
+    cookie banners, license footers) — the standard filter drops docs
+    above a dup_ratio threshold before training.
+
+    Plan: distinct (doc, span) relation -> one span-keyed groupBy for
+    corpus doc-frequency (map-side combined; the relation is distinct
+    per doc so count(*) IS the doc frequency) -> equi-join back ->
+    per-doc agg. Unlike the pairwise dedup operators this has NO
+    quadratic fan-out — the df join emits exactly one row per (doc,
+    span) however hot the span — so no stop-shingle cap is needed;
+    hot-span shuffle skew is absorbed by map-side combine. Returns
+    (id, n_spans, n_dup_spans, dup_ratio) with zero-span docs retained
+    at ratio NULL.
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("int").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )

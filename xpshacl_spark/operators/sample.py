@@ -91,3 +91,54 @@ def split_train_eval(
     cut = F.lit(rate_threshold(eval_rate))
     coord = hash_bucket(key_cols, seed)
     return df.where(coord >= cut), df.where(coord < cut)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    cap: int,
+    seed: str = "cap",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group document quota (the web-corpus per-DOMAIN cap): keep at
+    most `cap` rows per group, selected in deterministic hash order —
+    unbiased w.r.t. ingestion/id order and identical across engines,
+    partitionings, and cluster sizes (same md5 coordinate as
+    hash_sample, so the ANSI oracle is a plain ROW_NUMBER()).
+
+    Plan: row_number window over (group, ORDER BY hash, key) <= cap —
+    one shuffle on group_cols. A mega-domain (10^9 rows of one host at
+    web scale) would sort entirely in one reducer, so `salt > 0`
+    switches to the exact two-phase form: per-(group, salt-of-key)
+    row_number keeps cap rows in each of `salt` sub-groups (bounding
+    any reducer at group_size/salt), then the final per-group
+    row_number runs over at most cap*salt survivors per group. Every
+    global top-cap-by-hash row is in its salt bucket's top-cap, so the
+    result is value-identical to the unsalted window (property-tested).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+
+    keys = [F.col(c) for c in key_cols]
+    base = df.withColumn("_h", hash_bucket(key_cols, seed))
+    if salt > 0:
+        sk = F.pmod(F.xxhash64(*keys), F.lit(salt))
+        w1 = (
+            Window.partitionBy(*[F.col(c) for c in group_cols], sk)
+            .orderBy(F.col("_h"), *keys)
+        )
+        base = (
+            base.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= cap)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("_h"), *keys
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn", "_h")
+    )
