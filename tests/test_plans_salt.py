@@ -280,3 +280,22 @@ def test_repetition_stats_single_scan_no_join(spark, tmp_path):
     plan = _plan(repetition_stats(spark.read.parquet(p)))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_cap_per_group_rank_limit_pushdown(spark):
+    """cap_per_group's `row_number <= cap` must compile to
+    WindowGroupLimit (rank-limit pushdown): the map side pre-caps each
+    group's rows BEFORE the exchange, so a mega-domain ships at most
+    cap rows per input partition — the built-in skew bound the operator
+    docstring promises."""
+    from xpshacl_spark.operators.sample import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    plan = _plan(cap_per_group(df, ["source"], ["doc_id"], cap=5))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # salted form: two window stages, both group-limited
+    plan2 = _plan(cap_per_group(df, ["source"], ["doc_id"], cap=5, salt=4))
+    assert plan2.count("WindowGroupLimit") >= 2
+    assert "Exchange SinglePartition" not in plan2

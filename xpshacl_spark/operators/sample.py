@@ -108,14 +108,19 @@ def cap_per_group(
     hash_sample, so the ANSI oracle is a plain ROW_NUMBER()).
 
     Plan: row_number window over (group, ORDER BY hash, key) <= cap —
-    one shuffle on group_cols. A mega-domain (10^9 rows of one host at
-    web scale) would sort entirely in one reducer, so `salt > 0`
-    switches to the exact two-phase form: per-(group, salt-of-key)
-    row_number keeps cap rows in each of `salt` sub-groups (bounding
-    any reducer at group_size/salt), then the final per-group
-    row_number runs over at most cap*salt survivors per group. Every
-    global top-cap-by-hash row is in its salt bucket's top-cap, so the
-    result is value-identical to the unsalted window (property-tested).
+    one shuffle on group_cols. Because the row_number is immediately
+    filtered `<= cap`, Catalyst plans a WindowGroupLimit (rank-limit
+    pushdown): each MAP task pre-caps its local rows per group BEFORE
+    the exchange, so a mega-domain (10^9 rows of one host) ships at
+    most cap rows per input partition instead of all of them — the
+    skew bound is built into the modern plan (pinned by plan test).
+    `salt > 0` additionally applies the exact two-phase form —
+    per-(group, salt-of-key) row_number keeps cap rows per sub-group,
+    then the final per-group window sees <= cap*salt survivors — for
+    engines without rank-limit pushdown or when the group count is so
+    low that per-group reducer memory still matters. Every global
+    top-cap-by-hash row is in its salt bucket's top-cap, so both forms
+    are value-identical (property-tested).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
