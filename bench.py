@@ -352,8 +352,11 @@ def run_scaling(n_convs: int, levels=(1, 4), reps: int = 5) -> None:
         "n_shapes": results[hi]["n_shapes"],
     }
     print(json.dumps(summary))
+    import datetime as _dt
+
     _record_run(
-        f"threads, {summary['n_turns']:,} turns",
+        f"threads, {summary['n_turns']:,} turns "
+        f"({_dt.date.today().isoformat()}, min-of-{len(secs[lo])} fresh JVMs/level)",
         results[lo]["sec"], results[hi]["sec"], round(eff, 4),
     )
     _write_bench_md(summary, lo, hi)
