@@ -722,3 +722,29 @@ def test_llm_fn_plugs_into_generator(mock_llm_server):
                        context={}, language="en")
     assert out["natural_language_explanation"].startswith("LLM[gpt-4o-mini]::")
     assert out["provided_by_model"] == "gpt-4o-mini"
+
+
+def test_kg_ttl_missing_path_raises(tmp_path):
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle
+
+    with pytest.raises(FileNotFoundError):
+        kg_from_turtle(str(tmp_path / "nope.ttl"))
+
+
+def test_llm_malformed_200_returns_error_string(monkeypatch):
+    """HTTP 200 with an empty choices list or null content must return
+    the error string (never raise into a mapInPandas stage)."""
+    from xpshacl_spark.explain import llm_clients
+
+    responses = [
+        {"choices": []},
+        {"choices": [{"message": {"content": None}}]},
+        {"unexpected": "shape"},
+    ]
+    it = iter(responses)
+    monkeypatch.setattr(
+        llm_clients, "_post_json", lambda *a, **k: next(it)
+    )
+    fn = llm_clients.http_llm_fn("gpt-4o-mini", base_url="http://x/v1", api_key="k")
+    for _ in responses:
+        assert fn("p").startswith("Error generating explanation:")

@@ -932,3 +932,46 @@ def test_duplicate_span_stats(spark):
     assert got[1].dup_ratio == round(1 / 3, 6)
     assert (got[2].n_spans, got[2].n_dup_spans) == (2, 0)
     assert (got[3].n_spans, got[3].n_dup_spans, got[3].dup_ratio) == (0, 0, None)
+
+
+def test_real_decode_corrupt_bmp_headers_null(spark):
+    """Corrupt BMP variants must quarantine to NULL, not crash the job:
+    zero height (would divide by zero) and a data offset pointing into
+    the headers (would read header bytes as pixels)."""
+    import struct
+
+    from xpshacl_spark.operators.multimodal import decode_media
+
+    def bmp_hdr(w, h, off):
+        hdr = b"BM" + struct.pack("<IHHI", off + 64, 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return hdr + dib + b"\x00" * 256
+
+    rows = [
+        (1, "image", bytearray(bmp_hdr(4, 0, 54)), None),   # h = 0
+        (2, "image", bytearray(bmp_hdr(4, 3, 0)), None),    # offset in header
+        (3, "image", bytearray(bmp_hdr(4, 3, 54)), None),   # control: valid
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    got = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert got[1].format is None and got[1].width is None
+    assert got[2].format is None
+    assert got[3].format == "bmp" and got[3].mean_pixel == 0.0
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Both CC paths accept non-integer id columns (doc URIs, md5
+    fingerprints): min-id representative only needs `<`."""
+    from xpshacl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == expect
+    got2 = {r.id: r.cluster_id
+            for r in duplicate_clusters(pairs, local_contract=False).collect()}
+    assert got2 == expect

@@ -116,13 +116,17 @@ class ExplanationCache:
         # model + JSON blobs live on the EXPLANATION NODE in the
         # reference (violation_kg.py:160-199), shared by all languages —
         # fall back to any row of the signature if this language's row
-        # doesn't carry them (they are stored once per signature).
-        sig_rows = self._df[self._df["signature_id"] == uri]
+        # doesn't carry them (they are stored once per signature). The
+        # fallback scan runs only when a column is actually missing, so
+        # the common self-carrying row pays nothing extra.
+        sig_rows_cache = []
 
         def _node_level(col: str):
             if not pd.isna(row[col]) and row[col] is not None:
                 return row[col]
-            vals = sig_rows[col].dropna()
+            if not sig_rows_cache:
+                sig_rows_cache.append(self._df[self._df["signature_id"] == uri])
+            vals = sig_rows_cache[0][col].dropna()
             return vals.iloc[0] if len(vals) else None
 
         model = _node_level("provided_by_model")

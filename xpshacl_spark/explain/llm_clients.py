@@ -110,7 +110,15 @@ def http_llm_fn(
                 timeout,
             )
             return body["choices"][0]["message"]["content"].strip()
-        except (urllib.error.URLError, OSError, KeyError, ValueError) as e:
+        except (
+            urllib.error.URLError,
+            OSError,
+            KeyError,
+            ValueError,
+            IndexError,  # 200 with empty choices (content-filter stop)
+            AttributeError,  # "content": null -> None.strip()
+            TypeError,
+        ) as e:
             return f"Error generating explanation: {e}"
 
     return llm_fn

@@ -294,8 +294,10 @@ def duplicate_clusters(
 
         seen = set()
         for pdf in batches:
-            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-                a, b = int(a), int(b)
+            # .tolist() yields native Python values — ints AND strings
+            # both work (min-id representative only needs `<`), matching
+            # the raw pointer-jump path's no-type-restriction contract
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 seen.add(a)
                 seen.add(b)
                 ra, rb = find(a), find(b)

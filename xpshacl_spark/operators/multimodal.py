@@ -164,7 +164,14 @@ def _decode_bmp_bytes(b: bytes):
     (hdr_size, w, h_signed) = struct.unpack_from("<Iii", b, 14)
     (planes, bpp) = struct.unpack_from("<HH", b, 26)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0:
+    if (
+        hdr_size < 40
+        or bpp != 24
+        or compression != 0
+        or w <= 0
+        or h_signed == 0  # zero-height: no pixels to average
+        or data_offset < 14 + hdr_size  # offset inside the headers
+    ):
         return None
     h = abs(h_signed)
     row_bytes = w * 3
