@@ -679,7 +679,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, block_col="label", dim=64
+        e, "vec_id", "embedding", threshold=0.4, block_col="label", dim=None
     )
 
 
@@ -689,7 +689,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.similarity import cosine_topk
 
     e = _load(spark, sf_dir, "embeddings")
-    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10, dim=64)
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10, dim=None)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

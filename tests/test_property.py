@@ -231,3 +231,44 @@ def test_pack_sequences_property(spark, tokens, nparts, budget):
         assert got[i] == (run // budget, run % budget)
         run += n
     assert len(got) == len(tokens)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                # printable + the escapes the writer handles
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    langs=st.lists(st.sampled_from(["en", "de", "fr", "pt"]), min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_kg_ttl_roundtrip_arbitrary_text(texts, langs):
+    """Turtle escaping survives arbitrary unicode explanation text:
+    cache -> ttl -> cache -> ttl is semantics- and byte-stable."""
+    from xpshacl_spark.explain.cache import ExplanationCache
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle, kg_to_turtle
+    from xpshacl_spark.explain.signature import ViolationSignature
+
+    sig = ViolationSignature("c", "p", "t", {})
+    c = ExplanationCache()
+    for i, lang in enumerate(langs):
+        c.add_violation(
+            sig,
+            {"natural_language_explanation": texts[i % len(texts)] or "x",
+             "correction_suggestions": list(texts)},
+            lang,
+        )
+    t1 = kg_to_turtle(c)
+    c2 = kg_from_turtle(t1)
+    for i, lang in enumerate(langs):
+        assert c2.has_violation(sig, lang)
+        got = c2.get_explanation(sig, lang)["natural_language_explanation"]
+        assert got == (texts[i % len(texts)] or "x")
+    assert kg_to_turtle(c2) == t1

@@ -614,12 +614,17 @@ def _dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Double-precision dot product folded in index order — bit-identical
     to any engine that loops the list left to right in doubles.
 
-    When `dim` is known, the sum is unrolled over getItem() terms:
-    higher-order functions (aggregate/zip_with) are interpreted
-    per-element in Spark, while the unrolled form stays inside
-    whole-stage codegen (~10x faster on 64-dim vectors). Both forms
-    produce the same doubles: the fold starts at 0.0 + x0 == x0 and
-    adds left to right."""
+    dim=None (the zip_with/aggregate fold) is the measured-fast path
+    and the default everywhere: at 64 dims the unrolled getItem() form
+    plants 64 cast-multiply-add terms PER expression occurrence — in a
+    pair join with two norms + one dot that's hundreds of codegen terms
+    per row, which bloats generated methods past JIT limits and loses
+    2.5-3x head-to-head (sf0.1, min-of-3 warm: near-dup pairs 3.5s
+    unrolled vs 1.3s fold; same finding as the r02 LSH fold-vs-unroll
+    experiment in BENCH.md). The unrolled form (`dim=int`) is kept for
+    the measurement and for narrow vectors. Both forms produce the same
+    doubles: the fold starts at 0.0 + x0 == x0 and adds left to
+    right, so swapping them never moves an oracle hash."""
     if dim is not None:
         total = None
         for d in range(dim):

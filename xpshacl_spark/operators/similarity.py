@@ -107,14 +107,14 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_qn"),
     )
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_cn"),
     )
-    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
+    cos = _dot(F.col("_cv"), F.col("_qv"), None) / (F.col("_cn") * F.col("_qn"))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -266,7 +266,7 @@ def ivf_ann_topk(
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_cv"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_cn"),
         ),
         "_cv",
         cents,
@@ -275,12 +275,12 @@ def ivf_ann_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_qn"),
         ),
         "_qv",
         cents,
     )
-    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
+    cos = _dot(F.col("_cv"), F.col("_qv"), None) / (F.col("_cn") * F.col("_qn"))
     if nprobe == 1:
         # single-probe: plain equi-join on cell -> BroadcastHashJoin
         # (same argmax as the corpus assignment)
@@ -338,16 +338,16 @@ def lsh_ann_topk(
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_cn"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_cn"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_qn"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), None)).alias("_qn"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    cos = _dot(F.col("_cv"), F.col("_qv"), dim) / (F.col("_cn") * F.col("_qn"))
+    cos = _dot(F.col("_cv"), F.col("_qv"), None) / (F.col("_cn") * F.col("_qn"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
