@@ -467,6 +467,80 @@ def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BINS = 8
+DRIFT_LO, DRIFT_WIDTH = 0.0, 50.0
+DRIFT_BASELINE_CUT = 1704672000  # 2024-01-08 UTC: the reference week
+
+
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor, value-oracled end-to-end: the baseline
+    histogram (first week of events.value, fixed 8x50 bins) is computed
+    in BATCH and passed as literals — the deploy shape where the
+    train-time distribution is frozen and live traffic streams against
+    it. The events table then replays through a file stream and
+    windowed_drift emits one PSI row per closed 1-day window (append
+    mode, 1h watermark). The oracle recomputes baseline proportions,
+    per-window bins, and the PSI term sum in SQL with the watermark cut
+    `window_end <= max(ts) - 1h`."""
+    import tempfile
+    import uuid
+
+    from xpshacl_spark.streaming import windowed_drift
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(DRIFT_LO)) / F.lit(DRIFT_WIDTH)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(DRIFT_BINS - 1),
+    )
+    got = {
+        r["bi"]: r["n"]
+        for r in batch.where(
+            F.col("value").isNotNull()
+            & (
+                F.col("ts").cast("timestamp").cast("long")
+                < DRIFT_BASELINE_CUT
+            )
+        )
+        .groupBy(idx.alias("bi"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    baseline = [got.get(i, 0) for i in range(DRIFT_BINS)]
+
+    src = tempfile.mkdtemp(prefix="xp_drift_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
+    )
+    ck = tempfile.mkdtemp(prefix="xp_drift_ck_")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    v = windowed_drift(
+        stream, "value", baseline, DRIFT_LO, DRIFT_WIDTH,
+        ts_col="ts", window_duration="1 day", watermark="1 hour",
+    )
+    name = "drift_" + uuid.uuid4().hex[:8]
+    q = (
+        v.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start_unix"),
+        "n_rows",
+        "psi",
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-based sessionization (session_window + watermark),
     value-oracled: append mode emits exactly the sessions whose end
@@ -908,6 +982,23 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     return duplicate_span_stats(d, "doc_id", "text", n=5)
+
+
+MIX_BUDGETS = {f"src{i}": 1000.0 * (i + 1) for i in range(20)}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix recipe: each source gets a char budget (src0 1k
+    ... src19 20k); keep rate = min(1, budget/total) so low-budget
+    sources down-sample and high-budget ones are kept whole —
+    deterministic hash membership, rates derived from the data (the
+    oracle recomputes the SAME double arithmetic from the totals)."""
+    from xpshacl_spark.operators.sample import budget_mix
+
+    d = _load(spark, sf_dir, "documents")
+    return budget_mix(
+        d, "source", "n_chars", MIX_BUDGETS, ["doc_id"], seed="mix"
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_salted_skew_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_skew_validation": q_salted_skew_validation,
         "q_cap_per_source": q_cap_per_source,
         "q_dup_span_stats": q_dup_span_stats,
+        "q_token_budget_mix": q_token_budget_mix,
+        "q_stream_drift": q_stream_drift,
         # r01-proven, rotated out of the r02 window — re-prove
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
@@ -1405,10 +1498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
-        "q_ann_lsh_buckets": q_ann_lsh_buckets,
-        "q_media_features": q_media_features,
         # --- tail: green driver rows in r01/r02, rotated out of the
         # --- 50-query window this round
+        "q_ann_lsh_buckets": q_ann_lsh_buckets,
+        "q_media_features": q_media_features,
         "q_media_frames": q_media_frames,
         "q_media_resize": q_media_resize,
         "q_profile_stats": q_profile_stats,
@@ -1849,6 +1942,34 @@ def _signature_sql() -> str:
     return " UNION ALL ".join(branches)
 
 
+def _drift_oracle_sql() -> str:
+    """SQL mirror of q_stream_drift: baseline proportions, per-window
+    bins, and the PSI term sum use the exact double arithmetic of
+    streaming.windowed_drift (left-to-right term order, eps floor),
+    with the append-mode watermark cut `window_end <= max(ts) - 1h`."""
+    nb, lo, width = DRIFT_BINS, DRIFT_LO, DRIFT_WIDTH
+    bi = f"least(greatest(CAST(floor((value - {lo!r}) / {width!r}) AS INT), 0), {nb - 1})"
+    bins = ", ".join(
+        f"sum(CASE WHEN bi = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(nb)
+    )
+    terms = []
+    for i in range(nb):
+        p = f"greatest(CAST(c.c{i} AS DOUBLE) / CAST(c.n AS DOUBLE), 1e-06)"
+        q = f"greatest(CAST(b.c{i} AS DOUBLE) / CAST(b.bt AS DOUBLE), 1e-06)"
+        terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
+    return (
+        "WITH mx AS (SELECT epoch(max(ts)) AS m FROM events), "
+        "ev AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS wsu, "
+        f"epoch(ts) AS es, {bi} AS bi FROM events WHERE value IS NOT NULL), "
+        f"b AS (SELECT {bins}, count(*) AS bt FROM ev "
+        f"WHERE es < {DRIFT_BASELINE_CUT}), "
+        f"c AS (SELECT wsu, {bins}, count(*) AS n FROM ev GROUP BY wsu) "
+        "SELECT c.wsu AS window_start_unix, CAST(c.n AS INT) AS n_rows, "
+        f"round({' + '.join(terms)}, 6) AS psi "
+        "FROM c, b, mx WHERE c.wsu + 86400 <= m - 3600"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_range_lineitem_qty": (
@@ -1980,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE wn / CAST(n_words AS DOUBLE) END, 6) AS top_word_frac "
             "FROM s LEFT JOIN top ON s.doc_id = top.doc_id"
         ),
+        "q_stream_drift": _drift_oracle_sql(),
         "q_stream_window_events": (
             "WITH mx AS (SELECT epoch(max(ts)) AS m FROM events), "
             "w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wsu, "
@@ -2245,6 +2367,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_dup_spans, 0) AS n_dup_spans, "
             "round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) AS dup_ratio "
             "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+        ),
+        "q_token_budget_mix": (
+            # VALUES list of (source, budget) mirrors MIX_BUDGETS; the
+            # threshold recomputes rate_threshold()'s double arithmetic:
+            # trunc((budget / total) * 2^32) as 8 lowercase hex digits,
+            # 'g' (sorts above every hex string) when kept whole
+            "WITH tot AS (SELECT source, sum(n_chars) AS t FROM documents "
+            "GROUP BY 1), b AS (SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('src{i}', {1000.0 * (i + 1)!r})" for i in range(20)
+            )
+            + ") AS v(source, budget)), "
+            "thr AS (SELECT tot.source, CASE WHEN budget >= t THEN 'g' "
+            "ELSE lpad(lower(to_hex(CAST(trunc((budget / t) * 4294967296.0) "
+            "AS BIGINT))), 8, '0') END AS th FROM tot JOIN b USING (source)) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN thr ON d.source = thr.source "
+            "WHERE substr(md5('mix' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) "
+            "< th"
         ),
         "q_salted_skew_validation": (
             "SELECT gkey, CAST(count(*) AS INT) AS n_rows FROM "

@@ -975,3 +975,24 @@ def test_duplicate_clusters_string_ids(spark):
     got2 = {r.id: r.cluster_id
             for r in duplicate_clusters(pairs, local_contract=False).collect()}
     assert got2 == expect
+
+
+def test_budget_mix(spark):
+    from xpshacl_spark.operators.sample import budget_mix
+
+    rows = [(i, "a" if i < 40 else "b", 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    # stratum a: total 400, budget 100 -> rate .25; b: total 200, budget
+    # 10000 -> kept whole; unknown strata -> default 0
+    out = budget_mix(df, "source", "w", {"a": 100.0, "b": 10000.0}, ["doc_id"])
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    assert by["b"] == 20              # under budget: kept whole
+    assert 2 <= by.get("a", 0) <= 18  # ~25% of 40, hash-dependent
+    # deterministic across partitionings
+    out2 = budget_mix(df.repartition(7), "source", "w",
+                      {"a": 100.0, "b": 10000.0}, ["doc_id"])
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in out2.collect()}
+    # stratum with no budget entry -> dropped entirely
+    out3 = budget_mix(df, "source", "w", {"b": 1.0e9}, ["doc_id"])
+    assert {r.source for r in out3.collect()} == {"b"}

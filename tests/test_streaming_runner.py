@@ -321,3 +321,47 @@ def test_runner_cli_csv_and_jsonl_inputs(spark, tmp_path):
     assert rc == 3
     v2 = spark.read.option("recursiveFileLookup", "true").parquet(f"{out2}/violations")
     assert [r.id for r in v2.collect()] == [2]
+
+
+def test_windowed_drift_matches_psi_statistic(spark):
+    """windowed_drift's in-plan PSI must agree with the driver-side
+    operators.drift.psi_statistic on the same bins — run in batch mode
+    (same plan, no trigger) with hand-placed values."""
+    import datetime as dt
+
+    from xpshacl_spark.operators.drift import psi_statistic
+    from xpshacl_spark.streaming import windowed_drift
+
+    day1 = dt.datetime(2024, 1, 1)
+    day2 = dt.datetime(2024, 1, 2)
+    rows = (
+        [(day1, float(v) if v is not None else None)
+         for v in (5, 15, 15, 25, None)]   # d1: bins 0,1,1,2
+        + [(day2, float(v) if v is not None else None) for v in (25, 25, 25, 5)]
+    )
+    df = spark.createDataFrame(
+        [(t, v) for t, v in rows], "ts timestamp, value double"
+    )
+    baseline = [2, 1, 1]
+    out = {
+        r.window_start: r
+        for r in windowed_drift(
+            df, "value", baseline, lo=0.0, width=10.0,
+            window_duration="1 day", watermark="0 seconds",
+        ).collect()
+    }
+    r1 = out[day1]
+    assert r1.n_rows == 4  # null excluded
+    assert r1.psi == round(psi_statistic(baseline, [1, 2, 1]), 6)
+    r2 = out[day2]
+    assert r2.n_rows == 4
+    assert r2.psi == round(psi_statistic(baseline, [1, 0, 3]), 6)
+    # identical distribution to baseline -> PSI ~ 0
+    same = windowed_drift(
+        spark.createDataFrame(
+            [(day1, 5.0), (day1, 5.0), (day1, 15.0), (day1, 25.0)],
+            "ts timestamp, value double",
+        ),
+        "value", [2, 1, 1], lo=0.0, width=10.0,
+    ).collect()
+    assert abs(same[0].psi) < 1e-9

@@ -147,3 +147,41 @@ def cap_per_group(
         .where(F.col("_rn") <= cap)
         .drop("_rn", "_h")
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budgets: Mapping[object, float],
+    key_cols: Sequence[str],
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Training-mix recipe sampling: down-sample each stratum to a
+    target total WEIGHT (token/char budget per source — the standard
+    way a pretraining mix is specified). Per-stratum keep rate =
+    min(1, budget / total_weight); membership then uses the
+    deterministic key-hash coordinate, so the sample is stable across
+    runs, partitionings, and engines, and a stratum under its budget
+    is kept whole.
+
+    The realized weight is rate * total in expectation (hash sampling
+    is per-document); exact-budget packing would need the weighted
+    prefix-sum machinery of operators.packing instead.
+
+    Plan: one narrow (stratum, weight) groupBy whose result — ONE row
+    per stratum — is collected to compute the rate literals (the only
+    driver materialization, analogous to the packing operator's
+    N-partition totals), then the same zero-shuffle CASE-threshold
+    scan as stratified_sample.
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.sum(weight_col)).collect()
+    }
+    rates = {}
+    for stratum, budget in budgets.items():
+        t = totals.get(stratum)
+        rates[stratum] = 0.0 if not t else min(1.0, budget / t)
+    return stratified_sample(df, strata_col, rates, key_cols, default_rate, seed)

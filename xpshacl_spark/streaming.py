@@ -318,3 +318,72 @@ def windowed_max_count(
         counts, shape, c, F.col("_n") > F.lit(c.max_count), c.group_by,
         "maxCount", c.max_count,
     )
+
+
+def windowed_drift(
+    stream_df: DataFrame,
+    value_col: str,
+    baseline_counts: Sequence[float],
+    lo: float,
+    width: float,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: PSI per event-time tumbling
+    window against a FIXED baseline histogram (e.g. the reference
+    period's, computed in batch and passed as literals — the standard
+    deploy shape: train-time distribution vs live traffic).
+
+    Per window the value column is binned into the SAME fixed bins as
+    the baseline (floor((v - lo)/width), clamped to [0, nbins-1]) with
+    ONE streaming aggregation — per-bin counts as conditional sums, so
+    no second stateful operator is needed (multi-agg streams are
+    restricted) — and the PSI is computed IN-PLAN from the count
+    columns and the baseline-proportion literals: no driver round trip,
+    works inside any sink. Windows emit in append mode when the
+    watermark closes them. Null values are excluded (they belong to a
+    completeness check, not a drift bin).
+
+    Same statistic as operators.drift.psi_statistic (proportions
+    floored at eps; left-to-right term sum) so batch and stream agree
+    bit-for-bit on the same rows.
+    """
+    nb = len(baseline_counts)
+    if nb < 2:
+        raise ValueError("need at least 2 bins")
+    v = F.col(value_col)
+    idx = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(nb - 1),
+    )
+    agg = (
+        stream_df.where(v.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"_c{i}")
+                for i in range(nb)
+            ],
+        )
+    )
+    btot = float(sum(baseline_counts)) or 1.0
+    qs = [max(c / btot, eps) for c in baseline_counts]
+    total = F.col("n_rows").cast("double")
+    psi = None
+    for i in range(nb):
+        p = F.greatest(F.col(f"_c{i}").cast("double") / total, F.lit(eps))
+        term = (p - F.lit(qs[i])) * F.log(p / F.lit(qs[i]))
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.round(psi, 6).alias("psi"),
+    )
