@@ -417,6 +417,45 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, "doc_id", "n_toks", budget=2048)
 
 
+def _replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file stream: file-stream sources
+    need a DIRECTORY and the testdata table is a single file, so stream
+    from a symlink in a fresh temp dir."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="xp_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Append-mode memory sink driven to completion with
+    Trigger.AvailableNow; returns the sink table."""
+    import tempfile
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"xp_{prefix}ck_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, DuckDB-oracled: the events table replayed
     through a file-stream source -> watermarked tumbling-window
@@ -427,40 +466,15 @@ def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's late-data semantics themselves are value-verified, not
     just unit-tested. Timestamps compare as epoch seconds (tz-proof
     across engines)."""
-    import tempfile
-    import uuid
-
     from xpshacl_spark.shapes import GroupMaxCount
     from xpshacl_spark.streaming import windowed_max_count
 
-    # file-stream sources need a DIRECTORY; the testdata table is a
-    # single file, so stream from a symlink in a fresh temp dir
-    src = tempfile.mkdtemp(prefix="xp_stream_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
-    )
-    ck = tempfile.mkdtemp(prefix="xp_stream_ck_")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    stream = _replay_events_stream(spark, sf_dir)
     shape = Shape("evt_hourly_rate", (GroupMaxCount(("event_type",), 2),))
     v = windowed_max_count(
         stream, shape, ts_col="ts", window_duration="1 hour", watermark="1 hour"
     )
-    name = "winviol_" + uuid.uuid4().hex[:8]
-    q = (
-        v.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(spark, v, "winviol_").select(
         "event_type",
         F.col("window_start").cast("long").alias("window_start_unix"),
         F.element_at(F.col("context"), "actualCount").cast("int").alias("n_events"),
@@ -482,19 +496,13 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode, 1h watermark). The oracle recomputes baseline proportions,
     per-window bins, and the PSI term sum in SQL with the watermark cut
     `window_end <= max(ts) - 1h`."""
-    import tempfile
-    import uuid
-
+    from xpshacl_spark.operators.drift import bin_index
     from xpshacl_spark.streaming import windowed_drift
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    idx = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.lit(DRIFT_LO)) / F.lit(DRIFT_WIDTH)).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(DRIFT_BINS - 1),
-    )
+    # the SAME bin_index helper windowed_drift uses internally —
+    # baseline and live windows must bin a value identically
+    idx = bin_index(F.col("value"), DRIFT_LO, DRIFT_WIDTH, DRIFT_BINS)
     got = {
         r["bi"]: r["n"]
         for r in batch.where(
@@ -510,31 +518,12 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     baseline = [got.get(i, 0) for i in range(DRIFT_BINS)]
 
-    src = tempfile.mkdtemp(prefix="xp_drift_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
-    )
-    ck = tempfile.mkdtemp(prefix="xp_drift_ck_")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
     v = windowed_drift(
-        stream, "value", baseline, DRIFT_LO, DRIFT_WIDTH,
+        _replay_events_stream(spark, sf_dir), "value", baseline,
+        DRIFT_LO, DRIFT_WIDTH,
         ts_col="ts", window_duration="1 day", watermark="1 hour",
     )
-    name = "drift_" + uuid.uuid4().hex[:8]
-    q = (
-        v.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(spark, v, "drift_").select(
         F.col("window_start").cast("long").alias("window_start_unix"),
         "n_rows",
         "psi",
@@ -546,36 +535,13 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracled: append mode emits exactly the sessions whose end
     (last event + gap) the final watermark passed; the oracle rebuilds
     them with the batch lag+cumsum idiom and the same watermark cut."""
-    import tempfile
-    import uuid
-
     from xpshacl_spark.streaming import windowed_session_counts
 
-    src = tempfile.mkdtemp(prefix="xp_sess_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src}/events.parquet"
-    )
-    ck = tempfile.mkdtemp(prefix="xp_sess_ck_")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
     sess = windowed_session_counts(
-        stream, ["user_id"], ts_col="ts", gap="30 minutes", watermark="1 hour"
+        _replay_events_stream(spark, sf_dir), ["user_id"],
+        ts_col="ts", gap="30 minutes", watermark="1 hour",
     )
-    name = "sessviol_" + uuid.uuid4().hex[:8]
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_stream_to_memory(spark, sess, "sessviol_").select(
         "user_id",
         F.col("session_start").cast("long").alias("session_start_unix"),
         F.col("session_end").cast("long").alias("session_end_unix"),
@@ -753,7 +719,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, block_col="label", dim=None
+        e, "vec_id", "embedding", threshold=0.4, block_col="label"
     )
 
 
@@ -763,7 +729,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.similarity import cosine_topk
 
     e = _load(spark, sf_dir, "embeddings")
-    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10, dim=None)
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,7 +2345,12 @@ def oracle_sql() -> dict[str, str]:
                 f"('src{i}', {1000.0 * (i + 1)!r})" for i in range(20)
             )
             + ") AS v(source, budget)), "
-            "thr AS (SELECT tot.source, CASE WHEN budget >= t THEN 'g' "
+            # the kept-whole test mirrors the ENGINE's double division
+            # (min(1, budget/t) >= 1), NOT exact integer compare: when
+            # budget < t but budget/t rounds to 1.0 the engine keeps the
+            # stratum whole, and an un-clamped threshold would overflow
+            # to 9 hex digits and be silently lpad-truncated
+            "thr AS (SELECT tot.source, CASE WHEN budget / t >= 1.0 THEN 'g' "
             "ELSE lpad(lower(to_hex(CAST(trunc((budget / t) * 4294967296.0) "
             "AS BIGINT))), 8, '0') END AS th FROM tot JOIN b USING (source)) "
             "SELECT d.doc_id, d.source, d.n_chars FROM documents d "

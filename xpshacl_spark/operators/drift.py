@@ -51,3 +51,20 @@ def ks_statistic(
         cc += c / tc
         gap = max(gap, abs(cc - cb))
     return float(gap)
+
+
+def bin_index(col, lo: float, width: float, nbins: int):
+    """Fixed-bin histogram index as a Spark Column:
+    clamp(floor((col - lo) / width), 0, nbins - 1). The ONE definition
+    shared by the batch profiler baseline and streaming.windowed_drift —
+    baseline and live windows must bin a value identically or PSI
+    measures the binning skew, not drift."""
+    from pyspark.sql import functions as F
+
+    return F.least(
+        F.greatest(
+            F.floor((col - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(nbins - 1),
+    )

@@ -350,20 +350,19 @@ def windowed_drift(
     floored at eps; left-to-right term sum) so batch and stream agree
     bit-for-bit on the same rows.
     """
+    from xpshacl_spark.operators.drift import bin_index
+
     nb = len(baseline_counts)
     if nb < 2:
         raise ValueError("need at least 2 bins")
     v = F.col(value_col)
-    idx = F.least(
-        F.greatest(
-            F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(nb - 1),
-    )
+    idx = bin_index(v, lo, width, nb)
+    # watermark BEFORE the null filter: null-valued events must still
+    # advance event time (a heartbeat tail of nulls would otherwise
+    # stall the watermark and never close the last windows)
     agg = (
-        stream_df.where(v.isNotNull())
-        .withWatermark(ts_col, watermark)
+        stream_df.withWatermark(ts_col, watermark)
+        .where(v.isNotNull())
         .groupBy(F.window(ts_col, window_duration).alias("_w"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
