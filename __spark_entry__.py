@@ -950,6 +950,28 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(d, "doc_id", "text", n=5)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental exact dedup: a fingerprint index built
+    from the even-id half of the corpus stands in for the persisted
+    prior-runs index; the odd-id half arrives as the new batch and is
+    (a) anti-joined against the index on content_key, (b) deduped
+    within itself keeping the min id. Cost is O(|batch| + index probe)
+    — no full-corpus rescan, the resume loop for ingestion."""
+    from xpshacl_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    idx = fingerprint_index(
+        d.where(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    kept, _delta = incremental_exact_dedup(
+        d.where(F.col("doc_id") % 2 == 1), "doc_id", "text", idx
+    )
+    return kept.select("doc_id", "source")
+
+
 MIX_BUDGETS = {f"src{i}": 1000.0 * (i + 1) for i in range(20)}
 
 
@@ -1425,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_stats": q_dup_span_stats,
         "q_token_budget_mix": q_token_budget_mix,
         "q_stream_drift": q_stream_drift,
+        "q_dedup_incremental": q_dedup_incremental,
         # r01-proven, rotated out of the r02 window — re-prove
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
@@ -1463,9 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_near_dup": q_embed_near_dup,
-        "q_ann_cosine_topk": q_ann_cosine_topk,
         # --- tail: green driver rows in r01/r02, rotated out of the
         # --- 50-query window this round
+        "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
         "q_media_features": q_media_features,
         "q_media_frames": q_media_frames,
@@ -2180,6 +2203,16 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE n_violations > 0"
         ),
         "q_text_profile": _text_profile_sql(),
+        "q_dedup_incremental": (
+            f"WITH idx AS (SELECT DISTINCT md5({_NORM}) AS ck FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            f"new AS (SELECT doc_id, source, md5({_NORM}) AS ck FROM documents "
+            "WHERE doc_id % 2 = 1), "
+            "fresh AS (SELECT * FROM new WHERE ck NOT IN (SELECT ck FROM idx)), "
+            "k AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY ck ORDER BY doc_id) AS rn FROM fresh) "
+            "SELECT doc_id, source FROM k WHERE rn = 1"
+        ),
         "q_dedup_exact": (
             f"SELECT md5({_NORM}) AS content_key, count(*) AS n_dups, "
             "min(doc_id) AS keep_id FROM "

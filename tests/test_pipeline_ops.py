@@ -996,3 +996,34 @@ def test_budget_mix(spark):
     # stratum with no budget entry -> dropped entirely
     out3 = budget_mix(df, "source", "w", {"b": 1.0e9}, ["doc_id"])
     assert {r.source for r in out3.collect()} == {"b"}
+
+
+def test_incremental_exact_dedup(spark):
+    from xpshacl_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    run1 = spark.createDataFrame(
+        [(0, "hello world"), (1, "other text")], "doc_id long, text string"
+    )
+    idx = fingerprint_index(run1, "doc_id", "text")
+    run2 = spark.createDataFrame(
+        [
+            (10, "Hello,   WORLD!"),   # dup of indexed doc 0 (normalized)
+            (11, "fresh content"),
+            (12, "fresh content"),     # in-batch dup of 11
+            (13, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, delta = incremental_exact_dedup(run2, "doc_id", "text", idx)
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+    assert delta.count() == 2
+    # next run: union index + delta drops all of run2's content
+    idx2 = idx.unionByName(delta)
+    kept3, _ = incremental_exact_dedup(run2, "doc_id", "text", idx2)
+    assert kept3.count() == 0
+    # no index: pure in-batch dedup
+    kept0, _ = incremental_exact_dedup(run2, "doc_id", "text")
+    assert {r.doc_id for r in kept0.collect()} == {10, 11, 13}

@@ -749,3 +749,53 @@ def duplicate_span_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def fingerprint_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-fingerprint index for cross-run dedup: one row per
+    distinct normalized-content hash with the owning (min) id. Persist
+    this (parquet/bucketed by content_key) between ingestion runs."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint_col(text_col).alias("content_key"),
+        )
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: Optional[DataFrame] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup for INCREMENTAL ingestion: drop new docs whose
+    content already exists in the persisted fingerprint index, then
+    dedup within the new batch itself (keep the min id per content).
+    Returns (kept_rows, index_delta) — append the delta to the index
+    for the next run, completing the resume loop the checkpoint
+    manifest provides for validation.
+
+    Plan: fingerprint scan on the batch -> left-anti join against the
+    index on content_key (the index is keyed + typically bucketed, so
+    at scale this is the one shuffle — or zero with co-located
+    buckets) -> keyed min-window for in-batch winners. No full-corpus
+    rescan: cost is O(|batch| + index probe), which is the entire point
+    versus re-running exact_duplicates over corpus + batch."""
+    keyed = new_df.withColumn("_ck", fingerprint_col(text_col))
+    if index is not None:
+        keyed = keyed.join(
+            index.select(F.col("content_key").alias("_ck")), "_ck", "left_anti"
+        )
+    w = Window.partitionBy("_ck").orderBy(F.col(id_col))
+    kept = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    delta = kept.select(
+        F.col("_ck").alias("content_key"), F.col(id_col).alias("keep_id")
+    )
+    return kept.drop("_ck"), delta
