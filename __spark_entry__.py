@@ -950,6 +950,35 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(d, "doc_id", "text", n=5)
 
 
+def q_path_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL sequence path (sh:path (o_custkey c_acctbal)): every
+    order's CUSTOMER must have a non-negative balance — PathValue
+    follows the FK into the customer dim via a broadcast join and
+    applies MinInclusive to the joined attribute. Extends the
+    reference's simple-path subset (§2E)."""
+    from xpshacl_spark.shapes import MinInclusive, PathValue
+
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    shape = Shape(
+        "order_customer_balance",
+        (
+            PathValue(
+                ("o_custkey",), "customer", ("c_custkey",),
+                MinInclusive("c_acctbal", 0.0),
+            ),
+        ),
+    )
+    v = _one_shape_violations(
+        spark, o, shape, ["o_orderkey"], dims={"customer": c}
+    )
+    return v.select(
+        "o_orderkey",
+        F.col("value").cast("double").alias("acctbal"),
+        "property_path",
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run incremental exact dedup: a fingerprint index built
     from the even-id half of the corpus stands in for the persisted
@@ -1448,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_mix": q_token_budget_mix,
         "q_stream_drift": q_stream_drift,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_path_value_orders": q_path_value_orders,
         # r01-proven, rotated out of the r02 window — re-prove
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
@@ -1485,9 +1515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_simhash": q_dedup_simhash,
-        "q_embed_near_dup": q_embed_near_dup,
         # --- tail: green driver rows in r01/r02, rotated out of the
         # --- 50-query window this round
+        "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
         "q_media_features": q_media_features,
@@ -2203,6 +2233,12 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE n_violations > 0"
         ),
         "q_text_profile": _text_profile_sql(),
+        "q_path_value_orders": (
+            "SELECT o_orderkey, c_acctbal AS acctbal, "
+            "'o_custkey/c_acctbal' AS property_path "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "WHERE c_acctbal < 0.0"
+        ),
         "q_dedup_incremental": (
             f"WITH idx AS (SELECT DISTINCT md5({_NORM}) AS ck FROM documents "
             "WHERE doc_id % 2 = 0), "

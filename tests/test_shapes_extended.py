@@ -304,3 +304,42 @@ def test_value_constraints_lift_over_array_columns(spark):
     )
     v2 = _violations(spark, df, shape2, ["id"]).violations
     assert {r.id for r in v2.collect()} == {2}  # 'x' not in set
+
+
+def test_path_value_sequence_path(spark):
+    """PathValue — sh:path (fk attr): inner constraint evaluated on the
+    dim attribute; NULL FKs and dangling FKs pass vacuously."""
+    import pytest
+
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, PathValue, Shape
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)],  # 99: dangling FK
+        "row_id long, cust_id long",
+    )
+    dim = spark.createDataFrame(
+        [(10, -5.0), (20, 3.0)], "id long, bal double"
+    )
+    shape = Shape(
+        "cust_bal_shape",
+        (PathValue(("cust_id",), "cust", ("id",), MinInclusive("bal", 0.0)),),
+    )
+    eng = ValidationEngine(spark, dims={"cust": dim})
+    rep = eng.validate(fact, [shape], key_cols=["row_id"])
+    rows = rep.violations.collect()
+    assert [r.row_id for r in rows] == [1]  # only the negative-balance cust
+    assert rows[0].constraint_component == "MinInclusiveConstraintComponent"
+    assert rows[0].property_path == "cust_id/bal"
+    assert rows[0].value == "-5.0"
+
+    # attr name colliding with a fact key column must raise, not shadow
+    bad = Shape(
+        "clash",
+        (PathValue(("cust_id",), "cust2", ("id",), MinInclusive("row_id", 0.0)),),
+    )
+    eng2 = ValidationEngine(
+        spark, dims={"cust2": dim.withColumnRenamed("bal", "row_id")}
+    )
+    with pytest.raises(ValueError, match="collides"):
+        eng2.validate(fact, [bad], key_cols=["row_id"])

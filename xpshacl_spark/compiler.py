@@ -203,6 +203,7 @@ class ValidationEngine:
         parts.extend(self._compile_unique_checks(df, shapes, key_cols))
         parts.extend(self._compile_monotonic_checks(df, shapes, key_cols))
         parts.extend(self._compile_fk_checks(df, shapes, key_cols))
+        parts.extend(self._compile_path_checks(df, shapes, key_cols))
         parts.extend(self._compile_set_pair_checks(df, shapes, key_cols))
         parts.extend(self._compile_drift_checks(df, shapes, key_cols))
         parts.extend(self._compile_sql_checks(df, shapes, key_cols))
@@ -520,6 +521,60 @@ class ValidationEngine:
                 )
                 out = viol_rows.select(
                     *key_cols, _violation_struct(shape, c, value, ctx).alias("_v")
+                ).select(*key_cols, "_v.*")
+                outs.append(out)
+        return outs
+
+    # ------------------------------------------------------------------
+    # sequence paths: FK -> dim attribute value constraints
+    # ------------------------------------------------------------------
+
+    def _compile_path_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        """PathValue — sh:path (fk attr): broadcast-join the dim's
+        (keys, attr) projection onto target rows with non-NULL FKs
+        (inner join: no match = no value node = vacuous pass), then
+        evaluate the inner RowConstraint on the joined attribute."""
+        outs = []
+        for shape in shapes:
+            for c in shape.path_constraints():
+                dim = self._dim(c.ref_table)
+                attr = c.inner.column
+                clash = set(key_cols) | set(c.columns)
+                if attr in clash:
+                    raise ValueError(
+                        f"PathValue dim attribute {attr!r} collides with a "
+                        "key/FK column of the focus table; alias the dim "
+                        "column first"
+                    )
+                sel = [
+                    F.col(rc).alias(fk)
+                    for fk, rc in zip(c.columns, c.ref_columns)
+                ]
+                dim_proj = dim.select(*sel, F.col(attr)).dropDuplicates(
+                    list(c.columns)
+                )
+                cond = _target_col(shape)
+                for fk in c.columns:
+                    cond = cond & F.col(fk).isNotNull()
+                joined = (
+                    df.where(cond)
+                    .select(*key_cols, *c.columns)
+                    .join(F.broadcast(dim_proj), on=list(c.columns), how="inner")
+                )
+                viol = joined.where(
+                    F.coalesce(c.inner.violated(joined), F.lit(False))
+                )
+                ctx = F.create_map(
+                    F.lit("path"), F.lit(c.property_path()),
+                    F.lit("refTable"), F.lit(c.ref_table),
+                )
+                out = viol.select(
+                    *key_cols,
+                    _violation_struct(
+                        shape, c, F.col(attr).cast("string"), ctx
+                    ).alias("_v"),
                 ).select(*key_cols, "_v.*")
                 outs.append(out)
         return outs

@@ -997,6 +997,42 @@ class ForeignKey(Constraint):
 
 
 @dataclass(frozen=True)
+class PathValue(Constraint):
+    """SHACL SEQUENCE-PATH analog — ``sh:path (ex:fk ex:attr)``: follow
+    the foreign key into dimension `ref_table` and apply `inner` (any
+    RowConstraint, its ``column`` naming the DIM attribute) to the
+    joined value. Extends the reference's recognized simple-path subset
+    (extended_shacl_validator.py handles only direct properties); on a
+    star schema this is how "every order's customer must have a
+    non-negative balance" is a declarative shape instead of a manual
+    join.
+
+    Semantics: a NULL FK or an FK with no dim match produces NO value
+    node on the sequence path, so value-testing constraints pass
+    vacuously (SHACL; referential existence stays ForeignKey's job).
+    Compiled to a broadcast join of the (ref_keys, attr) projection —
+    the dim is an enumeration, the fact side never shuffles."""
+
+    columns: tuple
+    ref_table: str
+    ref_columns: tuple
+    inner: RowConstraint
+
+    def component(self) -> str:
+        return self.inner.component()
+
+    def params(self) -> dict:
+        return {
+            "path": self.property_path(),
+            "refTable": self.ref_table,
+            **self.inner.params(),
+        }
+
+    def property_path(self) -> Optional[str]:
+        return f"{','.join(self.columns)}/{self.inner.column}"
+
+
+@dataclass(frozen=True)
 class Drift(Constraint):
     """North-rule distribution-drift check: KS / PSI of `expression`
     (SQL expr over the row) vs a stored baseline histogram with fixed
@@ -1090,6 +1126,9 @@ class Shape:
 
     def join_constraints(self) -> list[ForeignKey]:
         return [c for c in self.constraints if isinstance(c, ForeignKey)]
+
+    def path_constraints(self) -> list["PathValue"]:
+        return [c for c in self.constraints if isinstance(c, PathValue)]
 
     def set_pair_constraints(self) -> list[Constraint]:
         return [
