@@ -343,3 +343,25 @@ def test_path_value_sequence_path(spark):
     )
     with pytest.raises(ValueError, match="collides"):
         eng2.validate(fact, [bad], key_cols=["row_id"])
+
+
+def test_path_value_every_value_node(spark):
+    """A dim key mapped to several attribute values: EVERY value node
+    on the path must conform — one violation per nonconforming value,
+    deterministically (no arbitrary-survivor dedup)."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, PathValue, Shape
+
+    fact = spark.createDataFrame([(1, 10)], "row_id long, cust_id long")
+    dim = spark.createDataFrame(
+        [(10, -5.0), (10, -7.0), (10, 1.0), (10, 1.0)], "id long, bal double"
+    )
+    shape = Shape(
+        "multi_value_path",
+        (PathValue(("cust_id",), "cust", ("id",), MinInclusive("bal", 0.0)),),
+    )
+    rep = ValidationEngine(spark, dims={"cust": dim}).validate(
+        fact, [shape], key_cols=["row_id"]
+    )
+    vals = sorted(r.value for r in rep.violations.collect())
+    assert vals == ["-5.0", "-7.0"]  # both bad value nodes, exactly once

@@ -552,9 +552,14 @@ class ValidationEngine:
                     F.col(rc).alias(fk)
                     for fk, rc in zip(c.columns, c.ref_columns)
                 ]
-                dim_proj = dim.select(*sel, F.col(attr)).dropDuplicates(
-                    list(c.columns)
-                )
+                # NO key-dedup: if the dim repeats a key, each row is a
+                # distinct value node on the path and EVERY one must
+                # conform (SHACL) — a dropDuplicates would both miss
+                # violations and pick an arbitrary survivor
+                # (nondeterministic across partitionings). Distinct
+                # (key, attr) pairs only, so an exactly-duplicated dim
+                # row doesn't double-report.
+                dim_proj = dim.select(*sel, F.col(attr)).dropDuplicates()
                 cond = _target_col(shape)
                 for fk in c.columns:
                     cond = cond & F.col(fk).isNotNull()
