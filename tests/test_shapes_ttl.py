@@ -455,3 +455,40 @@ ex:S a sh:NodeShape ;
 
     assert s.constraints == (NotNull("y"),)
     assert any("property shape deactivated" in r for _, _, r in imp.skipped)
+
+
+def test_sequence_path_imports_as_path_value(spark):
+    """sh:path (ex:fk ex:attr) + path_dims -> PathValue; without the
+    mapping it is skip-reported, never silently mis-imported."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import PathValue
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:OrderCustomerShape a sh:NodeShape ;
+        sh:property [
+            sh:path (ex:cust_id ex:bal) ;
+            sh:minInclusive 0.0 ;
+        ] .
+    """
+    imp = import_ttl(ttl, path_dims={"cust_id": ("cust", "id")})
+    assert len(imp.shapes) == 1
+    (c,) = imp.shapes[0].constraints
+    assert isinstance(c, PathValue)
+    assert c.ref_table == "cust" and c.columns == ("cust_id",)
+    assert c.inner.column == "bal"
+
+    # end to end through the engine
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "row_id long, cust_id long")
+    dim = spark.createDataFrame([(10, -1.0), (20, 5.0)], "id long, bal double")
+    rep = ValidationEngine(spark, dims={"cust": dim}).validate(
+        fact, imp.shapes, key_cols=["row_id"]
+    )
+    assert [r.row_id for r in rep.violations.collect()] == [1]
+
+    # unmapped: skip-reported
+    imp2 = import_ttl(ttl)
+    assert not imp2.shapes
+    assert any("path_dims" in reason for _, _, reason in imp2.skipped)

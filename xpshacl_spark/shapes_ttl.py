@@ -333,10 +333,58 @@ def _child_constraint(
     return cs[0] if len(cs) == 1 else S.And(tuple(cs), column=child_col)
 
 
+def _map_name(uri: str, column_map: dict) -> str:
+    return column_map.get(uri, column_map.get(local_name(uri), local_name(uri)))
+
+
 def _property_constraints(
-    block: Blank, column_map: dict, skipped: list, shape_id: str
+    block: Blank,
+    column_map: dict,
+    skipped: list,
+    shape_id: str,
+    path_dims: Optional[dict] = None,
 ) -> list:
     path = block.first(SH + "path")
+    if isinstance(path, list):
+        # SEQUENCE path `sh:path (ex:fk ex:attr)` (SHACL property
+        # paths): importable as PathValue when the caller maps the FK
+        # step to a registered dim via path_dims={fk: (dim, ref_col)}.
+        # The value constraints in the block then apply to the dim
+        # attribute through the broadcast join (shapes.PathValue).
+        if len(path) == 2 and all(isinstance(p, str) for p in path):
+            fk = _map_name(path[0], column_map)
+            mapping = (path_dims or {}).get(fk) or (path_dims or {}).get(
+                local_name(path[0])
+            )
+            if mapping:
+                dim_name, ref_col = mapping
+                attr = _map_name(path[1], column_map)
+                inner = _block_constraints(
+                    block, attr, column_map, skipped, shape_id
+                )
+                out = []
+                for rc in inner:
+                    if isinstance(rc, S.RowConstraint):
+                        out.append(
+                            S.PathValue((fk,), dim_name, (ref_col,), rc)
+                        )
+                    else:
+                        skipped.append(
+                            (shape_id, SH + "path",
+                             f"sequence path cannot wrap {type(rc).__name__}")
+                        )
+                if not out:
+                    skipped.append(
+                        (shape_id, SH + "path",
+                         "sequence path produced no importable constraints")
+                    )
+                return out
+        skipped.append(
+            (shape_id, SH + "path",
+             "sequence path not mapped (pass path_dims={fk: (dim, ref_col)}) "
+             "or unsupported form")
+        )
+        return []
     if not isinstance(path, str):
         skipped.append((shape_id, SH + "path", "missing or non-IRI sh:path"))
         return []
@@ -472,6 +520,7 @@ def import_ttl(
     target_map: Optional[dict] = None,
     column_map: Optional[dict] = None,
     type_column: str = "rdf_type",
+    path_dims: Optional[dict] = None,
 ) -> TtlImport:
     """Parse a Turtle shapes document into engine Shapes + skip report."""
     target_map = dict(target_map or {})
@@ -545,14 +594,18 @@ def import_ttl(
         for obj in blank.objects(SH + "property"):
             if isinstance(obj, Blank):
                 constraints.extend(
-                    _property_constraints(obj, column_map, skipped, subj)
+                    _property_constraints(
+                        obj, column_map, skipped, subj, path_dims
+                    )
                 )
             else:
                 skipped.append((subj, SH + "property", "non-blank property shape"))
         if blank.first(SH + "path") is not None:
             # standalone PropertyShape: the statement itself is the block
             constraints.extend(
-                _property_constraints(blank, column_map, skipped, subj)
+                _property_constraints(
+                    blank, column_map, skipped, subj, path_dims
+                )
             )
         for pred, objs in props:
             if pred == SH + "sparql":
@@ -579,5 +632,8 @@ def shapes_from_ttl(
     target_map: Optional[dict] = None,
     column_map: Optional[dict] = None,
     type_column: str = "rdf_type",
+    path_dims: Optional[dict] = None,
 ) -> list:
-    return import_ttl(text, target_map, column_map, type_column).shapes
+    return import_ttl(
+        text, target_map, column_map, type_column, path_dims
+    ).shapes
