@@ -2244,9 +2244,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 2 = 0), "
             f"new AS (SELECT doc_id, source, md5({_NORM}) AS ck FROM documents "
             "WHERE doc_id % 2 = 1), "
-            "fresh AS (SELECT * FROM new WHERE ck NOT IN (SELECT ck FROM idx)), "
-            "k AS (SELECT doc_id, source, row_number() OVER "
-            "(PARTITION BY ck ORDER BY doc_id) AS rn FROM fresh) "
+            # anti-join-shaped NOT EXISTS + NULL-key passthrough mirrors
+            # the engine's left_anti + unknown-content semantics (NOT IN
+            # would go UNKNOWN on any NULL key)
+            "fresh AS (SELECT * FROM new WHERE ck IS NULL OR NOT EXISTS "
+            "(SELECT 1 FROM idx WHERE idx.ck = new.ck)), "
+            "k AS (SELECT doc_id, source, CASE WHEN ck IS NULL THEN 1 ELSE "
+            "row_number() OVER (PARTITION BY ck ORDER BY doc_id) END AS rn "
+            "FROM fresh) "
             "SELECT doc_id, source FROM k WHERE rn = 1"
         ),
         "q_dedup_exact": (

@@ -1027,3 +1027,24 @@ def test_incremental_exact_dedup(spark):
     # no index: pure in-batch dedup
     kept0, _ = incremental_exact_dedup(run2, "doc_id", "text")
     assert {r.doc_id for r in kept0.collect()} == {10, 11, 13}
+
+
+def test_incremental_dedup_null_text_passthrough(spark):
+    """NULL text = UNKNOWN content: such rows are never collapsed and
+    never enter the index delta."""
+    from xpshacl_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    idx = fingerprint_index(
+        spark.createDataFrame([(0, "known")], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    batch = spark.createDataFrame(
+        [(1, None), (2, None), (3, "known"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    kept, delta = incremental_exact_dedup(batch, "doc_id", "text", idx)
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 4}  # both NULLs kept
+    assert {r.keep_id for r in delta.collect()} == {4}      # no NULL keys

@@ -492,3 +492,31 @@ def test_sequence_path_imports_as_path_value(spark):
     imp2 = import_ttl(ttl)
     assert not imp2.shapes
     assert any("path_dims" in reason for _, _, reason in imp2.skipped)
+
+
+def test_sequence_path_skips_unwrappable_constraints():
+    """minCount (would invert missing-value-node semantics) and pair
+    predicates (reference focus-row columns absent from the join) on a
+    sequence path are skip-reported, never silently mis-imported."""
+    from xpshacl_spark.shapes import PathValue
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ;
+        sh:property [
+            sh:path (ex:cust_id ex:bal) ;
+            sh:minCount 1 ;
+            sh:equals ex:other_col ;
+            sh:minInclusive 0.0 ;
+        ] .
+    """
+    imp = import_ttl(ttl, path_dims={"cust_id": ("cust", "id")})
+    assert len(imp.shapes) == 1
+    (c,) = imp.shapes[0].constraints  # only the value test survives
+    assert isinstance(c, PathValue)
+    assert c.inner.component() == "MinInclusiveConstraintComponent"
+    reasons = [r for _, p, r in imp.skipped if "sequence path cannot wrap" in r]
+    assert any("NotNull" in r for r in reasons)
+    assert any("Equals" in r for r in reasons)

@@ -786,16 +786,25 @@ def incremental_exact_dedup(
     versus re-running exact_duplicates over corpus + batch."""
     keyed = new_df.withColumn("_ck", fingerprint_col(text_col))
     if index is not None:
+        # left_anti never matches NULL keys, so NULL-text rows pass
         keyed = keyed.join(
             index.select(F.col("content_key").alias("_ck")), "_ck", "left_anti"
         )
+    # NULL content key = UNKNOWN content, not identical content: such
+    # rows are all kept (never collapsed into one survivor) and never
+    # enter the index (a NULL key could never match a probe anyway)
     w = Window.partitionBy("_ck").orderBy(F.col(id_col))
     kept = (
-        keyed.withColumn("_rn", F.row_number().over(w))
+        keyed.withColumn(
+            "_rn",
+            F.when(F.col("_ck").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    delta = kept.select(
+    delta = kept.where(F.col("_ck").isNotNull()).select(
         F.col("_ck").alias("content_key"), F.col(id_col).alias("keep_id")
     )
     return kept.drop("_ck"), delta

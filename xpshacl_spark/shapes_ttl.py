@@ -294,7 +294,7 @@ def _cell_value(obj: Node, column_map: dict):
     if isinstance(obj, Literal):
         return _py_value(obj)
     if isinstance(obj, str):
-        return column_map.get(obj, column_map.get(local_name(obj), local_name(obj)))
+        return _map_name(obj, column_map)
     return obj
 
 
@@ -317,10 +317,7 @@ def _child_constraint(
         return None
     child_path = obj.first(SH + "path")
     if isinstance(child_path, str):
-        child_col = column_map.get(
-            child_path,
-            column_map.get(local_name(child_path), local_name(child_path)),
-        )
+        child_col = _map_name(child_path, column_map)
     else:
         child_col = col
     cs = [
@@ -364,14 +361,23 @@ def _property_constraints(
                 )
                 out = []
                 for rc in inner:
-                    if isinstance(rc, S.RowConstraint):
+                    # ONLY single-column value tests over the dim
+                    # attribute are wrappable. NotNull (sh:minCount)
+                    # would INVERT semantics (a NULL/dangling FK is a
+                    # missing value node = violation, but the PathValue
+                    # join passes it vacuously); pair predicates and
+                    # logical combinators may reference focus-row
+                    # columns absent from the join projection.
+                    if isinstance(rc, (S.ValueConstraint, S.Datatype)):
                         out.append(
                             S.PathValue((fk,), dim_name, (ref_col,), rc)
                         )
                     else:
                         skipped.append(
                             (shape_id, SH + "path",
-                             f"sequence path cannot wrap {type(rc).__name__}")
+                             f"sequence path cannot wrap {type(rc).__name__}"
+                             " (only single-column value tests on the dim"
+                             " attribute)")
                         )
                 if not out:
                     skipped.append(
@@ -388,7 +394,7 @@ def _property_constraints(
     if not isinstance(path, str):
         skipped.append((shape_id, SH + "path", "missing or non-IRI sh:path"))
         return []
-    col = column_map.get(path, column_map.get(local_name(path), local_name(path)))
+    col = _map_name(path, column_map)
     return _block_constraints(block, col, column_map, skipped, shape_id)
 
 
@@ -502,10 +508,7 @@ def _block_constraints(
                 out.append(S.NodeKind(col, kind=local_name(str(obj))))
             elif pred in pairs:
                 other_uri = obj if isinstance(obj, str) else str(obj)
-                other = column_map.get(
-                    other_uri,
-                    column_map.get(local_name(other_uri), local_name(other_uri)),
-                )
+                other = _map_name(other_uri, column_map)
                 out.append(pairs[pred](col, other))
             elif pred in (SH + "message", SH + "name", SH + "description",
                           RDFS_COMMENT, SH + "severity", SH + "deactivated"):
