@@ -520,3 +520,73 @@ def test_sequence_path_skips_unwrappable_constraints():
     reasons = [r for _, p, r in imp.skipped if "sequence path cannot wrap" in r]
     assert any("NotNull" in r for r in reasons)
     assert any("Equals" in r for r in reasons)
+
+
+REPORT_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+[] a sh:ValidationReport ;
+    sh:conforms false ;
+    sh:result [
+        a sh:ValidationResult ;
+        sh:focusNode ex:node1 ;
+        sh:resultPath ex:hasAge ;
+        sh:value "-5"^^xsd:integer ;
+        sh:resultMessage "Value is not >= 0" ;
+        sh:resultSeverity sh:Violation ;
+        sh:sourceConstraintComponent sh:MinInclusiveConstraintComponent ;
+        sh:sourceShape ex:AgeShape ;
+    ] ,
+    [
+        a sh:ValidationResult ;
+        sh:focusNode ex:node2 ;
+        sh:resultSeverity sh:Warning ;
+        sh:sourceConstraintComponent sh:MinCountConstraintComponent ;
+        sh:sourceShape ex:CardShape ;
+    ] ,
+    [
+        a sh:ValidationResult ;
+        sh:focusNode ex:node3 ;
+        sh:sourceConstraintComponent sh:PatternConstraintComponent ;
+    ] .
+"""
+
+
+def test_report_ttl_extraction():
+    """sh:ValidationResult extraction mirrors the reference
+    (extended_shacl_validator.py:183-282): required fields enforced
+    with log-and-drop, component -> violation_type classification,
+    severity local names, blank-node report subject supported."""
+    from xpshacl_spark.report_ttl import violations_from_report_ttl
+
+    rows, skipped = violations_from_report_ttl(REPORT_TTL)
+    assert len(rows) == 2  # node3 lacks sourceShape -> dropped
+    by = {r["focus_node"]: r for r in rows}
+    r1 = by["http://example.org/node1"]
+    assert r1["constraint_component"] == "MinInclusiveConstraintComponent"
+    assert r1["violation_type"] == "value_range"
+    assert r1["value"] == "-5"
+    assert r1["property_path"] == "http://example.org/hasAge"
+    assert r1["message"] == "Value is not >= 0"
+    assert r1["severity"] == "Violation"
+    r2 = by["http://example.org/node2"]
+    assert r2["violation_type"] == "cardinality"
+    assert r2["severity"] == "Warning"
+    assert any("sourceShape" in p for p, _ in skipped)
+
+
+def test_report_ttl_to_dataframe_and_explanations(spark):
+    """Report -> violations DataFrame -> the signature/justification
+    machinery runs over a THIRD-PARTY report end to end."""
+    from xpshacl_spark.explain.signature import signature_id_col
+    from xpshacl_spark.explain.tree import build_justification_tree
+    from xpshacl_spark.report_ttl import report_violations_df
+
+    df = report_violations_df(spark, REPORT_TTL)
+    assert df.count() == 2
+    sigs = df.select(signature_id_col().alias("sig")).distinct().collect()
+    assert len(sigs) == 2
+    row = df.where(df.focus_node.endswith("node1")).first().asDict()
+    tree = build_justification_tree(row)
+    assert tree["justification"]["type"] == "conclusion"

@@ -365,3 +365,39 @@ def test_windowed_drift_matches_psi_statistic(spark):
         "value", [2, 1, 1], lo=0.0, width=10.0,
     ).collect()
     assert abs(same[0].psi) < 1e-9
+
+
+def test_runner_input_report_mode(spark, tmp_path, capsys):
+    """--input-report: a third-party SHACL report TTL replays through
+    the summary + explanation stages without validation (reference
+    main.py --input_report mode)."""
+    import json
+
+    from xpshacl_spark import runner
+
+    report_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    [] a sh:ValidationReport ; sh:conforms false ;
+        sh:result [
+            a sh:ValidationResult ;
+            sh:focusNode ex:n1 ;
+            sh:resultPath ex:age ;
+            sh:value "-3" ;
+            sh:resultSeverity sh:Violation ;
+            sh:sourceConstraintComponent sh:MinInclusiveConstraintComponent ;
+            sh:sourceShape ex:AgeShape ;
+        ] .
+    """
+    rp = tmp_path / "report.ttl"
+    rp.write_text(report_ttl)
+    out = str(tmp_path / "out")
+    rc = runner.main(["--input-report", str(rp), "--output", out, "--explain"])
+    assert rc == 3  # violations present
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_violations"] == 1
+    assert not summary["conforms"]
+    expl = spark.read.parquet(f"{out}/explained")
+    row = expl.first()
+    assert row.constraint_component == "MinInclusiveConstraintComponent"
+    assert row.natural_language_explanation

@@ -40,6 +40,14 @@ def main(argv=None) -> int:
     ap.add_argument("--languages", default="en")
     ap.add_argument("--replay")
     ap.add_argument(
+        "--input-report",
+        dest="input_report",
+        help="standard SHACL validation-report Turtle (pyshacl/rdflib "
+        "output): skip validation and replay the report's results "
+        "through the explanation stages — the reference CLI's "
+        "--input_report mode (main.py:75-114)",
+    )
+    ap.add_argument(
         "--incremental",
         action="store_true",
         help="validate only input files not yet in the checkpoint "
@@ -72,7 +80,15 @@ def main(argv=None) -> int:
     )
     runner = CheckpointedRunner(engine, args.output)
 
-    if args.replay:
+    if args.input_report:
+        from xpshacl_spark.report_ttl import report_violations_df
+
+        df = None
+        key_cols = ["focus_node"]
+        report = ValidationReport(
+            report_violations_df(spark, args.input_report), key_cols
+        )
+    elif args.replay:
         df = None
         violations = spark.read.option("recursiveFileLookup", "true").parquet(
             f"{args.replay}/violations"
