@@ -590,3 +590,39 @@ def test_report_ttl_to_dataframe_and_explanations(spark):
     row = df.where(df.focus_node.endswith("node1")).first().asDict()
     tree = build_justification_tree(row)
     assert tree["justification"]["type"] == "conclusion"
+
+
+def test_rdfs_inference_expands_target_class(spark):
+    """inference='rdfs': sh:targetClass also targets subclass instances
+    (the reference's --inference pyshacl option, scoped to the
+    entailment rule that affects tabular target selection)."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <http://example.org/> .
+    ex:Dog rdfs:subClassOf ex:Animal .
+    ex:Puppy rdfs:subClassOf ex:Dog .
+    ex:AnimalShape a sh:NodeShape ;
+        sh:targetClass ex:Animal ;
+        sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
+    """
+    plain = import_ttl(ttl).shapes[0]
+    assert plain.target == "rdf_type = 'Animal'"
+    inferred = import_ttl(ttl, inference="rdfs").shapes[0]
+    assert inferred.target == "rdf_type IN ('Animal', 'Dog', 'Puppy')"
+
+    df = spark.createDataFrame(
+        [(1, "Animal", -1), (2, "Dog", -2), (3, "Puppy", 4), (4, "Rock", -9)],
+        "id long, rdf_type string, legs int",
+    )
+    eng = ValidationEngine(spark)
+    got_plain = {r.id for r in eng.validate(df, [plain], ["id"]).violations.collect()}
+    got_inf = {r.id for r in eng.validate(df, [inferred], ["id"]).violations.collect()}
+    assert got_plain == {1}
+    assert got_inf == {1, 2}  # Dog included, Rock still excluded
+
+    with pytest.raises(ValueError, match="unsupported inference"):
+        import_ttl(ttl, inference="owlrl")

@@ -59,6 +59,14 @@ def main(argv=None) -> int:
         help="allow group-scope shapes in --incremental (requires "
         "group-per-file layout locality)",
     )
+    ap.add_argument(
+        "--inference",
+        default="none",
+        help="none or rdfs: with rdfs, Turtle shapes' sh:targetClass "
+        "also targets rdfs:subClassOf descendants (the reference CLI's "
+        "--inference option, main.py:31-33, scoped to the entailment "
+        "that affects tabular target selection)",
+    )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
@@ -72,7 +80,18 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="xpshacl_spark_runner", master=args.master)
     key_cols = args.key_cols.split(",")
-    shapes = load_shapes(args.shapes) if args.shapes else transcript_shapes()
+    ttl_kwargs = (
+        {"inference": args.inference}
+        if args.shapes and args.shapes.endswith((".ttl", ".turtle"))
+        else {}
+    )
+    if args.inference != "none" and not ttl_kwargs:
+        ap.error("--inference applies to Turtle shapes (--shapes *.ttl)")
+    shapes = (
+        load_shapes(args.shapes, **ttl_kwargs)
+        if args.shapes
+        else transcript_shapes()
+    )
 
     t0 = time.monotonic()
     engine = ValidationEngine(

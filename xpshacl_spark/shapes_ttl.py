@@ -245,6 +245,39 @@ SH = "http://www.w3.org/ns/shacl#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def _subclass_closure(statements) -> dict:
+    """class -> all (transitive) subclasses, from rdfs:subClassOf
+    triples in the same document (or a merged ontology document).
+    Reference parity: pyshacl's inference="rdfs" pre-materializes
+    subclass entailment so sh:targetClass also targets instances of
+    subclasses (main.py --inference; here scoped to the one entailment
+    rule that affects tabular target selection)."""
+    parents: dict[str, set] = {}
+    for subj, props in statements:
+        for pred, objs in props:
+            if pred == RDFS_SUBCLASS:
+                for o in objs:
+                    if isinstance(o, str):
+                        parents.setdefault(subj, set()).add(o)
+    down: dict[str, set] = {}
+    for child, sups in parents.items():
+        for sup in sups:
+            down.setdefault(sup, set()).add(child)
+    closure: dict[str, set] = {}
+
+    def walk(c, seen):
+        for ch in down.get(c, ()):  # DFS with cycle guard
+            if ch not in seen:
+                seen.add(ch)
+                walk(ch, seen)
+        return seen
+
+    for c in down:
+        closure[c] = walk(c, set())
+    return closure
 
 _XSD_TO_SPARK = {
     "integer": "int",
@@ -524,11 +557,29 @@ def import_ttl(
     column_map: Optional[dict] = None,
     type_column: str = "rdf_type",
     path_dims: Optional[dict] = None,
+    inference: str = "none",
+    ontology_text: Optional[str] = None,
 ) -> TtlImport:
-    """Parse a Turtle shapes document into engine Shapes + skip report."""
+    """Parse a Turtle shapes document into engine Shapes + skip report.
+
+    inference="rdfs" (reference main.py --inference): sh:targetClass X
+    also targets instances of X's rdfs:subClassOf descendants — the one
+    RDFS entailment that affects tabular target selection. Subclass
+    triples are read from the shapes document itself and, when given,
+    from `ontology_text` (a separate ontology .ttl)."""
     target_map = dict(target_map or {})
     column_map = dict(column_map or {})
     statements = _Parser(_tokenize(text)).parse()
+    subclasses: dict = {}
+    if inference == "rdfs":
+        onto_statements = list(statements)
+        if ontology_text:
+            onto_statements += _Parser(_tokenize(ontology_text)).parse()
+        subclasses = _subclass_closure(onto_statements)
+    elif inference != "none":
+        raise ValueError(
+            f"unsupported inference {inference!r} (none or rdfs)"
+        )
     shapes = []
     skipped: list = []
     for subj, props in statements:
@@ -551,9 +602,18 @@ def import_ttl(
         target = None
         tc = blank.first(SH + "targetClass")
         if isinstance(tc, str):
-            target = target_map.get(
-                tc, target_map.get(local_name(tc))
-            ) or f"{type_column} = '{local_name(tc)}'"
+            mapped = target_map.get(tc, target_map.get(local_name(tc)))
+            if mapped:
+                target = mapped
+            else:
+                classes = [local_name(tc)] + sorted(
+                    local_name(c) for c in subclasses.get(tc, ())
+                )
+                if len(classes) == 1:
+                    target = f"{type_column} = '{classes[0]}'"
+                else:
+                    quoted = ", ".join(f"'{c}'" for c in classes)
+                    target = f"{type_column} IN ({quoted})"
         unmapped_target = None
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
             tn = blank.first(SH + pred)
@@ -636,7 +696,10 @@ def shapes_from_ttl(
     column_map: Optional[dict] = None,
     type_column: str = "rdf_type",
     path_dims: Optional[dict] = None,
+    inference: str = "none",
+    ontology_text: Optional[str] = None,
 ) -> list:
     return import_ttl(
-        text, target_map, column_map, type_column, path_dims
+        text, target_map, column_map, type_column, path_dims,
+        inference, ontology_text,
     ).shapes
