@@ -626,3 +626,83 @@ def test_rdfs_inference_expands_target_class(spark):
 
     with pytest.raises(ValueError, match="unsupported inference"):
         import_ttl(ttl, inference="owlrl")
+
+
+def test_report_ttl_many_labeled_results_no_loss():
+    """Regression: standalone labeled-bnode results interleaved with
+    other statements must ALL be extracted (an identity-keyed dedup on
+    transient wrappers dropped reused-address results)."""
+    from xpshacl_spark.report_ttl import violations_from_report_ttl
+
+    n = 300
+    parts = ["@prefix sh: <http://www.w3.org/ns/shacl#> .",
+             "@prefix ex: <http://example.org/> ."]
+    for i in range(n):
+        parts.append(
+            f"_:r{i} a sh:ValidationResult ; sh:focusNode ex:n{i} ; "
+            f"sh:sourceConstraintComponent sh:PatternConstraintComponent ; "
+            f"sh:sourceShape ex:S ."
+        )
+        parts.append(f"ex:noise{i} ex:p ex:o{i} .")
+    rows, skipped = violations_from_report_ttl("\n".join(parts))
+    assert len(rows) == n
+    assert len({r["focus_node"] for r in rows}) == n
+
+
+def test_report_ttl_blank_source_shape_and_missing_file(tmp_path):
+    """Inline-blank sh:sourceShape (pyshacl property-shape style) maps
+    to a readable stable id, and a missing report path raises."""
+    import pytest
+
+    from xpshacl_spark.report_ttl import (
+        report_violations_df,
+        violations_from_report_ttl,
+    )
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    [] a sh:ValidationReport ; sh:result [
+        a sh:ValidationResult ;
+        sh:focusNode ex:n1 ;
+        sh:sourceConstraintComponent sh:MinCountConstraintComponent ;
+        sh:sourceShape [ sh:path ex:age ; sh:minCount 1 ] ;
+    ] .
+    """
+    rows, _ = violations_from_report_ttl(ttl)
+    assert rows[0]["shape_id"] == "PropertyShape/age"
+    with pytest.raises(FileNotFoundError):
+        report_violations_df(None, str(tmp_path / "nope.ttl"))
+
+
+def test_runner_inference_reads_data_graph_subclasses(tmp_path, spark, capsys):
+    """--inference rdfs: subclass triples in the DATA graph (their
+    normal home) expand shape targets — not only shapes-file triples."""
+    import json
+
+    from xpshacl_spark import runner
+
+    data = """
+    @prefix ex: <http://example.org/> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    ex:Dog rdfs:subClassOf ex:Animal .
+    ex:d1 a ex:Dog ; ex:legs -1 .
+    """
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:AnimalShape a sh:NodeShape ;
+        sh:targetClass ex:Animal ;
+        sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
+    """
+    dp, sp = tmp_path / "data.ttl", tmp_path / "shapes.ttl"
+    dp.write_text(data); sp.write_text(shapes)
+    out = str(tmp_path / "o1")
+    rc = runner.main(["--input", str(dp), "--shapes", str(sp),
+                      "--output", out, "--inference", "rdfs"])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and s["n_violations"] == 1  # Dog row caught via Animal
+    out2 = str(tmp_path / "o2")
+    rc2 = runner.main(["--input", str(dp), "--shapes", str(sp), "--output", out2])
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and s2["n_violations"] == 0  # no inference: no targets

@@ -12,18 +12,23 @@ explanations run over third-party reports, not only our own outputs.
 
 Mirrors the reference's extraction semantics:
 
-* results are found by ``a sh:ValidationResult`` — standalone subjects,
-  blank-node subjects (``[] a sh:ValidationReport ; sh:result [...]``),
-  and results nested under ``sh:result`` all work;
+* results are found by ``a sh:ValidationResult`` — standalone subjects
+  (IRI or labeled bnode), blank-node report subjects (``[] a
+  sh:ValidationReport ; sh:result [...]``), and results nested inline
+  under ``sh:result`` all work (blank-subject support lives in the
+  shared shapes_ttl parser). A standalone typed result referenced from
+  ``sh:result`` by LABEL is counted once: nested label references are
+  strings, not inline nodes;
 * a result without focusNode / sourceShape / sourceConstraintComponent
   is SKIPPED with a recorded reason (the reference logs-and-drops,
   :204-221);
+* an INLINE-blank ``sh:sourceShape`` (how pyshacl serializes property
+  shapes) maps to a stable readable id — ``PropertyShape/<path local
+  name>`` — instead of a Python repr; blank focusNode/value reduce to
+  ``_:anon``;
 * violation_type is classified from the component name via the same
   mapping the engine compiles with (model.COMPONENT_VIOLATION_TYPE —
-  the reference's regex classifier :260-285 agrees on the shared set);
-* focus node / shape / component / path / value serialize as strings
-  (components and severities reduce to their local names, matching the
-  engine's column conventions).
+  the reference's regex classifier :260-285 agrees on the shared set).
 """
 
 from __future__ import annotations
@@ -48,40 +53,20 @@ SH = "http://www.w3.org/ns/shacl#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def _parse_statements(text: str) -> list[tuple[Optional[str], list]]:
-    """Like shapes_ttl._Parser.parse but also accepts BLANK-NODE
-    subjects (``[] a ...`` / ``[ ... ] .``), which rdflib-serialized
-    validation reports use for the report node."""
-    p = _Parser(_tokenize(text))
-    statements: list[tuple[Optional[str], list]] = []
-    while p._peek() is not None:
-        t = p._peek()
-        if t in ("@prefix", "@base", "PREFIX", "BASE"):
-            p._parse_prefix()
-            continue
-        if t == "[":
-            p._next()
-            props = p._parse_predicate_object_list(stop_at_dot=False)
-            if p._peek() == "]":
-                p._next()
-            props += p._parse_predicate_object_list(stop_at_dot=True)
-            if p._peek() == ".":
-                p._next()
-            statements.append((None, props))
-            continue
-        subj = p.expand(p._next())
-        props = p._parse_predicate_object_list(stop_at_dot=True)
-        if p._peek() == ".":
-            p._next()
-        statements.append((subj, props))
-    return statements
-
-
-def _sval(node) -> Optional[str]:
+def _sval(node, pred: str = "") -> Optional[str]:
     if node is None:
         return None
     if isinstance(node, Literal):
         return node.value
+    if isinstance(node, Blank):
+        # inline blank nodes: pyshacl serializes property shapes this
+        # way for sh:sourceShape — derive a stable readable id from the
+        # shape's path; other blank values reduce to _:anon (never the
+        # Python dataclass repr)
+        path = node.first(SH + "path")
+        if isinstance(path, str):
+            return f"PropertyShape/{local_name(path)}"
+        return "_:anon"
     return str(node)
 
 
@@ -112,27 +97,26 @@ def _result_row(res: Blank, skipped: list) -> Optional[dict]:
     }
 
 
-def violations_from_report_ttl(source: str) -> tuple[list[dict], list]:
-    """Parse a SHACL report Turtle file (path or literal text) into
-    violation dicts (focus_node + VIOLATION_COLUMNS) + a skip report."""
-    if "\n" not in source and " " not in source:
-        with open(source, encoding="utf-8") as f:
-            text = f.read()
-    else:
-        text = source
-    statements = _parse_statements(text)
+def violations_from_report_ttl(text: str) -> tuple[list[dict], list]:
+    """Parse SHACL report Turtle TEXT into violation dicts (focus_node
+    + VIOLATION_COLUMNS) + a skip report. For a file on disk use
+    :func:`read_report_violations` / :func:`report_violations_df`."""
+    statements = _Parser(_tokenize(text)).parse()
     skipped: list = []
     rows: list[dict] = []
-    seen: set[int] = set()
 
     def _consume(res: Blank):
-        if id(res) in seen:
-            return
-        seen.add(id(res))
         row = _result_row(res, skipped)
         if row is not None:
             rows.append(row)
 
+    # Each result node is visited exactly once: a top-level typed
+    # statement gets its own fresh wrapper, and an inline blank under
+    # sh:result appears in exactly one object position (label
+    # references to standalone results parse as strings and are
+    # filtered by the isinstance check) — so no cross-visit dedup is
+    # needed, and none is attempted (an identity-based one would
+    # false-positive on reused addresses of transient wrappers).
     for subj, props in statements:
         blank = Blank(props)
         types = [str(t) for t in blank.objects(RDF_TYPE)]
@@ -144,13 +128,28 @@ def violations_from_report_ttl(source: str) -> tuple[list[dict], list]:
     return rows, skipped
 
 
+def read_report_violations(path: str) -> tuple[list[dict], list]:
+    """File variant of :func:`violations_from_report_ttl` — explicit
+    path semantics (a missing file raises, never silently parses the
+    path string as Turtle)."""
+    with open(path, encoding="utf-8") as f:
+        return violations_from_report_ttl(f.read())
+
+
 def report_violations_df(spark, source: str):
     """The parsed report as a violations DataFrame in the engine's
     column order (focus_node first, context as an empty map — report
-    graphs don't carry the engine's context key/values)."""
+    graphs don't carry the engine's context key/values). `source` is a
+    path if such a file exists, else Turtle text (text always contains
+    whitespace; a whitespace-free non-existent path raises)."""
     from pyspark.sql import types as T
 
-    rows, _ = violations_from_report_ttl(source)
+    if os.path.exists(source):
+        rows, _ = read_report_violations(source)
+    elif "\n" in source or " " in source:
+        rows, _ = violations_from_report_ttl(source)
+    else:
+        raise FileNotFoundError(source)
     schema = T.StructType(
         [T.StructField("focus_node", T.StringType(), True)]
         + [

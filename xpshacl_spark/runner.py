@@ -14,6 +14,17 @@ locally: `python -m xpshacl_spark.runner ...`):
   --replay DIR           skip validation; run explanation stages over an
                          existing violations output (reference report-
                          replay mode, /root/reference/src/main.py:75-114)
+  --input-report F.ttl   skip validation; replay a STANDARD SHACL
+                         validation-report Turtle file (pyshacl/rdflib
+                         output) through the summary + explanation
+                         stages (reference --input_report mode)
+  --inference MODE       none (default) or rdfs: Turtle shapes'
+                         sh:targetClass also targets rdfs:subClassOf
+                         descendants; subclass triples are read from
+                         the shapes doc, a Turtle --input data graph,
+                         and --ontology when given
+  --ontology F.ttl       extra ontology document supplying
+                         rdfs:subClassOf triples for --inference rdfs
   --incremental          append-only delta mode: validate only input
                          files not yet recorded in the checkpoint
                          manifest ([--force-incremental] to allow
@@ -67,6 +78,11 @@ def main(argv=None) -> int:
         "--inference option, main.py:31-33, scoped to the entailment "
         "that affects tabular target selection)",
     )
+    ap.add_argument(
+        "--ontology",
+        help="extra ontology .ttl supplying rdfs:subClassOf triples "
+        "for --inference rdfs",
+    )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
@@ -80,11 +96,22 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="xpshacl_spark_runner", master=args.master)
     key_cols = args.key_cols.split(",")
-    ttl_kwargs = (
-        {"inference": args.inference}
-        if args.shapes and args.shapes.endswith((".ttl", ".turtle"))
-        else {}
-    )
+    ttl_kwargs = {}
+    if args.shapes and args.shapes.endswith((".ttl", ".turtle")):
+        ttl_kwargs["inference"] = args.inference
+        if args.inference == "rdfs":
+            # subclass triples normally live in the DATA graph or a
+            # separate ontology, not the shapes file — feed both (this
+            # is what pyshacl's inference entails over in the reference)
+            onto_parts = []
+            if args.input and args.input.endswith((".ttl", ".turtle")):
+                with open(args.input, encoding="utf-8") as f:
+                    onto_parts.append(f.read())
+            if args.ontology:
+                with open(args.ontology, encoding="utf-8") as f:
+                    onto_parts.append(f.read())
+            if onto_parts:
+                ttl_kwargs["ontology_text"] = "\n".join(onto_parts)
     if args.inference != "none" and not ttl_kwargs:
         ap.error("--inference applies to Turtle shapes (--shapes *.ttl)")
     shapes = (

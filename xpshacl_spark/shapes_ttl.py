@@ -148,13 +148,27 @@ class _Parser:
                 return base + local
         return tok
 
-    def parse(self) -> list[tuple[str, list]]:
-        """Returns [(subject_iri, [(pred_iri, [objects])])]."""
+    def parse(self) -> list[tuple[Optional[str], list]]:
+        """Returns [(subject_iri_or_None, [(pred_iri, [objects])])].
+
+        A BLANK-NODE subject (``[] a ...`` / ``[ ... ] .`` — the form
+        rdflib uses for e.g. validation-report nodes) yields subject
+        None with the merged property list."""
         statements = []
         while self._peek() is not None:
             t = self._peek()
             if t in ("@prefix", "@base", "PREFIX", "BASE"):
                 self._parse_prefix()
+                continue
+            if t == "[":
+                self._next()
+                props = self._parse_predicate_object_list(stop_at_dot=False)
+                if self._peek() == "]":
+                    self._next()
+                props += self._parse_predicate_object_list(stop_at_dot=True)
+                if self._peek() == ".":
+                    self._next()
+                statements.append((None, props))
                 continue
             subj = self.expand(self._next())
             props = self._parse_predicate_object_list(stop_at_dot=True)
@@ -257,6 +271,8 @@ def _subclass_closure(statements) -> dict:
     rule that affects tabular target selection)."""
     parents: dict[str, set] = {}
     for subj, props in statements:
+        if subj is None:  # blank-node subject: no class to subclass
+            continue
         for pred, objs in props:
             if pred == RDFS_SUBCLASS:
                 for o in objs:
@@ -582,7 +598,9 @@ def import_ttl(
         )
     shapes = []
     skipped: list = []
-    for subj, props in statements:
+    for i, (subj, props) in enumerate(statements):
+        if subj is None:
+            subj = f"_:blank{i}"  # stable synthetic id per document order
         blank = Blank(props)
         types = [str(t) for t in blank.objects(RDF_TYPE)]
         is_shape = (
