@@ -161,6 +161,8 @@ def kg_from_turtle(
     # subject -> {pred: [objects]}; statements for one subject may repeat
     subjects: dict[str, dict[str, list]] = {}
     for subj, props in parser.parse():
+        if subj is None:
+            continue  # KG nodes are always IRIs (xsh:sig_... / _explanation)
         acc = subjects.setdefault(subj, {})
         for pred, objs in props:
             acc.setdefault(pred, []).extend(objs)

@@ -76,6 +76,11 @@ def rdf_table(
     rows: dict[str, dict] = {}
     multi: set[str] = set()
     for subj, props in _Parser(_tokenize(text)).parse():
+        if subj is None:
+            # blank-node subjects have no stable row key in the tabular
+            # projection — skip (a data graph keyed on bnodes needs
+            # skolemization upstream)
+            continue
         row = rows.setdefault(subj, {})
         for pred, objs in props:
             if pred == RDF_TYPE:
