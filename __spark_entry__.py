@@ -1272,10 +1272,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.dedup import simhash_pairs
 
     d = _load(spark, sf_dir, "documents")
-    # 32-bit hashes, not 16: segment selectivity is 2^(bits/(h+1)) —
-    # 8-bit segments give 256 blocking buckets vs 16, cutting candidate
-    # fan-out ~16x for identical semantics
-    return simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=3)
+    # 63-bit hashes (r03; r02 used 32): segment selectivity is
+    # 2^(bits/(h+1)) — ~16-bit segments give ~65k blocking buckets vs
+    # 256, cutting the candidate fan-out ~250x. Equally important at
+    # corpus scale: 32-bit fingerprints birthday-collide across 10^5
+    # docs, so hamming<=3 matches were dominated by coarse-hash
+    # coincidences; at 63 bits a close match is evidence of true
+    # near-duplication.
+    return simhash_pairs(d, "doc_id", "text", bits=63, max_hamming=3)
 
 
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,9 +1640,16 @@ def _minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
 def _simhash_sql(bits: int = 16) -> str:
     terms = []
     for j in range(bits):
+        # bits 32+ come from the second seeded hash md5('s2|' || w),
+        # mirroring dedup.simhash's extended family
+        digit = (
+            f"substr(md5(w), {j + 1}, 1)"
+            if j < 32
+            else f"substr(md5('s2|' || w), {j - 31}, 1)"
+        )
         bit = (
             f"CASE WHEN list_sum(list_transform({_NWORDS}, "
-            f"w -> CASE WHEN instr('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1 >= 8 "
+            f"w -> CASE WHEN instr('0123456789abcdef', {digit}) - 1 >= 8 "
             f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END"
         )
         terms.append(bit)
@@ -2533,7 +2544,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM v GROUP BY ROLLUP (shape_id, constraint_component)"
         ),
         "q_dedup_simhash_pairs": (
-            f"WITH sh AS ({_simhash_sql(bits=32)}) "
+            f"WITH sh AS ({_simhash_sql(bits=63)}) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "

@@ -1048,3 +1048,21 @@ def test_incremental_dedup_null_text_passthrough(spark):
     kept, delta = incremental_exact_dedup(batch, "doc_id", "text", idx)
     assert {r.doc_id for r in kept.collect()} == {1, 2, 4}  # both NULLs kept
     assert {r.keep_id for r in delta.collect()} == {4}      # no NULL keys
+
+
+def test_simhash_63_bit_extended_family(spark, docs):
+    """bits > 32 uses the second seeded hash for the upper bits:
+    identical docs still collide exactly; values fit a signed long; the
+    lower 32 bits agree with the 32-bit fingerprint."""
+    from xpshacl_spark.operators.dedup import simhash, simhash_pairs
+
+    h63 = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text", 63).collect()}
+    h32 = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text", 32).collect()}
+    assert h63[0] == h63[1]  # dups collide at any width
+    assert all(0 <= v < 2**63 for v in h63.values())
+    # bit j of the 63-bit hash is digit j of the SAME stream, so the
+    # LOW 32 bits (j < 32) equal the 32-bit fingerprint
+    assert all((h63[k] & 0xFFFFFFFF) == h32[k] for k in h32)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(docs, "doc_id", "text", bits=63, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0

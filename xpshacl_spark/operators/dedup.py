@@ -496,59 +496,76 @@ def simhash(
 ) -> DataFrame:
     """(doc_id, simhash): bitwise-majority fingerprint over word md5s.
 
-    Bit j of a word = high bit of hex nibble j of md5(word); the
-    document's bit j is 1 iff more word occurrences have bit j set than
-    unset. bits <= 32 (one md5 hex nibble per bit). Zero-shuffle scan.
+    Bit j of a word = high bit of hex nibble j of md5(word) for j < 32,
+    and of md5('s2|' + word) nibble j-32 beyond (a second seeded hash
+    extends the family); the document's bit j is 1 iff more word
+    occurrences have bit j set than unset. bits <= 63 (the hash must
+    fit a signed long). At web scale prefer WIDE hashes for pair
+    mining: 32-bit fingerprints birthday-collide across ~10^5 docs,
+    flooding hamming<=h with coarse-hash coincidences — 63 bits makes a
+    <=3-bit match evidence of true near-duplication and cuts the
+    pigeonhole candidate volume by the square of the extra bucket
+    count.
 
-    Staged so the expensive work runs once per WORD, not once per word
-    per bit: the word array is projected (split once), then each word
-    is reduced to a single long bitmask — translate the md5 hex digits
-    to '0'/'1' by their high bit and parse the first `bits` chars as
-    binary — so the per-bit majority folds are just shift+mask over a
-    precomputed long array. Hex digit at 1-based position j+1 drives
-    simhash bit j (value 2^j), i.e. mask bit (bits-1-j) after the
-    binary parse. Values are identical to the naive per-bit
-    conv(substring(md5)) nesting; only the evaluation count changes.
+    Plan (r03, measured in BENCH.md): explode words -> one long
+    bitmask per (doc, word) (translate md5 hex to '0'/'1' by high bit,
+    parse binary — ONE md5 per hash family per word) -> ONE hash
+    aggregation with `bits` conditional shift+mask SUMs -> weight the
+    sign of each majority count by 2^j. Whole-stage-codegen hash agg
+    with map-side combine: the shuffle carries one row of `bits` ints
+    per doc per map partition. This beat both alternatives 5x+: `bits`
+    separate array folds re-walk the word array per bit and spill past
+    codegen limits at 63 bits, and a single HOF fold accumulating a
+    count array pays per-element allocation. Hex digit at 1-based
+    position j+1 drives simhash bit j (value 2^j); values are
+    identical to the per-bit conv(substring(md5)) nesting.
     """
-    assert bits <= 32
-    staged = df.select(
+    assert bits <= 63
+
+    def _mask(expr, nbits):
+        return F.conv(
+            F.substring(
+                F.translate(expr, "0123456789abcdef", "0000000011111111"),
+                1,
+                nbits,
+            ),
+            2,
+            10,
+        ).cast("long")
+
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
+    words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(text_col), " ").alias("_ws"),
-    ).select(
-        "doc_id",
-        F.transform(
-            F.col("_ws"),
-            lambda w: F.conv(
-                F.substring(
-                    F.translate(
-                        F.md5(w), "0123456789abcdef", "0000000011111111"
-                    ),
-                    1,
-                    bits,
-                ),
-                2,
-                10,
-            ).cast("long"),
-        ).alias("_bm"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("_w"),
     )
+    masks = [_mask(F.md5("_w"), lo_bits).alias("_lo")]
+    if hi_bits:
+        masks.append(
+            _mask(F.md5(F.concat(F.lit("s2|"), F.col("_w"))), hi_bits).alias("_hi")
+        )
+    wm = words.select("doc_id", *masks)
+
+    def _count(col, nbits, local_j, out_idx):
+        # +1 if bit set else -1; majority = sum > 0. local_j indexes
+        # within THIS mask's bits; out_idx names the global bit
+        return F.sum(
+            F.when(
+                F.shiftright(col, nbits - 1 - local_j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_c{out_idx}")
+
+    aggs = [_count(F.col("_lo"), lo_bits, j, j) for j in range(lo_bits)]
+    aggs += [
+        _count(F.col("_hi"), hi_bits, j, lo_bits + j) for j in range(hi_bits)
+    ]
+    g = wm.groupBy("doc_id").agg(*aggs)
     total = None
     for j in range(bits):
-        # contribution of each word occurrence: +1 if bit set else -1
-        contrib = F.aggregate(
-            F.col("_bm"),
-            F.lit(0),
-            lambda acc, m: acc
-            + F.when(
-                F.shiftright(m, bits - 1 - j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        bit = F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(2**j)
+        term = F.when(F.col(f"_c{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         total = term if total is None else total + term
-    return staged.select(
-        "doc_id", total.cast("bigint").alias("simhash")
-    )
+    return g.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
@@ -569,7 +586,10 @@ def simhash_pairs(
     (proven against an exhaustive pairwise oracle); the join fan-out is
     bounded by the per-segment bucket sizes instead of n^2.
     """
-    sh = simhash(df, id_col, text_col, bits)
+    # materialize the fingerprints once: both self-join sides derive
+    # from sh, and without a checkpoint Catalyst recomputes the full
+    # text scan + hash agg PER BRANCH (doc-count rows — cheap to hold)
+    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
     n_seg = max_hamming + 1
     seg_bits = -(-bits // n_seg)  # ceil
     mask = (1 << seg_bits) - 1
