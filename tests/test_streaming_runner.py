@@ -401,3 +401,19 @@ def test_runner_input_report_mode(spark, tmp_path, capsys):
     row = expl.first()
     assert row.constraint_component == "MinInclusiveConstraintComponent"
     assert row.natural_language_explanation
+
+
+def test_runner_orc_input(spark, tmp_path, capsys):
+    """ORC inputs validate identically to parquet (built-in Spark ORC
+    source; columnar pushdown applies the same way)."""
+    import json
+
+    from xpshacl_spark import runner
+
+    inp = str(tmp_path / "in.orc")
+    transcripts(spark, n_convs=30).write.orc(inp)
+    out = str(tmp_path / "o")
+    rc = runner.main(["--input", inp, "--output", out])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 3)
+    assert "n_violations" in s

@@ -170,6 +170,8 @@ def main(argv=None) -> int:
             ).csv(args.input)
         elif args.input.endswith((".json", ".jsonl", ".ndjson")):
             df = spark.read.json(args.input)
+        elif args.input.endswith(".orc"):
+            df = spark.read.orc(args.input)
         else:
             df = spark.read.parquet(args.input)
         report = runner.run(df, shapes, key_cols=key_cols)
