@@ -1066,3 +1066,25 @@ def test_simhash_63_bit_extended_family(spark, docs):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in simhash_pairs(docs, "doc_id", "text", bits=63, max_hamming=3).collect()}
     assert pairs.get((0, 1)) == 0
+
+
+def test_simhash_null_text_and_duplicate_ids(spark):
+    """Per-ROW fingerprint contract: NULL-text rows get simhash 0 (the
+    oracle's value — not silently dropped), and rows sharing an id stay
+    separate fingerprints instead of blending word majorities."""
+    from xpshacl_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, None), (7, "alpha beta"), (7, "gamma delta zz")],
+        "doc_id long, text string",
+    )
+    rows = simhash(df, "doc_id", "text", 16).collect()
+    assert len(rows) == 5  # one per input ROW
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r.simhash)
+    assert by_id[2] == [0] and by_id[3] == [0]  # NULL text -> 0, kept
+    assert len(by_id[7]) == 2 and by_id[7][0] != by_id[7][1]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=0).collect()}
+    assert pairs.get((2, 3)) == 0  # the two NULL docs pair at hamming 0

@@ -535,16 +535,31 @@ def simhash(
 
     lo_bits = min(bits, 32)
     hi_bits = bits - lo_bits
-    words = df.select(
+    # explode_OUTER + per-ROW grouping key preserve the one-fingerprint-
+    # per-input-row contract of the pre-r03 implementation (and the
+    # per-row oracle): a NULL-text row keeps a single NULL word whose
+    # NULL mask contributes -1 to every bit (when(NULL==1) is not
+    # matched) => simhash 0, exactly the old/oracle value; duplicate
+    # ids stay separate rows instead of blending into one fingerprint.
+    # The row id never leaves this plan — it only keys the agg.
+    # the row id MUST be assigned in a projection BELOW the generate:
+    # inlined next to explode_outer it would be evaluated once per
+    # exploded word row (nondeterministic expressions don't commute
+    # past Generate, so the two-step form is stable)
+    base = df.select(
+        F.monotonically_increasing_id().alias("_rid"),
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("_w"),
+        F.split(normalize_text(text_col), " ").alias("_wsarr"),
+    )
+    words = base.select(
+        "_rid", "doc_id", F.explode_outer("_wsarr").alias("_w")
     )
     masks = [_mask(F.md5("_w"), lo_bits).alias("_lo")]
     if hi_bits:
         masks.append(
             _mask(F.md5(F.concat(F.lit("s2|"), F.col("_w"))), hi_bits).alias("_hi")
         )
-    wm = words.select("doc_id", *masks)
+    wm = words.select("_rid", "doc_id", *masks)
 
     def _count(col, nbits, local_j, out_idx):
         # +1 if bit set else -1; majority = sum > 0. local_j indexes
@@ -560,7 +575,7 @@ def simhash(
     aggs += [
         _count(F.col("_hi"), hi_bits, j, lo_bits + j) for j in range(hi_bits)
     ]
-    g = wm.groupBy("doc_id").agg(*aggs)
+    g = wm.groupBy("_rid", "doc_id").agg(*aggs)
     total = None
     for j in range(bits):
         term = F.when(F.col(f"_c{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
@@ -586,10 +601,16 @@ def simhash_pairs(
     (proven against an exhaustive pairwise oracle); the join fan-out is
     bounded by the per-segment bucket sizes instead of n^2.
     """
-    # materialize the fingerprints once: both self-join sides derive
-    # from sh, and without a checkpoint Catalyst recomputes the full
-    # text scan + hash agg PER BRANCH (doc-count rows — cheap to hold)
-    sh = simhash(df, id_col, text_col, bits).localCheckpoint()
+    # cache the fingerprints: both self-join sides derive from sh, and
+    # without it Catalyst recomputes the full text scan + hash agg PER
+    # BRANCH. Lazy persist (not localCheckpoint): stays lazy, blocks
+    # are evictable, and lineage survives executor loss on a real
+    # cluster — doc-count rows, trivially cacheable
+    from pyspark import StorageLevel
+
+    sh = simhash(df, id_col, text_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_seg = max_hamming + 1
     seg_bits = -(-bits // n_seg)  # ceil
     mask = (1 << seg_bits) - 1
