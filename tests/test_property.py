@@ -272,3 +272,35 @@ def test_kg_ttl_roundtrip_arbitrary_text(texts, langs):
         got = c2.get_explanation(sig, lang)["natural_language_explanation"]
         assert got == (texts[i % len(texts)] or "x")
     assert kg_to_turtle(c2) == t1
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    h=st.integers(min_value=0, max_value=3),
+)
+@SLOW
+def test_simhash_pairs_pigeonhole_recall_exact(spark, docs, h):
+    """simhash_pairs == brute-force hamming filter on the same
+    fingerprints: the segment blocking loses NOTHING (recall 1) and
+    invents nothing, for any max_hamming and messy inputs."""
+    from xpshacl_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    hashes = {r.doc_id: r.simhash
+              for r in simhash(df, "doc_id", "text", 16).collect()}
+    expect = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= h:
+                expect[(a, b)] = d
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=h).collect()}
+    assert got == expect
