@@ -299,3 +299,71 @@ def test_cap_per_group_rank_limit_pushdown(spark):
     plan2 = _plan(cap_per_group(df, ["source"], ["doc_id"], cap=5, salt=4))
     assert plan2.count("WindowGroupLimit") >= 2
     assert "Exchange SinglePartition" not in plan2
+
+
+def test_stop_shingle_prune_is_agg_anti_join_no_sort(spark):
+    """The stop-shingle doc-frequency cap must be the agg + broadcast
+    left-anti form: groupBy(shingle).count() is map-side combined (a
+    hot shingle pre-reduces per partition before the shuffle), and the
+    over-cap hot set — bounded by |corpus|/cap — broadcasts. The old
+    window form shuffled the whole (doc, shingle) relation by shingle
+    WITH a per-partition sort just to drop hot keys; pin that neither
+    the Window operator nor its Sort ever reappears under the prune."""
+    from xpshacl_spark.operators.dedup import (
+        _maybe_prune_stop_shingles,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "common words here plus doc %d tail" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pruned = _maybe_prune_stop_shingles(shingles(df, "doc_id", "text"), 5)
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    # correctness: every surviving shingle's doc-frequency <= cap
+    top = (
+        pruned.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top is not None and top <= 5
+
+
+def test_duplicate_span_stats_no_pairwise_fanout(spark):
+    """duplicate_span_stats joins each (doc, span) row to the span's
+    corpus doc-frequency — exactly ONE row per (doc, span), never a
+    span-keyed self-join (which would be k^2 per hot span). Pin: no
+    self-join of the shingle relation (the only joins are span->dfreq
+    and the left join back to the doc spine, so <= 2 joins and one
+    count-style aggregate per side)."""
+    from xpshacl_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(i, "one two three four five six seven") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_stats(df, "doc_id", "text", n=5)
+    plan = _plan(out)
+    # span->dfreq equi-join + doc-spine left join: exactly 2 joins
+    joins = plan.count("Join")
+    assert joins == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_mix_is_zero_shuffle_case_scan(spark):
+    """After the one-row-per-stratum totals agg (driver-collected to
+    rate literals), budget_mix's membership pass must be a zero-shuffle
+    CASE-threshold scan — no Exchange, no Join in the returned plan."""
+    from xpshacl_spark.operators.sample import budget_mix
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i % 7 + 1)) for i in range(100)],
+        "doc_id long, source string, w double",
+    )
+    out = budget_mix(
+        df, "source", "w", {"s0": 50.0, "s1": 10.0, "s2": 1e9}, ["doc_id"]
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

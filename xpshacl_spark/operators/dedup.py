@@ -105,12 +105,27 @@ def shingles(
 def _maybe_prune_stop_shingles(
     sh: DataFrame, max_doc_freq: Optional[int]
 ) -> DataFrame:
+    """Drop shingles whose corpus doc-frequency exceeds max_doc_freq.
+
+    Shape: groupBy("shingle").count() (map-side combined — a hot
+    shingle's count is pre-reduced per partition before the shuffle),
+    filter to the tiny over-cap hot set, broadcast left-anti join it
+    away.  The earlier window form (count().over(partitionBy(shingle)))
+    shuffled the FULL (doc, shingle) relation by shingle with a
+    per-partition sort just to drop the hot keys; the agg form moves
+    only per-partition partial counts and never sorts.  The hot set is
+    bounded by construction — at most |corpus| / max_doc_freq distinct
+    shingles can exceed the cap — so the broadcast is safe at any scale.
+    """
     if max_doc_freq is None:
         return sh
-    w = Window.partitionBy("shingle")
-    return sh.withColumn("_df", F.count(F.lit(1)).over(w)).where(
-        F.col("_df") <= max_doc_freq
-    ).drop("_df")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 # ---------------------------------------------------------------------------
