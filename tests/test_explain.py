@@ -748,3 +748,59 @@ def test_llm_malformed_200_returns_error_string(monkeypatch):
     fn = llm_clients.http_llm_fn("gpt-4o-mini", base_url="http://x/v1", api_key="k")
     for _ in responses:
         assert fn("p").startswith("Error generating explanation:")
+
+
+def test_llm_bare_host_gateway_stays_openai_style(mock_llm_server):
+    """A routed OpenAI model pointed at a bare-host base_url (vLLM /
+    LiteLLM gateway without /v1) must keep the OpenAI wire protocol —
+    the old URL-substring heuristic silently sent this to Ollama's
+    /api/chat and 404'd."""
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, seen = mock_llm_server
+    fn = http_llm_fn("gpt-4o-mini", base_url=base, api_key="k")
+    out = fn("Explain")
+    assert out.startswith("LLM[gpt-4o-mini]::")
+    assert seen[-1][0] == "/chat/completions"
+
+
+def test_llm_api_style_explicit_override_and_validation(mock_llm_server):
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, seen = mock_llm_server
+    # force an unknown-route (ollama-default) model through OpenAI style
+    fn = http_llm_fn("gemma:2b", base_url=base, api_style="openai")
+    assert fn("p").startswith("LLM[gemma:2b]::")
+    assert seen[-1][0] == "/chat/completions"
+    with pytest.raises(ValueError, match="api_style"):
+        http_llm_fn("gemma:2b", base_url=base, api_style="grpc")
+
+
+def test_kg_ttl_path_with_space_is_read_as_file(sig, tmp_path):
+    """An existing file path containing a space must be READ, not
+    parsed as Turtle text into a silently-empty cache."""
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle, save_kg_turtle
+
+    cache = _full_cache(sig)
+    p = str(tmp_path / "dir with space" / "kg out.ttl")
+    save_kg_turtle(cache, p)
+    back = kg_from_turtle(p)
+    assert back.has_violation(sig, "en")
+
+
+def test_simhash_pairs_with_fingerprints_handle(spark):
+    """The cache-handle variant returns the persisted fingerprint df;
+    unpersisting it must leave no storage entries behind."""
+    from xpshacl_spark.operators.dedup import simhash_pairs_with_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y"))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs, fp = simhash_pairs_with_fingerprints(df, "doc_id", "text", bits=16)
+    n = pairs.count()
+    assert n >= 1
+    assert fp.storageLevel.useMemory
+    fp.unpersist(blocking=True)
+    assert not fp.storageLevel.useMemory

@@ -365,3 +365,28 @@ def test_path_value_every_value_node(spark):
     )
     vals = sorted(r.value for r in rep.violations.collect())
     assert vals == ["-5.0", "-7.0"]  # both bad value nodes, exactly once
+
+
+def test_path_value_fk_is_also_key_col(spark):
+    """A PathValue FK that is itself one of key_cols (dim-keyed fact)
+    must work — the projection dedupes the column instead of hitting an
+    ambiguous-reference error at join time."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, PathValue, Shape
+
+    fact = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "cust_id long, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(10, -5.0), (20, 3.0)], "id long, bal double"
+    )
+    shape = Shape(
+        "keyed_path",
+        (PathValue(("cust_id",), "cust", ("id",), MinInclusive("bal", 0.0)),),
+    )
+    rep = ValidationEngine(spark, dims={"cust": dim}).validate(
+        fact, [shape], key_cols=["cust_id"]
+    )
+    rows = rep.violations.collect()
+    assert [r.cust_id for r in rows] == [10]
+    assert rows[0].value == "-5.0"

@@ -563,9 +563,15 @@ class ValidationEngine:
                 cond = _target_col(shape)
                 for fk in c.columns:
                     cond = cond & F.col(fk).isNotNull()
+                # dedupe the projection: an FK that is itself a key col
+                # (e.g. a dim-keyed fact) must appear once, or the join
+                # on c.columns hits an ambiguous-reference error
+                proj = list(key_cols) + [
+                    fk for fk in c.columns if fk not in key_cols
+                ]
                 joined = (
                     df.where(cond)
-                    .select(*key_cols, *c.columns)
+                    .select(*proj)
                     .join(F.broadcast(dim_proj), on=list(c.columns), how="inner")
                 )
                 viol = joined.where(

@@ -149,8 +149,12 @@ def kg_from_turtle(
     back into an ExplanationCache — inverse of :func:`kg_to_turtle`,
     also accepts rdflib-serialized files from the reference itself
     (any statement order, prefixed or full IRIs)."""
-    if "\n" not in source and " " not in source:
-        # no newline and no whitespace: this is a file path, not Turtle
+    if os.path.exists(source) or (
+        "\n" not in source and " " not in source
+    ):
+        # an existing path wins outright (even one containing spaces —
+        # mirroring report_ttl.report_violations_df); otherwise
+        # no-newline-and-no-whitespace means a file path, not Turtle
         # text (any serialized KG contains both) — a missing file must
         # raise, not silently parse the path string into an empty cache
         with open(source, encoding="utf-8") as f:

@@ -70,15 +70,20 @@ def http_llm_fn(
     base_url: Optional[str] = None,
     api_key: Optional[str] = None,
     timeout: float = 60.0,
+    api_style: Optional[str] = None,
 ) -> Callable[[str], str]:
     """Build an ``llm_fn(prompt) -> str`` for the routed provider.
 
     base_url/api_key override the route (tests point base_url at a
-    local mock server). A base URL ending in a bare host (no '/v1')
-    is treated as an Ollama server and called via /api/chat with
-    Ollama's response shape; anything else gets OpenAI-style
-    /chat/completions with a Bearer token — byte-compatible with the
-    reference's ``openai.chat.completions.create`` usage.
+    local mock server). The wire protocol is ``api_style``:
+    ``"openai"`` (OpenAI-style /chat/completions with a Bearer token —
+    byte-compatible with the reference's
+    ``openai.chat.completions.create`` usage) or ``"ollama"``
+    (/api/chat with Ollama's response shape). When api_style is None it
+    defaults from the ROUTE, not from URL substrings: a custom
+    base_url (vLLM / LiteLLM gateway on a bare host, say) keeps the
+    routed model's protocol unless the caller says otherwise, instead
+    of being silently guessed into Ollama 404s.
     """
     routed_url, key_env = resolve_route(model_name)
     url = (base_url or routed_url).rstrip("/")
@@ -89,7 +94,13 @@ def http_llm_fn(
         # reference raises at construction when the env var is absent
         # (explanation_generator.py:57-68)
         raise ValueError(f"{key_env} environment variable not set.")
-    ollama_style = "/v1" not in url and "openai" not in url
+    if api_style is None:
+        # the route decides: only the Ollama localhost route (no key
+        # env) speaks /api/chat; every hosted route is OpenAI-style
+        api_style = "ollama" if key_env is None else "openai"
+    if api_style not in ("openai", "ollama"):
+        raise ValueError(f"api_style must be 'openai' or 'ollama', got {api_style!r}")
+    ollama_style = api_style == "ollama"
 
     def llm_fn(prompt: str) -> str:
         messages = [{"role": "user", "content": prompt}]

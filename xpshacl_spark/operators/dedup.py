@@ -586,6 +586,15 @@ def simhash(
             ).otherwise(F.lit(-1))
         ).alias(f"_c{out_idx}")
 
+    # DETERMINISM: _rid is monotonically_increasing_id, stable for
+    # scan-based inputs (file sources re-list deterministically) but
+    # NOT for direct shuffle outputs — there, a map-stage retry after
+    # executor loss can replay rows in a different order and remap
+    # _rid mid-aggregation, splitting/merging fingerprints. Feed this
+    # operator a materialized relation (table/files/persisted df) or a
+    # df with a unique id column; a content hash cannot replace _rid
+    # here because byte-identical duplicate rows must KEEP separate
+    # output rows (per-row contract above).
     aggs = [_count(F.col("_lo"), lo_bits, j, j) for j in range(lo_bits)]
     aggs += [
         _count(F.col("_hi"), hi_bits, j, lo_bits + j) for j in range(hi_bits)
@@ -615,7 +624,30 @@ def simhash_pairs(
     the true Hamming distance. Recall is exactly 1 by construction
     (proven against an exhaustive pairwise oracle); the join fan-out is
     bounded by the per-segment bucket sizes instead of n^2.
+
+    CACHE LIFETIME: the fingerprint relation is persisted (both join
+    sides derive from it); in a long-lived session call
+    :func:`simhash_pairs_with_fingerprints` instead and
+    ``fingerprints.unpersist()`` once the pairs are materialized —
+    this convenience wrapper leaves the (evictable, doc-count-row)
+    cache to Spark's LRU.
     """
+    pairs, _fp = simhash_pairs_with_fingerprints(
+        df, id_col, text_col, bits, max_hamming
+    )
+    return pairs
+
+
+def simhash_pairs_with_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`simhash_pairs` plus the persisted fingerprint relation —
+    ``(pairs, fingerprints)``. The caller owns the cache handle:
+    ``fingerprints.unpersist()`` after materializing pairs."""
     # cache the fingerprints: both self-join sides derive from sh, and
     # without it Catalyst recomputes the full text scan + hash agg PER
     # BRANCH. Lazy persist (not localCheckpoint): stays lazy, blocks
@@ -652,13 +684,14 @@ def simhash_pairs(
         "seg_idx", "seg_val",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         a.join(b, ["seg_idx", "seg_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return pairs, sh
 
 
 # ---------------------------------------------------------------------------
