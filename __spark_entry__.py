@@ -1411,6 +1411,59 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB quantile swap, driver-proven: ONE fused
+    aggregation computes per column the exact percentile over a
+    [q-m, q, q+m] grid AND the approx_percentile sketch (accuracy
+    10^4, rank error 1e-4), and the sketch's rank guarantee is emitted
+    as a CHECKED relation — within_bound = exact(q-m) <= approx(q) <=
+    exact(q+m), m = 0.01 (100x slack). The oracle recomputes exact_q
+    via quantile_cont and asserts within_bound literally TRUE, so this
+    row goes red if the sketch ever violates its bound."""
+    from xpshacl_spark.operators.profile import quantiles_error_bound_relation
+
+    li = _load(spark, sf_dir, "lineitem")
+    return quantiles_error_bound_relation(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        (0.25, 0.5, 0.75),
+        accuracy=10_000,
+        rank_margin=0.01,
+    )
+
+
+def q_skew_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-JOIN handling on a deliberately hot FK: ~70% of orders
+    are remapped onto customer key 1, then sort-merge-joined (MERGE
+    hints pin the skew-joinable shape — a broadcast would sidestep the
+    skew) to the customer dim. With the session's
+    spark.sql.adaptive.skewJoin.enabled=true, the runtime splits the
+    hot partition into advisory-sized sub-reads and replicates the
+    matching dim rows (OptimizeSkewedJoin; triggered + plan-pinned
+    under lowered thresholds in test_plans_salt, since sf0.01's hot
+    partition is below the 256 MB production threshold). The aggregated
+    result is integer-only, so the oracle hash is exact."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    skewed = o.select(
+        F.when(F.pmod("o_orderkey", F.lit(10)) < 7, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("custkey"),
+        "o_orderkey",
+    )
+    joined = skewed.hint("merge").join(
+        c.hint("merge"), skewed["custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("custkey").alias("n_custs"),
+        )
+    )
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -1457,70 +1510,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate runs only the FIRST 50
-    # entries.  The head therefore carries (a) queries never driver-proven
-    # or changed this round, (b) new queries, (c) a rotation of
-    # already-proven ones; queries with green driver rows from earlier
-    # rounds rotate to the tail.
+    # ORDER MATTERS — STANDING LRU ROTATION POLICY: the driver's
+    # correctness gate runs only the FIRST 50 entries, so each round the
+    # head is rebuilt as (a) queries NEW or semantically CHANGED this
+    # round, then (b) every query whose latest driver-green row is the
+    # OLDEST (i.e. all entries absent from the previous round's
+    # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
+    # queries to fill slot 50; the freshest-proven remainder forms the
+    # tail. With ~73 queries and a 50-slot window this guarantees no
+    # query ever goes two consecutive rounds without a fresh driver row.
     return {
-        # never driver-proven before r03
-        "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "q_ann_lsh_topk": q_ann_lsh_topk,
-        # oracle CAST fixed this round (r02 hash flag)
-        "q_pack_documents": q_pack_documents,
-        "q_training_pipeline": q_training_pipeline,
-        # changed this round (broadcast drop / CC algorithm)
-        "q_corpus_prep": q_corpus_prep,
-        "q_dedup_clusters": q_dedup_clusters,
-        # new in r03
-        "q_media_decode_real": q_media_decode_real,
-        "q_unigram_external": q_unigram_external,
-        "q_salted_skew_validation": q_salted_skew_validation,
-        "q_cap_per_source": q_cap_per_source,
-        "q_dup_span_stats": q_dup_span_stats,
-        "q_token_budget_mix": q_token_budget_mix,
-        "q_stream_drift": q_stream_drift,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_path_value_orders": q_path_value_orders,
-        # r01-proven, rotated out of the r02 window — re-prove
-        "q_asof_events": q_asof_events,
-        "q_violation_rollup": q_violation_rollup,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "q_vocabulary": q_vocabulary,
-        "q_sample_documents": q_sample_documents,
-        "q_ann_ivf_topk": q_ann_ivf_topk,
-        "q_quantiles_lineitem": q_quantiles_lineitem,
-        "q_topk_documents": q_topk_documents,
-        # r02-proven rotation (fills the 50-query window)
-        "q_range_lineitem_qty": q_range_lineitem_qty,
-        "q_range_customer_acctbal": q_range_customer_acctbal,
-        "q_pattern_part_name": q_pattern_part_name,
-        "q_fk_orders_custkey": q_fk_orders_custkey,
-        "q_unique_documents": q_unique_documents,
-        "q_card_customer_orders": q_card_customer_orders,
-        "q_monotonic_events": q_monotonic_events,
-        "q_logical_orders": q_logical_orders,
-        "q_xone_orders": q_xone_orders,
-        "q_hasvalue_documents": q_hasvalue_documents,
-        "q_qualified_card_orders": q_qualified_card_orders,
-        "q_closed_documents": q_closed_documents,
-        "q_node_documents": q_node_documents,
-        "q_array_card_documents": q_array_card_documents,
-        "q_pii_documents": q_pii_documents,
-        "q_repetition_documents": q_repetition_documents,
-        "q_decontaminate": q_decontaminate,
-        "q_unigram_quality": q_unigram_quality,
-        "q_stream_window_events": q_stream_window_events,
-        "q_stream_sessions": q_stream_sessions,
-        "q_bucketed_join_orders": q_bucketed_join_orders,
-        "q_violation_summary": q_violation_summary,
-        "q_text_profile": q_text_profile,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "q_dedup_simhash": q_dedup_simhash,
-        # --- tail: green driver rows in r01/r02, rotated out of the
-        # --- 50-query window this round
+        # -- (a) NEW in r04
+        "q_quantiles_approx": q_quantiles_approx,
+        "q_skew_join_orders": q_skew_join_orders,
+        # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1542,6 +1545,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_events": q_sessionize_events,
         "q_interval_join_events": q_interval_join_events,
         "q_asof_join_events": q_asof_join_events,
+        # -- (a) CHANGED in r04: stop-shingle prune rewritten to agg +
+        # -- broadcast anti-join; simhash_pairs refactored to expose the
+        # -- fingerprint cache handle
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_decontaminate": q_decontaminate,
+        "q_corpus_prep": q_corpus_prep,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # -- (c) r03-proven rotation filling the window to slot 50
+        "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_pack_documents": q_pack_documents,
+        "q_training_pipeline": q_training_pipeline,
+        "q_media_decode_real": q_media_decode_real,
+        "q_unigram_external": q_unigram_external,
+        "q_salted_skew_validation": q_salted_skew_validation,
+        "q_cap_per_source": q_cap_per_source,
+        "q_dup_span_stats": q_dup_span_stats,
+        "q_token_budget_mix": q_token_budget_mix,
+        "q_stream_drift": q_stream_drift,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_path_value_orders": q_path_value_orders,
+        "q_asof_events": q_asof_events,
+        "q_violation_rollup": q_violation_rollup,
+        "q_vocabulary": q_vocabulary,
+        "q_sample_documents": q_sample_documents,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_quantiles_lineitem": q_quantiles_lineitem,
+        "q_topk_documents": q_topk_documents,
+        "q_range_lineitem_qty": q_range_lineitem_qty,
+        "q_range_customer_acctbal": q_range_customer_acctbal,
+        # --- tail: freshest driver proof (r03); first in line for the
+        # --- r05 head under the LRU policy above
+        "q_pattern_part_name": q_pattern_part_name,
+        "q_fk_orders_custkey": q_fk_orders_custkey,
+        "q_unique_documents": q_unique_documents,
+        "q_card_customer_orders": q_card_customer_orders,
+        "q_monotonic_events": q_monotonic_events,
+        "q_logical_orders": q_logical_orders,
+        "q_xone_orders": q_xone_orders,
+        "q_hasvalue_documents": q_hasvalue_documents,
+        "q_qualified_card_orders": q_qualified_card_orders,
+        "q_closed_documents": q_closed_documents,
+        "q_node_documents": q_node_documents,
+        "q_array_card_documents": q_array_card_documents,
+        "q_pii_documents": q_pii_documents,
+        "q_repetition_documents": q_repetition_documents,
+        "q_unigram_quality": q_unigram_quality,
+        "q_stream_window_events": q_stream_window_events,
+        "q_stream_sessions": q_stream_sessions,
+        "q_bucketed_join_orders": q_bucketed_join_orders,
+        "q_violation_summary": q_violation_summary,
+        "q_text_profile": q_text_profile,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -1885,6 +1944,21 @@ def _quantiles_sql() -> str:
         f"SELECT '{c}' AS \"column\", CAST({q} AS DOUBLE) AS q, "
         f"CAST(quantile_cont(CAST({c} AS DOUBLE), {q}) AS DOUBLE) AS quantile "
         "FROM lineitem"
+        for c in cols
+        for q in qs
+    )
+
+
+def _quantiles_approx_sql() -> str:
+    # exact_q via quantile_cont; within_bound asserted literally TRUE —
+    # the Spark side computes the sketch-vs-exact bound, so a sketch
+    # guarantee violation turns this driver row red
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = [0.25, 0.5, 0.75]
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_cont(CAST({c} AS DOUBLE), {q}) AS DOUBLE) AS exact_q, "
+        "TRUE AS within_bound FROM lineitem"
         for c in cols
         for q in qs
     )
@@ -2565,5 +2639,14 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
         "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
+        "q_quantiles_approx": _quantiles_approx_sql(),
+        "q_skew_join_orders": (
+            "WITH sk AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 "
+            "ELSE o_custkey END AS custkey FROM orders) "
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "count(DISTINCT custkey) AS n_custs "
+            "FROM sk JOIN customer ON custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
         "q_topk_documents": _topk_sql(),
     }

@@ -367,3 +367,50 @@ def test_budget_mix_is_zero_shuffle_case_scan(spark):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-JOIN handling, driver-proven by q_skew_join_orders and
+    plan-pinned here: with skewJoin enabled and thresholds lowered to
+    sf-test scale (production defaults need a >256 MB hot partition),
+    the sort-merge join of a 70%-hot key against a dim must execute
+    with skew=true — the runtime splits the hot partition into
+    advisory-sized sub-reads instead of funneling it through one task."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(1))
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        out = (
+            fact.hint("merge")
+            .join(dim.hint("merge"), "k")
+            .groupBy((F.col("attr") % 7).alias("g"))
+            .count()
+        )
+        rows = {r.g: r["count"] for r in out.collect()}  # execute first: AQE
+        plan = _plan(out)
+        assert "skew=true" in plan, plan
+        # value check: hot key 1 -> attr 2 -> g = 2 carries the 140k rows
+        assert rows[2] > 140_000
+        assert sum(rows.values()) == 200_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

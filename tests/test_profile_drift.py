@@ -121,3 +121,41 @@ def test_drift_ks_variant(spark):
     engine = ValidationEngine(spark)
     rep = engine.validate(cur_df.withColumn("k", F.col("v")), [shape], ["k"])
     assert rep.violations.count() == 1
+
+
+def test_approx_quantiles_relation_shape_and_bound(spark):
+    """approx_quantiles_relation matches quantiles_relation's relation
+    shape, its values are actual data values within the sketch's rank
+    bound, and both it and the error-bound variant are ONE fused agg
+    (a single aggregate pair in the plan, no join)."""
+    from xpshacl_spark.operators.profile import (
+        approx_quantiles_relation,
+        quantiles_error_bound_relation,
+        quantiles_relation,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    approx = approx_quantiles_relation(df, ["x", "y"], (0.25, 0.5, 0.75))
+    exact = quantiles_relation(df, ["x", "y"], (0.25, 0.5, 0.75))
+    assert approx.columns == exact.columns
+    a = {(r["column"], r.q): r.quantile for r in approx.collect()}
+    e = {(r["column"], r.q): r.quantile for r in exact.collect()}
+    for k in e:
+        # rank error 1e-4 over 10k uniform rows => value error ~ O(1)
+        assert abs(a[k] - e[k]) <= (4 if k[0] == "x" else 8)
+
+    checked = quantiles_error_bound_relation(df, ["x", "y"], (0.25, 0.5, 0.75))
+    rows = checked.collect()
+    assert len(rows) == 6
+    assert all(r.within_bound for r in rows)
+    assert {(r["column"], r.q): r.exact_q for r in rows} == e
+    plan = checked._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    with pytest.raises(ValueError, match="rank_margin"):
+        quantiles_error_bound_relation(
+            df, ["x"], (0.5,), accuracy=100, rank_margin=0.005
+        )

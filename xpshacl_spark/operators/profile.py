@@ -192,6 +192,97 @@ def quantiles_relation(
     return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
 
 
+def approx_quantiles_relation(
+    df: DataFrame,
+    columns: Sequence[str],
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB quantile path: same (column, q, quantile) relation as
+    :func:`quantiles_relation` but computed with `approx_percentile`
+    (KLL-style sketch, rank error <= 1/accuracy) — constant memory per
+    column instead of the exact percentile's full value-count map, and
+    the same single fused-agg plan shape. Returned quantiles are actual
+    data values (no interpolation)."""
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    aggs = [
+        F.approx_percentile(
+            F.col(c).cast("double"), q_arr, F.lit(accuracy)
+        ).alias(f"_q{i}")
+        for i, c in enumerate(columns)
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(float(q)).alias("q"),
+            F.col(f"_q{i}").getItem(j).alias("quantile"),
+        )
+        for i, c in enumerate(columns)
+        for j, q in enumerate(qs)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def quantiles_error_bound_relation(
+    df: DataFrame,
+    columns: Sequence[str],
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+    rank_margin: float = 0.01,
+) -> DataFrame:
+    """Exact + approx quantiles with the sketch's rank guarantee turned
+    into a CHECKED relation: (column, q, exact_q, within_bound), where
+    within_bound is `exact(q - m) <= approx(q) <= exact(q + m)` with
+    m = rank_margin. approx_percentile returns a data value whose rank
+    is within N/accuracy of qN, and exact quantile_cont values are
+    monotone in q, so any margin m > 1/accuracy makes the predicate a
+    sound consequence of the sketch guarantee (default: 100x slack).
+
+    ONE fused aggregation computes, per column, exact percentiles over
+    the [q-m, q, q+m] grid (one shared sort-based buffer) AND the
+    approx sketch — a single pass, so the driver oracle can assert the
+    bound holds without a second scan."""
+    if rank_margin <= 1.0 / accuracy:
+        raise ValueError("rank_margin must exceed 1/accuracy for a sound bound")
+    grid = []  # per q: (lo, q, hi), clamped
+    for q in qs:
+        grid.append(
+            (max(0.0, float(q) - rank_margin), float(q),
+             min(1.0, float(q) + rank_margin))
+        )
+    flat = [v for triple in grid for v in triple]
+    exact_arr = F.array(*[F.lit(v) for v in flat])
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    aggs = []
+    for i, c in enumerate(columns):
+        aggs.append(
+            F.percentile(F.col(c).cast("double"), exact_arr).alias(f"_e{i}")
+        )
+        aggs.append(
+            F.approx_percentile(
+                F.col(c).cast("double"), q_arr, F.lit(accuracy)
+            ).alias(f"_a{i}")
+        )
+    row = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(columns):
+        for j, q in enumerate(qs):
+            lo = F.col(f"_e{i}").getItem(3 * j)
+            ex = F.col(f"_e{i}").getItem(3 * j + 1)
+            hi = F.col(f"_e{i}").getItem(3 * j + 2)
+            ap = F.col(f"_a{i}").getItem(j).cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(float(q)).alias("q"),
+                    ex.alias("exact_q"),
+                    ((ap >= lo) & (ap <= hi)).alias("within_bound"),
+                )
+            )
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
 def save_baseline(path: str, prof: dict) -> None:
     with open(path, "w") as f:
         json.dump(prof, f, sort_keys=True)
