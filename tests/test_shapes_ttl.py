@@ -625,7 +625,90 @@ def test_rdfs_inference_expands_target_class(spark):
     assert got_inf == {1, 2}  # Dog included, Rock still excluded
 
     with pytest.raises(ValueError, match="unsupported inference"):
-        import_ttl(ttl, inference="owlrl")
+        import_ttl(ttl, inference="owlrl2")
+
+
+def test_owlrl_inference_subproperty_targeting(spark):
+    """inference='owlrl': sh:targetSubjectsOf P also targets the mapped
+    row sets of P's rdfs:subPropertyOf descendants (rdfs5/7 / OWL-RL
+    prp-spo1 — a Q-triple with Q <= P entails a P-triple), OR-unioned
+    with P's own filter. rdfs-only inference keeps the old behavior."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <http://example.org/> .
+    ex:callsTool rdfs:subPropertyOf ex:usesResource .
+    ex:ResourceShape a sh:NodeShape ;
+        sh:targetSubjectsOf ex:usesResource ;
+        sh:property [ sh:path ex:latency ; sh:maxInclusive 100 ] .
+    """
+    tmap = {
+        "usesResource": "resource IS NOT NULL",
+        "callsTool": "tool IS NOT NULL",
+    }
+    cmap = {"latency": "latency"}
+    plain = import_ttl(ttl, target_map=tmap, column_map=cmap).shapes[0]
+    assert plain.target == "resource IS NOT NULL"
+    inf = import_ttl(
+        ttl, target_map=tmap, column_map=cmap, inference="owlrl"
+    ).shapes[0]
+    assert inf.target == "(resource IS NOT NULL) OR (tool IS NOT NULL)"
+
+    df = spark.createDataFrame(
+        [(1, "r", None, 500), (2, None, "t", 500), (3, None, None, 500)],
+        "id long, resource string, tool string, latency int",
+    )
+    eng = ValidationEngine(spark)
+    got_plain = {r.id for r in eng.validate(df, [plain], ["id"]).violations.collect()}
+    got_inf = {r.id for r in eng.validate(df, [inf], ["id"]).violations.collect()}
+    assert got_plain == {1}
+    assert got_inf == {1, 2}  # subproperty rows targeted; untargeted row 3 out
+
+
+def test_owlrl_inference_domain_derived_typing(spark):
+    """inference='owlrl': rdfs:domain-derived typing (rdfs2/prp-dom) —
+    a non-NULL column mapped from a predicate whose domain is the
+    target class (or one of its subclasses) types the row, so
+    sh:targetClass also reaches rows whose rdf_type column is NULL."""
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <http://example.org/> .
+    ex:Dog rdfs:subClassOf ex:Animal .
+    ex:barks rdfs:domain ex:Dog .
+    ex:breathes rdfs:domain ex:Animal .
+    ex:AnimalShape a sh:NodeShape ;
+        sh:targetClass ex:Animal ;
+        sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
+    """
+    inf = import_ttl(ttl, inference="owlrl").shapes[0]
+    assert inf.target == (
+        "((rdf_type IN ('Animal', 'Dog')) OR (barks IS NOT NULL)) "
+        "OR (breathes IS NOT NULL)"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "Animal", None, None, -1),  # typed directly
+            (2, None, "yes", None, -2),     # typed via barks (Dog <= Animal)
+            (3, None, None, "yes", -3),     # typed via breathes
+            (4, None, None, None, -4),      # untyped: not targeted
+            (5, "Rock", None, None, -5),    # wrong type: not targeted
+        ],
+        "id long, rdf_type string, barks string, breathes string, legs int",
+    )
+    got = {
+        r.id
+        for r in ValidationEngine(spark)
+        .validate(df, [inf], ["id"])
+        .violations.collect()
+    }
+    assert got == {1, 2, 3}
 
 
 def test_report_ttl_many_labeled_results_no_loss():

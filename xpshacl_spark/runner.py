@@ -18,13 +18,17 @@ locally: `python -m xpshacl_spark.runner ...`):
                          validation-report Turtle file (pyshacl/rdflib
                          output) through the summary + explanation
                          stages (reference --input_report mode)
-  --inference MODE       none (default) or rdfs: Turtle shapes'
-                         sh:targetClass also targets rdfs:subClassOf
-                         descendants; subclass triples are read from
+  --inference MODE       none (default), rdfs, or owlrl: rdfs makes
+                         sh:targetClass also target rdfs:subClassOf
+                         descendants; owlrl additionally targets
+                         rdfs:subPropertyOf descendants under
+                         targetSubjectsOf/ObjectsOf and rdfs:domain-
+                         derived typing. Ontology triples are read from
                          the shapes doc, a Turtle --input data graph,
                          and --ontology when given
   --ontology F.ttl       extra ontology document supplying
-                         rdfs:subClassOf triples for --inference rdfs
+                         rdfs:subClassOf / subPropertyOf / domain
+                         triples for --inference rdfs/owlrl
   --incremental          append-only delta mode: validate only input
                          files not yet recorded in the checkpoint
                          manifest ([--force-incremental] to allow
@@ -73,15 +77,17 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--inference",
         default="none",
-        help="none or rdfs: with rdfs, Turtle shapes' sh:targetClass "
-        "also targets rdfs:subClassOf descendants (the reference CLI's "
-        "--inference option, main.py:31-33, scoped to the entailment "
-        "that affects tabular target selection)",
+        help="none, rdfs, or owlrl (the reference CLI's --inference "
+        "option, main.py:31-33, scoped to entailments that affect "
+        "tabular target selection): rdfs targets rdfs:subClassOf "
+        "descendants of sh:targetClass; owlrl additionally OR-unions "
+        "rdfs:subPropertyOf descendants under targetSubjectsOf/"
+        "ObjectsOf and rdfs:domain-derived typing into targetClass",
     )
     ap.add_argument(
         "--ontology",
-        help="extra ontology .ttl supplying rdfs:subClassOf triples "
-        "for --inference rdfs",
+        help="extra ontology .ttl supplying rdfs:subClassOf/"
+        "subPropertyOf/domain triples for --inference rdfs/owlrl",
     )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
@@ -99,7 +105,7 @@ def main(argv=None) -> int:
     ttl_kwargs = {}
     if args.shapes and args.shapes.endswith((".ttl", ".turtle")):
         ttl_kwargs["inference"] = args.inference
-        if args.inference == "rdfs":
+        if args.inference in ("rdfs", "owlrl"):
             # subclass triples normally live in the DATA graph or a
             # separate ontology, not the shapes file — feed both (this
             # is what pyshacl's inference entails over in the reference)

@@ -260,21 +260,19 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
 
 
-def _subclass_closure(statements) -> dict:
-    """class -> all (transitive) subclasses, from rdfs:subClassOf
-    triples in the same document (or a merged ontology document).
-    Reference parity: pyshacl's inference="rdfs" pre-materializes
-    subclass entailment so sh:targetClass also targets instances of
-    subclasses (main.py --inference; here scoped to the one entailment
-    rule that affects tabular target selection)."""
+def _down_closure(statements, pred_uri: str) -> dict:
+    """node -> all (transitive) descendants under `pred_uri`
+    (rdfs:subClassOf / rdfs:subPropertyOf), cycle-safe DFS."""
     parents: dict[str, set] = {}
     for subj, props in statements:
-        if subj is None:  # blank-node subject: no class to subclass
+        if subj is None:  # blank-node subject: nothing to subsume
             continue
         for pred, objs in props:
-            if pred == RDFS_SUBCLASS:
+            if pred == pred_uri:
                 for o in objs:
                     if isinstance(o, str):
                         parents.setdefault(subj, set()).add(o)
@@ -285,7 +283,7 @@ def _subclass_closure(statements) -> dict:
     closure: dict[str, set] = {}
 
     def walk(c, seen):
-        for ch in down.get(c, ()):  # DFS with cycle guard
+        for ch in down.get(c, ()):
             if ch not in seen:
                 seen.add(ch)
                 walk(ch, seen)
@@ -294,6 +292,33 @@ def _subclass_closure(statements) -> dict:
     for c in down:
         closure[c] = walk(c, set())
     return closure
+
+
+def _domain_index(statements) -> dict:
+    """predicate -> set of rdfs:domain classes (OWL-RL rule prp-dom /
+    RDFS rule rdfs2: a triple (s P o) with domain(P)=C entails
+    s rdf:type C — in tabular form, a non-NULL column mapped from P
+    types the row)."""
+    domains: dict[str, set] = {}
+    for subj, props in statements:
+        if subj is None:
+            continue
+        for pred, objs in props:
+            if pred == RDFS_DOMAIN:
+                for o in objs:
+                    if isinstance(o, str):
+                        domains.setdefault(subj, set()).add(o)
+    return domains
+
+
+def _subclass_closure(statements) -> dict:
+    """class -> all (transitive) subclasses, from rdfs:subClassOf
+    triples in the same document (or a merged ontology document).
+    Reference parity: pyshacl's inference="rdfs" pre-materializes
+    subclass entailment so sh:targetClass also targets instances of
+    subclasses (main.py --inference; here scoped to the one entailment
+    rule that affects tabular target selection)."""
+    return _down_closure(statements, RDFS_SUBCLASS)
 
 _XSD_TO_SPARK = {
     "integer": "int",
@@ -582,19 +607,37 @@ def import_ttl(
     also targets instances of X's rdfs:subClassOf descendants — the one
     RDFS entailment that affects tabular target selection. Subclass
     triples are read from the shapes document itself and, when given,
-    from `ontology_text` (a separate ontology .ttl)."""
+    from `ontology_text` (a separate ontology .ttl).
+
+    inference="owlrl" adds the remaining OWL-RL/RDFS entailments with a
+    tabular-target residue (the reference forwards --inference straight
+    to pyshacl, extended_shacl_validator.py:36-39):
+    - rdfs:subPropertyOf (rules rdfs5/7 / OWL-RL prp-spo1):
+      sh:targetSubjectsOf/ObjectsOf P also targets the mapped row sets
+      of every subproperty of P — their target_map filters are OR-ed.
+    - rdfs:domain (rule rdfs2 / prp-dom): sh:targetClass C also targets
+      rows with a non-NULL column mapped from any predicate whose
+      domain is C or a subclass of C (a P-triple types its subject).
+    rdfs:range (rdfs3 / prp-rng) types OBJECT nodes; in the tabular
+    projection objects are attribute VALUES, not focus rows, so range
+    has no target residue here (see COVERAGE.md)."""
     target_map = dict(target_map or {})
     column_map = dict(column_map or {})
     statements = _Parser(_tokenize(text)).parse()
     subclasses: dict = {}
-    if inference == "rdfs":
+    subprops: dict = {}
+    domains: dict = {}
+    if inference in ("rdfs", "owlrl"):
         onto_statements = list(statements)
         if ontology_text:
             onto_statements += _Parser(_tokenize(ontology_text)).parse()
         subclasses = _subclass_closure(onto_statements)
+        if inference == "owlrl":
+            subprops = _down_closure(onto_statements, RDFS_SUBPROP)
+            domains = _domain_index(onto_statements)
     elif inference != "none":
         raise ValueError(
-            f"unsupported inference {inference!r} (none or rdfs)"
+            f"unsupported inference {inference!r} (none, rdfs, or owlrl)"
         )
     shapes = []
     skipped: list = []
@@ -632,17 +675,45 @@ def import_ttl(
                 else:
                     quoted = ", ".join(f"'{c}'" for c in classes)
                     target = f"{type_column} IN ({quoted})"
+                if domains:
+                    # owlrl domain-derived typing (rdfs2/prp-dom): a
+                    # non-NULL column mapped from a predicate whose
+                    # rdfs:domain is tc (or a subclass — instances of a
+                    # subclass are instances of tc) types the row
+                    tc_and_subs = {tc} | set(subclasses.get(tc, ()))
+                    cols = sorted(
+                        {
+                            column_map.get(
+                                p, column_map.get(local_name(p), local_name(p))
+                            )
+                            for p, cs in domains.items()
+                            if cs & tc_and_subs
+                        }
+                    )
+                    for col in cols:
+                        target = f"({target}) OR ({col} IS NOT NULL)"
         unmapped_target = None
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
             tn = blank.first(SH + pred)
             if tn is None:
                 continue
             if target is None:
-                mapped = target_map.get(
-                    str(tn), target_map.get(local_name(str(tn)))
-                )
-                if mapped:
-                    target = mapped
+                props_to_try = [str(tn)]
+                if pred != "targetNode" and subprops:
+                    # owlrl subPropertyOf targeting (rdfs5/7/prp-spo1):
+                    # a Q-triple with Q <= P entails a P-triple, so
+                    # targetSubjectsOf/ObjectsOf P also covers every
+                    # subproperty's mapped row set
+                    props_to_try += sorted(subprops.get(str(tn), ()))
+                filters = []
+                for p in props_to_try:
+                    m = target_map.get(p, target_map.get(local_name(p)))
+                    if m and m not in filters:
+                        filters.append(m)
+                if len(filters) == 1:
+                    target = filters[0]
+                elif filters:
+                    target = " OR ".join(f"({f})" for f in filters)
                 else:
                     unmapped_target = SH + pred
         if unmapped_target and target is None:
