@@ -804,3 +804,16 @@ def test_simhash_pairs_with_fingerprints_handle(spark):
     assert fp.storageLevel.useMemory
     fp.unpersist(blocking=True)
     assert not fp.storageLevel.useMemory
+
+
+def test_llm_unrouted_model_v1_gateway_stays_openai_style(mock_llm_server):
+    """An unrouted model name (no gpt/gemini/claude substring) behind a
+    /v1 base_url (vLLM / LiteLLM) must default to OpenAI style — the
+    route-based default falls back to the /v1 URL convention rather
+    than assuming Ollama."""
+    from xpshacl_spark.explain.llm_clients import http_llm_fn
+
+    base, seen = mock_llm_server
+    fn = http_llm_fn("llama-3-70b", base_url=base + "/v1")
+    assert fn("p").startswith("LLM[llama-3-70b]::")
+    assert seen[-1][0] == "/v1/chat/completions"

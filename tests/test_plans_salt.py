@@ -302,13 +302,15 @@ def test_cap_per_group_rank_limit_pushdown(spark):
 
 
 def test_stop_shingle_prune_is_agg_anti_join_no_sort(spark):
-    """The stop-shingle doc-frequency cap must be the agg + broadcast
-    left-anti form: groupBy(shingle).count() is map-side combined (a
-    hot shingle pre-reduces per partition before the shuffle), and the
-    over-cap hot set — bounded by |corpus|/cap — broadcasts. The old
+    """The stop-shingle doc-frequency cap must be the agg + left-anti
+    form: groupBy(shingle).count() is map-side combined (a hot shingle
+    pre-reduces per partition before the shuffle) and the over-cap hot
+    set anti-joins away — AQE's runtime stats broadcast it when it is
+    genuinely tiny (asserted on the executed adaptive plan) without
+    forcing a driver collect in the pathological low-cap case. The old
     window form shuffled the whole (doc, shingle) relation by shingle
     WITH a per-partition sort just to drop hot keys; pin that neither
-    the Window operator nor its Sort ever reappears under the prune."""
+    the Window operator nor a Sort under the prune ever reappears."""
     from xpshacl_spark.operators.dedup import (
         _maybe_prune_stop_shingles,
         shingles,
@@ -319,15 +321,20 @@ def test_stop_shingle_prune_is_agg_anti_join_no_sort(spark):
         "doc_id long, text string",
     )
     pruned = _maybe_prune_stop_shingles(shingles(df, "doc_id", "text"), 5)
-    plan = _plan(pruned)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "Window" not in plan
-    assert "Sort" not in plan
-    # correctness: every surviving shingle's doc-frequency <= cap
+    # correctness first (also finalizes the adaptive plan): every
+    # surviving shingle's doc-frequency <= cap
     top = (
         pruned.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
     )
     assert top is not None and top <= 5
+    pruned.collect()
+    # AdaptiveSparkPlan's string carries BOTH the final and the initial
+    # (pre-AQE, sort-merge) plan; assert on the final section only
+    plan = _plan(pruned).split("== Initial Plan ==")[0]
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan, plan  # AQE broadcast of tiny hot set
+    assert "Window" not in plan
+    assert "Sort" not in plan
 
 
 def test_duplicate_span_stats_no_pairwise_fanout(spark):

@@ -789,3 +789,58 @@ def test_runner_inference_reads_data_graph_subclasses(tmp_path, spark, capsys):
     rc2 = runner.main(["--input", str(dp), "--shapes", str(sp), "--output", out2])
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 0 and s2["n_violations"] == 0  # no inference: no targets
+
+
+def test_owlrl_domain_through_subproperty_and_mapped_class(spark):
+    """Two owlrl composition rules: (1) prp-spo1 + prp-dom — a
+    predicate whose SUPERproperty carries the rdfs:domain types its
+    subject too; (2) an explicit target_map entry for the class states
+    where rdf:type lives but does NOT retract domain entailment — the
+    derived columns still OR in."""
+    from pyspark.sql import functions as F
+
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <http://example.org/> .
+    ex:barks rdfs:subPropertyOf ex:makesSound .
+    ex:makesSound rdfs:domain ex:Animal .
+    ex:AnimalShape a sh:NodeShape ;
+        sh:targetClass ex:Animal ;
+        sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
+    """
+    inf = import_ttl(ttl, inference="owlrl").shapes[0]
+    # barks inherits makesSound's domain through the subproperty chain
+    assert inf.target == (
+        "((rdf_type = 'Animal') OR (barks IS NOT NULL)) "
+        "OR (makesSound IS NOT NULL)"
+    )
+    mapped = import_ttl(
+        ttl,
+        target_map={"Animal": "kind = 'beast'"},
+        inference="owlrl",
+    ).shapes[0]
+    assert mapped.target == (
+        "((kind = 'beast') OR (barks IS NOT NULL)) "
+        "OR (makesSound IS NOT NULL)"
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "beast", None, -1),  # typed via the mapped filter
+            (2, None, "yes", -2),    # typed via barks -> makesSound domain
+            (3, None, None, -3),     # untyped
+        ],
+        "id long, kind string, barks string, legs int",
+    )
+    got = {
+        r.id
+        for r in ValidationEngine(spark)
+        .validate(df.withColumn("makesSound", F.lit(None).cast("string")),
+                  [mapped], ["id"])
+        .violations.collect()
+    }
+    assert got == {1, 2}

@@ -80,10 +80,13 @@ def http_llm_fn(
     byte-compatible with the reference's
     ``openai.chat.completions.create`` usage) or ``"ollama"``
     (/api/chat with Ollama's response shape). When api_style is None it
-    defaults from the ROUTE, not from URL substrings: a custom
-    base_url (vLLM / LiteLLM gateway on a bare host, say) keeps the
-    routed model's protocol unless the caller says otherwise, instead
-    of being silently guessed into Ollama 404s.
+    defaults from the ROUTE first: a routed hosted model keeps
+    OpenAI-style under any base_url (a bare-host vLLM/LiteLLM gateway
+    is no longer guessed into Ollama 404s); an unrouted model name
+    defaults to Ollama without a base_url (the reference's local
+    default) and to the /v1-URL convention with one. Pass api_style
+    explicitly for the one ambiguous case — an unrouted model behind a
+    bare-host OpenAI-compatible gateway.
     """
     routed_url, key_env = resolve_route(model_name)
     url = (base_url or routed_url).rstrip("/")
@@ -95,9 +98,20 @@ def http_llm_fn(
         # (explanation_generator.py:57-68)
         raise ValueError(f"{key_env} environment variable not set.")
     if api_style is None:
-        # the route decides: only the Ollama localhost route (no key
-        # env) speaks /api/chat; every hosted route is OpenAI-style
-        api_style = "ollama" if key_env is None else "openai"
+        # default resolution order: a routed hosted model (gpt/gemini/
+        # claude) is OpenAI-style regardless of base_url (a gateway in
+        # front of it stays OpenAI-compatible); an unknown model with
+        # no base_url is the reference's local-Ollama default; an
+        # unknown model WITH a base_url falls back to the /v1 URL
+        # convention (vLLM/LiteLLM serve OpenAI-style under /v1) —
+        # pass api_style explicitly for bare-host OpenAI gateways
+        # serving unrouted model names.
+        if key_env is not None:
+            api_style = "openai"
+        elif base_url is None:
+            api_style = "ollama"
+        else:
+            api_style = "openai" if "/v1" in url else "ollama"
     if api_style not in ("openai", "ollama"):
         raise ValueError(f"api_style must be 'openai' or 'ollama', got {api_style!r}")
     ollama_style = api_style == "ollama"

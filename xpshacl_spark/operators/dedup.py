@@ -109,13 +109,18 @@ def _maybe_prune_stop_shingles(
 
     Shape: groupBy("shingle").count() (map-side combined — a hot
     shingle's count is pre-reduced per partition before the shuffle),
-    filter to the tiny over-cap hot set, broadcast left-anti join it
-    away.  The earlier window form (count().over(partitionBy(shingle)))
-    shuffled the FULL (doc, shingle) relation by shingle with a
-    per-partition sort just to drop the hot keys; the agg form moves
-    only per-partition partial counts and never sorts.  The hot set is
-    bounded by construction — at most |corpus| / max_doc_freq distinct
-    shingles can exceed the cap — so the broadcast is safe at any scale.
+    filter to the over-cap hot set, left-anti join it away.  The
+    earlier window form (count().over(partitionBy(shingle))) shuffled
+    the FULL (doc, shingle) relation by shingle with a per-partition
+    sort just to drop the hot keys; the agg form moves only
+    per-partition partial counts and never sorts.  The hot set is
+    bounded by |(doc, shingle) rows| / max_doc_freq — typically tiny
+    under a zipfian shingle distribution at the 10k default cap, but
+    NOT a constant (a pathological low cap on a huge corpus grows it)
+    — so the join is left to AQE's runtime size-based planning, which
+    broadcasts the genuinely tiny case and keeps a distributed join
+    for the pathological one, instead of a forced driver-side
+    broadcast collect.
     """
     if max_doc_freq is None:
         return sh
@@ -125,7 +130,7 @@ def _maybe_prune_stop_shingles(
         .where(F.col("_df") > max_doc_freq)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.join(hot, "shingle", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,6 +97,13 @@ def profile(df: DataFrame, specs: Sequence[ProfileSpec]) -> dict:
     return out
 
 
+def _explode_cells(row: DataFrame, structs: Sequence[Column]) -> DataFrame:
+    """Pivot a one-row fused-agg result into a relation: one output row
+    per struct, keeping everything a DataFrame plan (shared by every
+    *_relation profiler below)."""
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
 def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Per-column stats as a RELATION (one row per column), for numeric
     columns: (column, n_rows, n_nulls, min_value, max_value, n_distinct).
@@ -126,7 +133,7 @@ def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         )
         for i, c in enumerate(columns)
     ]
-    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    return _explode_cells(row, structs)
 
 
 def top_values(df: DataFrame, columns: Sequence[str], k: int = 10) -> DataFrame:
@@ -189,7 +196,7 @@ def quantiles_relation(
         for i, c in enumerate(columns)
         for j, q in enumerate(qs)
     ]
-    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    return _explode_cells(row, structs)
 
 
 def approx_quantiles_relation(
@@ -221,7 +228,7 @@ def approx_quantiles_relation(
         for i, c in enumerate(columns)
         for j, q in enumerate(qs)
     ]
-    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    return _explode_cells(row, structs)
 
 
 def quantiles_error_bound_relation(
@@ -280,7 +287,7 @@ def quantiles_error_bound_relation(
                     ((ap >= lo) & (ap <= hi)).alias("within_bound"),
                 )
             )
-    return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    return _explode_cells(row, structs)
 
 
 def save_baseline(path: str, prof: dict) -> None:

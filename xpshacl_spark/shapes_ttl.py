@@ -675,23 +675,35 @@ def import_ttl(
                 else:
                     quoted = ", ".join(f"'{c}'" for c in classes)
                     target = f"{type_column} IN ({quoted})"
-                if domains:
-                    # owlrl domain-derived typing (rdfs2/prp-dom): a
-                    # non-NULL column mapped from a predicate whose
-                    # rdfs:domain is tc (or a subclass — instances of a
-                    # subclass are instances of tc) types the row
-                    tc_and_subs = {tc} | set(subclasses.get(tc, ()))
-                    cols = sorted(
-                        {
-                            column_map.get(
-                                p, column_map.get(local_name(p), local_name(p))
-                            )
-                            for p, cs in domains.items()
-                            if cs & tc_and_subs
-                        }
-                    )
-                    for col in cols:
-                        target = f"({target}) OR ({col} IS NOT NULL)"
+            if domains:
+                # owlrl domain-derived typing (rdfs2/prp-dom): a
+                # non-NULL column mapped from a predicate whose
+                # rdfs:domain is tc (or a subclass — instances of a
+                # subclass are instances of tc) types the row. The
+                # domain predicate's rdfs:subPropertyOf descendants
+                # type it too (prp-spo1 composed with prp-dom: a
+                # Q-triple with Q <= P entails the P-triple that
+                # carries P's domain). Applied whether or not the
+                # class has an explicit target_map row filter — the
+                # mapping says where rdf:type lives, it does not
+                # retract the entailment (same rule as the
+                # targetSubjectsOf OR-union below).
+                tc_and_subs = {tc} | set(subclasses.get(tc, ()))
+                preds = set()
+                for p, cs in domains.items():
+                    if cs & tc_and_subs:
+                        preds.add(p)
+                        preds.update(subprops.get(p, ()))
+                cols = sorted(
+                    {
+                        column_map.get(
+                            p, column_map.get(local_name(p), local_name(p))
+                        )
+                        for p in preds
+                    }
+                )
+                for col in cols:
+                    target = f"({target}) OR ({col} IS NOT NULL)"
         unmapped_target = None
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
             tn = blank.first(SH + pred)
