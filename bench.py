@@ -88,34 +88,43 @@ def bench_stream_startup(spark: SparkSession, reps: int = 2) -> float:
     BENCH_r{N}.json's streaming totals decompose into startup + work;
     the startup share is host-phase-sensitive (2-3x swings) while the
     work share is the plan's."""
+    import shutil
     import tempfile
     import uuid
 
     src = tempfile.mkdtemp(prefix="xp_bench_startup_src_")
-    spark.range(1).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.monotonic()
-        name = "startup_" + uuid.uuid4().hex[:8]
-        q = (
-            spark.readStream.schema(schema)
-            .parquet(src)
-            .select("id")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="xp_bench_startup_ck_"),
+    cks = []
+    names = []
+    try:
+        spark.range(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            name = "startup_" + uuid.uuid4().hex[:8]
+            names.append(name)
+            ck = tempfile.mkdtemp(prefix="xp_bench_startup_ck_")
+            cks.append(ck)
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .select("id")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
             )
-            .start()
-        )
-        q.awaitTermination()
-        spark.table(name).count()
-        best = min(best, time.monotonic() - t0)
-    return best
+            q.awaitTermination()
+            spark.table(name).count()
+            best = min(best, time.monotonic() - t0)
+        return best
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
+        for d in [src] + cks:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_default() -> None:

@@ -817,3 +817,35 @@ def test_llm_unrouted_model_v1_gateway_stays_openai_style(mock_llm_server):
     fn = http_llm_fn("llama-3-70b", base_url=base + "/v1")
     assert fn("p").startswith("LLM[llama-3-70b]::")
     assert seen[-1][0] == "/v1/chat/completions"
+
+
+def test_llm_azure_bare_host_openai_style(mock_llm_server):
+    """An unrouted deployment name behind an 'openai' host (Azure
+    OpenAI pattern) keeps OpenAI style under the fallback heuristic."""
+    from xpshacl_spark.explain import llm_clients
+
+    base, seen = mock_llm_server
+    calls = []
+    orig = llm_clients._post_json
+
+    def spy(url, payload, headers, timeout):
+        calls.append(url)
+        return orig(url.replace("http://openai-host", base), payload, headers, timeout)
+
+    llm_clients._post_json, saved = spy, orig
+    try:
+        fn = llm_clients.http_llm_fn("my-deployment", base_url="http://openai-host")
+        assert fn("p").startswith("LLM[my-deployment]::")
+        assert calls[-1].endswith("/chat/completions")
+    finally:
+        llm_clients._post_json = saved
+
+
+def test_kg_ttl_missing_spacey_path_raises(tmp_path):
+    """A NON-existent path containing a space must raise, not silently
+    parse as Turtle into an empty cache: any single-line string is
+    treated as a path."""
+    from xpshacl_spark.explain.kg_ttl import kg_from_turtle
+
+    with pytest.raises(FileNotFoundError):
+        kg_from_turtle(str(tmp_path / "kg out.tll"))

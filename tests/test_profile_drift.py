@@ -159,3 +159,18 @@ def test_approx_quantiles_relation_shape_and_bound(spark):
         quantiles_error_bound_relation(
             df, ["x"], (0.5,), accuracy=100, rank_margin=0.005
         )
+
+
+def test_error_bound_vacuous_below_resolution(spark):
+    """Small-N soundness: with 2 rows the rank margin buys < 1 row of
+    slack, so the sketch (which must return a data value) could sit
+    outside the interpolated [q-m, q+m] band while meeting its rank
+    guarantee — within_bound must be vacuously TRUE there, and the
+    exact_q column still exact."""
+    from xpshacl_spark.operators.profile import quantiles_error_bound_relation
+
+    df = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+    rows = quantiles_error_bound_relation(df, ["x"], (0.5,)).collect()
+    assert len(rows) == 1
+    assert rows[0].within_bound is True
+    assert rows[0].exact_q == 50.0

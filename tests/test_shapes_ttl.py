@@ -667,6 +667,18 @@ def test_owlrl_inference_subproperty_targeting(spark):
     assert got_plain == {1}
     assert got_inf == {1, 2}  # subproperty rows targeted; untargeted row 3 out
 
+    # the PARENT property must itself be mapped: OR-ing only a mapped
+    # subproperty would silently validate a subset of the entailed
+    # target — shape skipped instead, same as rdfs/none mode
+    imp_sub_only = import_ttl(
+        ttl,
+        target_map={"callsTool": "tool IS NOT NULL"},
+        column_map=cmap,
+        inference="owlrl",
+    )
+    assert imp_sub_only.shapes == []
+    assert any("target kind not mapped" in r for _, _, r in imp_sub_only.skipped)
+
 
 def test_owlrl_inference_domain_derived_typing(spark):
     """inference='owlrl': rdfs:domain-derived typing (rdfs2/prp-dom) —
@@ -687,11 +699,19 @@ def test_owlrl_inference_domain_derived_typing(spark):
         sh:targetClass ex:Animal ;
         sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
     """
-    inf = import_ttl(ttl, inference="owlrl").shapes[0]
+    cmap = {"barks": "barks", "breathes": "breathes"}
+    inf = import_ttl(ttl, column_map=cmap, inference="owlrl").shapes[0]
     assert inf.target == (
         "((rdf_type IN ('Animal', 'Dog')) OR (barks IS NOT NULL)) "
         "OR (breathes IS NOT NULL)"
     )
+    # a domain predicate that is NOT a materialized column must be
+    # skip-reported, never OR-ed in (it would crash validate())
+    imp_nomap = import_ttl(ttl, inference="owlrl")
+    assert imp_nomap.shapes[0].target == "rdf_type IN ('Animal', 'Dog')"
+    assert sum(
+        "not a materialized column" in r for _, _, r in imp_nomap.skipped
+    ) == 2
     df = spark.createDataFrame(
         [
             (1, "Animal", None, None, -1),  # typed directly
@@ -797,8 +817,6 @@ def test_owlrl_domain_through_subproperty_and_mapped_class(spark):
     subject too; (2) an explicit target_map entry for the class states
     where rdf:type lives but does NOT retract domain entailment — the
     derived columns still OR in."""
-    from pyspark.sql import functions as F
-
     from xpshacl_spark.compiler import ValidationEngine
     from xpshacl_spark.shapes_ttl import import_ttl
 
@@ -812,21 +830,22 @@ def test_owlrl_domain_through_subproperty_and_mapped_class(spark):
         sh:targetClass ex:Animal ;
         sh:property [ sh:path ex:legs ; sh:minInclusive 0 ] .
     """
-    inf = import_ttl(ttl, inference="owlrl").shapes[0]
+    # only barks is a materialized column; makesSound (no column_map
+    # entry, not an sh:path) must be skip-reported, not OR-ed in
+    cmap = {"barks": "barks"}
+    inf = import_ttl(ttl, column_map=cmap, inference="owlrl")
     # barks inherits makesSound's domain through the subproperty chain
-    assert inf.target == (
-        "((rdf_type = 'Animal') OR (barks IS NOT NULL)) "
-        "OR (makesSound IS NOT NULL)"
+    assert inf.shapes[0].target == (
+        "(rdf_type = 'Animal') OR (barks IS NOT NULL)"
     )
+    assert any("not a materialized column" in r for _, _, r in inf.skipped)
     mapped = import_ttl(
         ttl,
         target_map={"Animal": "kind = 'beast'"},
+        column_map=cmap,
         inference="owlrl",
     ).shapes[0]
-    assert mapped.target == (
-        "((kind = 'beast') OR (barks IS NOT NULL)) "
-        "OR (makesSound IS NOT NULL)"
-    )
+    assert mapped.target == "(kind = 'beast') OR (barks IS NOT NULL)"
 
     df = spark.createDataFrame(
         [
@@ -839,8 +858,7 @@ def test_owlrl_domain_through_subproperty_and_mapped_class(spark):
     got = {
         r.id
         for r in ValidationEngine(spark)
-        .validate(df.withColumn("makesSound", F.lit(None).cast("string")),
-                  [mapped], ["id"])
+        .validate(df, [mapped], ["id"])
         .violations.collect()
     }
     assert got == {1, 2}

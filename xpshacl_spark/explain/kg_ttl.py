@@ -149,14 +149,14 @@ def kg_from_turtle(
     back into an ExplanationCache — inverse of :func:`kg_to_turtle`,
     also accepts rdflib-serialized files from the reference itself
     (any statement order, prefixed or full IRIs)."""
-    if os.path.exists(source) or (
-        "\n" not in source and " " not in source
-    ):
+    if os.path.exists(source) or "\n" not in source:
         # an existing path wins outright (even one containing spaces —
-        # mirroring report_ttl.report_violations_df); otherwise
-        # no-newline-and-no-whitespace means a file path, not Turtle
-        # text (any serialized KG contains both) — a missing file must
-        # raise, not silently parse the path string into an empty cache
+        # mirroring report_ttl.report_violations_df); otherwise any
+        # single-line string is a file path — every serialized KG
+        # contains newlines (prefix block + one line per statement), so
+        # a missing file ALWAYS raises instead of silently parsing the
+        # path string into an empty cache. Literal Turtle text must
+        # therefore contain a newline (append one if hand-built).
         with open(source, encoding="utf-8") as f:
             text = f.read()
     else:

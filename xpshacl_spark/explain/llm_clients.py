@@ -111,7 +111,12 @@ def http_llm_fn(
         elif base_url is None:
             api_style = "ollama"
         else:
-            api_style = "openai" if "/v1" in url else "ollama"
+            # /v1 is the vLLM/LiteLLM OpenAI-compat convention; an
+            # 'openai' host (e.g. *.openai.azure.com) is OpenAI-style
+            # at any path
+            api_style = (
+                "openai" if ("/v1" in url or "openai" in url) else "ollama"
+            )
     if api_style not in ("openai", "ollama"):
         raise ValueError(f"api_style must be 'openai' or 'ollama', got {api_style!r}")
     ollama_style = api_style == "ollama"

@@ -249,7 +249,14 @@ def quantiles_error_bound_relation(
     ONE fused aggregation computes, per column, exact percentiles over
     the [q-m, q, q+m] grid (one shared sort-based buffer) AND the
     approx sketch — a single pass, so the driver oracle can assert the
-    bound holds without a second scan."""
+    bound holds without a second scan.
+
+    Small-input soundness: the value-space bound follows from the rank
+    guarantee only when the margin buys at least one whole row past the
+    sketch's rank error AND quantile_cont's interpolation ceiling, i.e.
+    (N-1)*m - N/accuracy >= 1. Below that resolution (tiny or heavily
+    filtered inputs, where the sketch is exact anyway) within_bound is
+    vacuously true rather than spuriously red."""
     if rank_margin <= 1.0 / accuracy:
         raise ValueError("rank_margin must exceed 1/accuracy for a sound bound")
     grid = []  # per q: (lo, q, hi), clamped
@@ -271,6 +278,7 @@ def quantiles_error_bound_relation(
                 F.col(c).cast("double"), q_arr, F.lit(accuracy)
             ).alias(f"_a{i}")
         )
+        aggs.append(F.count(F.col(c).cast("double")).alias(f"_n{i}"))
     row = df.agg(*aggs)
     structs = []
     for i, c in enumerate(columns):
@@ -279,12 +287,20 @@ def quantiles_error_bound_relation(
             ex = F.col(f"_e{i}").getItem(3 * j + 1)
             hi = F.col(f"_e{i}").getItem(3 * j + 2)
             ap = F.col(f"_a{i}").getItem(j).cast("double")
+            n = F.col(f"_n{i}")
+            # resolution guard (docstring): the check binds only when
+            # (N-1)*m - N/accuracy >= 1; under that it is vacuous-true
+            resolvable = (
+                (n - 1) * F.lit(rank_margin) - n / F.lit(float(accuracy))
+            ) >= 1
             structs.append(
                 F.struct(
                     F.lit(c).alias("column"),
                     F.lit(float(q)).alias("q"),
                     ex.alias("exact_q"),
-                    ((ap >= lo) & (ap <= hi)).alias("within_bound"),
+                    (~resolvable | ((ap >= lo) & (ap <= hi))).alias(
+                        "within_bound"
+                    ),
                 )
             )
     return _explode_cells(row, structs)

@@ -639,6 +639,23 @@ def import_ttl(
         raise ValueError(
             f"unsupported inference {inference!r} (none, rdfs, or owlrl)"
         )
+    # predicates used as sh:path anywhere in this document: these are
+    # materialized columns of the tabular projection by construction,
+    # so owlrl domain-derived typing may reference them without an
+    # explicit column_map entry
+    doc_path_preds: set = set()
+    if domains:
+
+        def _collect_paths(props):
+            for pred, objs in props:
+                for o in objs:
+                    if isinstance(o, Blank):
+                        _collect_paths(o.props)
+                    elif pred == SH + "path" and isinstance(o, str):
+                        doc_path_preds.add(o)
+
+        for _subj, _props in statements:
+            _collect_paths(_props)
     shapes = []
     skipped: list = []
     for i, (subj, props) in enumerate(statements):
@@ -687,22 +704,36 @@ def import_ttl(
                 # class has an explicit target_map row filter — the
                 # mapping says where rdf:type lives, it does not
                 # retract the entailment (same rule as the
-                # targetSubjectsOf OR-union below).
+                # targetSubjectsOf OR-union below). Only predicates
+                # PROVEN to be materialized columns participate — an
+                # explicit column_map entry, or use as a sh:path in
+                # this document (the projection materializes its own
+                # paths); a real ontology routinely declares domains
+                # for predicates outside the projected schema, and
+                # OR-ing a nonexistent column would crash validate().
+                # Unmaterialized domain predicates land in the skip
+                # report instead.
                 tc_and_subs = {tc} | set(subclasses.get(tc, ()))
                 preds = set()
                 for p, cs in domains.items():
                     if cs & tc_and_subs:
                         preds.add(p)
                         preds.update(subprops.get(p, ()))
-                cols = sorted(
-                    {
-                        column_map.get(
-                            p, column_map.get(local_name(p), local_name(p))
+                cols = set()
+                for p in sorted(preds):
+                    m = column_map.get(p, column_map.get(local_name(p)))
+                    if m:
+                        cols.add(m)
+                    elif p in doc_path_preds:
+                        cols.add(local_name(p))
+                    else:
+                        skipped.append(
+                            (subj, p,
+                             "owlrl domain predicate not a materialized "
+                             "column (no column_map entry / sh:path use) "
+                             "— not OR-ed into target")
                         )
-                        for p in preds
-                    }
-                )
-                for col in cols:
+                for col in sorted(cols):
                     target = f"({target}) OR ({col} IS NOT NULL)"
         unmapped_target = None
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
@@ -710,24 +741,33 @@ def import_ttl(
             if tn is None:
                 continue
             if target is None:
-                props_to_try = [str(tn)]
-                if pred != "targetNode" and subprops:
-                    # owlrl subPropertyOf targeting (rdfs5/7/prp-spo1):
-                    # a Q-triple with Q <= P entails a P-triple, so
-                    # targetSubjectsOf/ObjectsOf P also covers every
-                    # subproperty's mapped row set
-                    props_to_try += sorted(subprops.get(str(tn), ()))
-                filters = []
-                for p in props_to_try:
-                    m = target_map.get(p, target_map.get(local_name(p)))
-                    if m and m not in filters:
-                        filters.append(m)
-                if len(filters) == 1:
-                    target = filters[0]
-                elif filters:
-                    target = " OR ".join(f"({f})" for f in filters)
-                else:
+                parent = target_map.get(
+                    str(tn), target_map.get(local_name(str(tn)))
+                )
+                if parent is None:
+                    # the PARENT property itself must be mapped —
+                    # OR-ing only mapped subproperties would silently
+                    # validate a subset of the entailed target and
+                    # report full coverage
                     unmapped_target = SH + pred
+                else:
+                    filters = [parent]
+                    if pred != "targetNode" and subprops:
+                        # owlrl subPropertyOf targeting (rdfs5/7/
+                        # prp-spo1): a Q-triple with Q <= P entails a
+                        # P-triple, so targetSubjectsOf/ObjectsOf P
+                        # also covers every subproperty's mapped row
+                        # set, OR-ed onto the parent's filter
+                        for p in sorted(subprops.get(str(tn), ())):
+                            m = target_map.get(
+                                p, target_map.get(local_name(p))
+                            )
+                            if m and m not in filters:
+                                filters.append(m)
+                    if len(filters) == 1:
+                        target = filters[0]
+                    else:
+                        target = " OR ".join(f"({f})" for f in filters)
         if unmapped_target and target is None:
             # a targeted shape without a row mapping must NOT silently
             # validate every row — skip it and say so
