@@ -1411,6 +1411,28 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-schema validation (north-rule "schema + constraint
+    validation"): expected columns/types vs the documents table, with a
+    deliberate type mismatch (n_chars declared int, actually bigint), a
+    missing required column (author), and an undeclared actual column
+    (source). METADATA-ONLY — parquet footers, zero data scanned at any
+    table size. The oracle recomputes the same comparison from DuckDB's
+    DESCRIBE with DuckDB->Spark type-name mapping, so the two engines
+    independently agree on the physical schema itself."""
+    from xpshacl_spark.schema_check import ColumnSpec, schema_violations
+
+    d = _load(spark, sf_dir, "documents")
+    specs = [
+        ColumnSpec("doc_id", "bigint"),
+        ColumnSpec("text", "string"),
+        ColumnSpec("lang", "string"),
+        ColumnSpec("n_chars", "int"),
+        ColumnSpec("author", "string"),
+    ]
+    return schema_violations(spark, d, specs)
+
+
 def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB quantile swap, driver-proven: ONE fused
     aggregation computes per column the exact percentile over a
@@ -1521,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_schema_documents": q_schema_documents,
         "q_quantiles_approx": q_quantiles_approx,
         "q_skew_join_orders": q_skew_join_orders,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
@@ -2639,6 +2662,30 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
         "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
+        "q_schema_documents": (
+            # DuckDB DESCRIBE -> Spark simpleString type names; the two
+            # engines independently read the same parquet footers
+            "WITH actual AS (SELECT column_name AS name, CASE column_type "
+            "WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string' "
+            "WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double' "
+            "WHEN 'FLOAT[]' THEN 'array<float>' "
+            "WHEN 'TIMESTAMP' THEN 'timestamp' "
+            "ELSE lower(column_type) END AS dtype FROM (DESCRIBE documents)), "
+            "spec(name, dtype) AS (VALUES ('doc_id','bigint'),"
+            "('text','string'),('lang','string'),('n_chars','int'),"
+            "('author','string')) "
+            "SELECT s.name AS column_name, 'missing_column' AS issue, "
+            "s.dtype AS expected_type, CAST(NULL AS VARCHAR) AS actual_type "
+            "FROM spec s WHERE s.name NOT IN (SELECT name FROM actual) "
+            "UNION ALL "
+            "SELECT s.name, 'type_mismatch', s.dtype, a.dtype "
+            "FROM spec s JOIN actual a ON s.name = a.name "
+            "WHERE s.dtype <> a.dtype "
+            "UNION ALL "
+            "SELECT a.name, 'unexpected_column', CAST(NULL AS VARCHAR), "
+            "a.dtype FROM actual a "
+            "WHERE a.name NOT IN (SELECT name FROM spec)"
+        ),
         "q_quantiles_approx": _quantiles_approx_sql(),
         "q_skew_join_orders": (
             "WITH sk AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 "

@@ -1,0 +1,116 @@
+"""Physical-schema validation: expected columns/types vs a DataFrame.
+
+The north-rule engine is a "schema + constraint validation engine"; the
+row/group constraints (shapes.py, compiler.py) validate VALUES, this
+module validates the TABLE SHAPE itself — the first gate a 100 TB
+ingestion run should pass before any data is scanned. The reference has
+no direct analog (its schema IS the shapes graph over schemaless RDF;
+closest is sh:closed, extended_shacl_validator.py's closed-shape
+handling, which this engine implements per-row in shapes.py Closed);
+a tabular projection adds the physical layer the reference never sees.
+
+Design: the check is METADATA-ONLY — it compares `df.schema` (parquet
+footers / catalog info, no data scan, constant cost at any table size)
+against a declared spec and returns the result AS A DATAFRAME so it
+composes with the rest of the violation tooling. Three issue kinds:
+
+- ``missing_column``    a required spec column is absent
+- ``type_mismatch``     present, but the Spark simpleString type differs
+- ``unexpected_column`` present in the table but not in the spec
+  (suppressed with ``allow_extra=True`` — the open-shape default of
+  SHACL; the strict default mirrors ``sh:closed true``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One expected column: name + Spark ``simpleString`` type (e.g.
+    ``bigint``, ``string``, ``double``, ``array<float>``,
+    ``timestamp``). ``required=False`` makes the column optional (no
+    missing_column issue when absent; the type is still checked when
+    present)."""
+
+    name: str
+    dtype: str
+    required: bool = True
+
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("issue", T.StringType(), False),
+        T.StructField("expected_type", T.StringType(), True),
+        T.StructField("actual_type", T.StringType(), True),
+    ]
+)
+
+
+def schema_violations(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: Sequence[ColumnSpec],
+    allow_extra: bool = False,
+) -> DataFrame:
+    """(column_name, issue, expected_type, actual_type) — one row per
+    schema deviation, empty when the table conforms. Deterministic
+    order-independent content (the relation is tiny — bounded by the
+    column count — and built driver-side from metadata alone)."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    spec_names = set()
+    for s in specs:
+        if s.name in spec_names:
+            raise ValueError(f"duplicate ColumnSpec for {s.name!r}")
+        spec_names.add(s.name)
+        if s.name not in actual:
+            if s.required:
+                rows.append((s.name, "missing_column", s.dtype, None))
+        elif actual[s.name] != s.dtype:
+            rows.append((s.name, "type_mismatch", s.dtype, actual[s.name]))
+    if not allow_extra:
+        for name, dt in actual.items():
+            if name not in spec_names:
+                rows.append((name, "unexpected_column", None, dt))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+def schema_violation_report(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: Sequence[ColumnSpec],
+    shape_id: str = "schema_shape",
+    allow_extra: bool = False,
+) -> DataFrame:
+    """The same check reshaped into the engine's violation nomenclature
+    (focus_node = the column; SchemaConstraintComponent), so schema
+    deviations flow through the same report/summary/explanation sinks
+    as value violations."""
+    v = schema_violations(spark, df, specs, allow_extra=allow_extra)
+    return v.select(
+        F.col("column_name").alias("focus_node"),
+        F.lit(shape_id).alias("shape_id"),
+        F.lit("SchemaConstraintComponent").alias("constraint_component"),
+        F.col("issue").alias("violation_type"),
+        F.col("column_name").alias("property_path"),
+        F.coalesce(F.col("actual_type"), F.lit("<absent>")).alias("value"),
+        F.concat(
+            F.lit("Schema check failed: "),
+            F.col("issue"),
+            F.lit(" (expected "),
+            F.coalesce(F.col("expected_type"), F.lit("<unspecified>")),
+            F.lit(", actual "),
+            F.coalesce(F.col("actual_type"), F.lit("<absent>")),
+            F.lit(")"),
+        ).alias("message"),
+        F.lit("Violation").alias("severity"),
+    )
