@@ -1119,6 +1119,29 @@ def q_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed two-sample drift spec shared by the Spark query and its oracle
+_DRIFT2 = {"lo": 0.0, "hi": 200.0, "bins": 8,
+           "side_a": "purchase", "side_b": "error"}
+
+
+def q_drift_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-prod drift without a stored baseline: PSI + KS between
+    the `value` distributions of two event populations (purchase vs
+    error), both histograms from ONE tag-union global hash agg
+    (operators.drift.two_sample_drift), statistics in-plan. The oracle
+    recomputes the identical eps-floored double arithmetic from two
+    FILTER-count CTEs."""
+    from xpshacl_spark.operators.drift import two_sample_drift
+
+    ev = _load(spark, sf_dir, "events")
+    d = _DRIFT2
+    a = ev.where(F.col("event_type") == d["side_a"])
+    b = ev.where(F.col("event_type") == d["side_b"])
+    # raw doubles, no rounding: the two engines execute the identical
+    # operation sequence, so the bits match (q_drift_stats precedent)
+    return two_sample_drift(a, b, "value", d["lo"], d["hi"], bins=d["bins"])
+
+
 def q_setpair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-row property pairs (SURVEY.md §2A #13-#14 self-join
     variants): per order, the distinct set of returnflags vs the
@@ -1546,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_documents": q_schema_documents,
         "q_quantiles_approx": q_quantiles_approx,
         "q_skew_join_orders": q_skew_join_orders,
+        "q_drift_two_sample": q_drift_two_sample,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1969,6 +1993,66 @@ def _quantiles_sql() -> str:
         "FROM lineitem"
         for c in cols
         for q in qs
+    )
+
+
+def _two_sample_drift_sql() -> str:
+    """Mirror of operators.drift.two_sample_drift: per-bucket FILTER
+    counts for each side, then PSI / KS with the identical eps-floored
+    double arithmetic and term order (left-associative sums, ln of
+    double ratios), so the raw doubles hash-match."""
+    d = _DRIFT2
+    lo, hi, bins = d["lo"], d["hi"], d["bins"]
+    width = (hi - lo) / bins
+    eps = 1e-6
+    v = "CAST(value AS DOUBLE)"
+    conds = [f"({v} < {lo})"]
+    for b in range(bins):
+        conds.append(
+            f"({v} >= {lo} AND {v} < {hi} AND "
+            f"CAST(floor(({v} - {lo}) / {width}) AS INT) = {b})"
+        )
+    conds.append(f"({v} >= {hi})")
+    n = len(conds)
+
+    def _side(tag, etype):
+        cnt = ", ".join(
+            f"count(*) FILTER (WHERE {c}) AS {tag}{j}"
+            for j, c in enumerate(conds)
+        )
+        return (
+            f"{tag} AS (SELECT {cnt} FROM events "
+            f"WHERE event_type = '{etype}' AND value IS NOT NULL)"
+        )
+
+    ta = " + ".join(f"a{j}" for j in range(n))
+    tb = " + ".join(f"b{j}" for j in range(n))
+
+    def _prop(tag, total, j):
+        return (
+            f"(CASE WHEN ({total}) > 0 THEN greatest("
+            f"CAST({tag}{j} AS DOUBLE) / CAST({total} AS DOUBLE), {eps}) "
+            f"ELSE {eps} END)"
+        )
+
+    psi_terms = " + ".join(
+        f"(({_prop('b', tb, j)} - {_prop('a', ta, j)}) * "
+        f"ln({_prop('b', tb, j)} / {_prop('a', ta, j)}))"
+        for j in range(n)
+    )
+    ta_d = f"(CASE WHEN ({ta}) > 0 THEN CAST({ta} AS DOUBLE) ELSE 1.0 END)"
+    tb_d = f"(CASE WHEN ({tb}) > 0 THEN CAST({tb} AS DOUBLE) ELSE 1.0 END)"
+    gaps = []
+    for j in range(n):
+        ca = " + ".join(f"CAST(a{k} AS DOUBLE) / {ta_d}" for k in range(j + 1))
+        cb = " + ".join(f"CAST(b{k} AS DOUBLE) / {tb_d}" for k in range(j + 1))
+        gaps.append(f"abs(({cb}) - ({ca}))")
+    ks = f"greatest({', '.join(gaps)})"
+    return (
+        f"WITH {_side('a', d['side_a'])}, {_side('b', d['side_b'])}, "
+        "j AS (SELECT * FROM a, b) "
+        f"SELECT 'psi' AS stat, ({psi_terms}) AS value FROM j "
+        f"UNION ALL SELECT 'ks', ({ks}) FROM j"
     )
 
 
@@ -2687,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.name NOT IN (SELECT name FROM spec)"
         ),
         "q_quantiles_approx": _quantiles_approx_sql(),
+        "q_drift_two_sample": _two_sample_drift_sql(),
         "q_skew_join_orders": (
             "WITH sk AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 "
             "ELSE o_custkey END AS custkey FROM orders) "

@@ -174,3 +174,37 @@ def test_error_bound_vacuous_below_resolution(spark):
     assert len(rows) == 1
     assert rows[0].within_bound is True
     assert rows[0].exact_q == 50.0
+
+
+def test_two_sample_drift_matches_python_stats(spark):
+    """two_sample_drift's in-plan PSI/KS must equal psi_statistic /
+    ks_statistic over the same bin counts, and identical distributions
+    must score PSI ~ 0 / KS = 0."""
+    from xpshacl_spark.operators.drift import (
+        ks_statistic,
+        psi_statistic,
+        two_sample_drift,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    b = spark.createDataFrame([(float(i % 5),) for i in range(80)], "x double")
+    got = {r.stat: r.value for r in
+           two_sample_drift(a, b, "x", 0.0, 10.0, bins=5).collect()}
+    # recompute bin counts in python: bucket width 2, underflow/overflow 0
+    import collections
+    ca = collections.Counter(int((i % 10) // 2) for i in range(100))
+    cb = collections.Counter(int((i % 5) // 2) for i in range(80))
+    base = [0] + [ca.get(j, 0) for j in range(5)] + [0]
+    cur = [0] + [cb.get(j, 0) for j in range(5)] + [0]
+    assert abs(got["psi"] - psi_statistic(base, cur)) < 1e-12
+    assert abs(got["ks"] - ks_statistic(base, cur)) < 1e-12
+
+    same = {r.stat: r.value for r in
+            two_sample_drift(a, a, "x", 0.0, 10.0, bins=5).collect()}
+    assert abs(same["psi"]) < 1e-12 and same["ks"] == 0.0
+
+    # single pass: one aggregate over the union, no join
+    plan = two_sample_drift(a, b, "x", 0.0, 10.0, bins=5)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s
+    assert s.count("Union") == 1
