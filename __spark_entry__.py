@@ -2006,11 +2006,14 @@ def _two_sample_drift_sql() -> str:
     width = (hi - lo) / bins
     eps = 1e-6
     v = "CAST(value AS DOUBLE)"
+    # in-range floor clamped to bins-1, mirroring two_sample_drift (an
+    # inexact width can push a value just under hi to floor == bins)
     conds = [f"({v} < {lo})"]
     for b in range(bins):
         conds.append(
             f"({v} >= {lo} AND {v} < {hi} AND "
-            f"CAST(floor(({v} - {lo}) / {width}) AS INT) = {b})"
+            f"least(CAST(floor(({v} - {lo}) / {width}) AS INT), {bins - 1})"
+            f" = {b})"
         )
     conds.append(f"({v} >= {hi})")
     n = len(conds)

@@ -208,3 +208,43 @@ def test_two_sample_drift_matches_python_stats(spark):
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in s
     assert s.count("Union") == 1
+
+
+def test_two_sample_drift_empty_and_default_bins(spark):
+    """Empty inputs yield psi 0.0 / ks 0.0 (never NULL — coalesced
+    counts), and the default 64-bin form executes with a bounded plan
+    (the staged cell relation keeps the expression tree O(bins))."""
+    from xpshacl_spark.operators.drift import two_sample_drift
+
+    empty = spark.createDataFrame([], "x double")
+    got = {r.stat: r.value for r in
+           two_sample_drift(empty, empty, "x", 0.0, 10.0, bins=5).collect()}
+    assert got == {"psi": 0.0, "ks": 0.0}
+
+    a = spark.range(2000).select((F.col("id") % 97).cast("double").alias("x"))
+    b = spark.range(2000).select((F.col("id") % 89).cast("double").alias("x"))
+    full = {r.stat: r.value for r in
+            two_sample_drift(a, b, "x", 0.0, 100.0).collect()}  # bins=64
+    assert full["ks"] is not None and 0.0 <= full["ks"] <= 1.0
+    assert full["psi"] is not None and full["psi"] >= 0.0
+
+
+def test_two_sample_drift_clamps_inexact_width_edge(spark):
+    """width=(hi-lo)/bins inexact in doubles: a value just below hi
+    whose floor((v-lo)/width) rounds to `bins` must be counted in the
+    LAST in-range bin, not overflow (clamp pinned by exact counts)."""
+    from xpshacl_spark.operators.drift import two_sample_drift
+
+    import math
+
+    # width = 0.9/3 = 0.30000000000000004; v = nextafter(0.9, -inf) is
+    # < 0.9 yet floor(v/width) == 3 == bins
+    v = 0.8999999999999999
+    assert v < 0.9 and math.floor(v / (0.9 / 3)) == 3
+    a = spark.createDataFrame([(v,)], "x double")
+    b = spark.createDataFrame([(0.05,)], "x double")
+    got = {r.stat: r.value for r in
+           two_sample_drift(a, b, "x", 0.0, 0.9, bins=3).collect()}
+    # both singletons fully in-range: totals 1 and 1 -> KS gap 1.0 at
+    # the first bin edge (b all in bin 0, a clamped into bin 2)
+    assert got["ks"] == 1.0

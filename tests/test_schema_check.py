@@ -104,7 +104,68 @@ def test_violation_report_shape(spark):
     (r,) = rep
     assert r.focus_node == "id" and r.shape_id == "doc_schema"
     assert r.constraint_component == "SchemaConstraintComponent"
-    assert r.violation_type == "type_mismatch"
+    # taxonomy-consistent: classify() value, not the raw issue string
+    from xpshacl_spark.model import classify
+
+    assert r.violation_type == classify("SchemaConstraintComponent") == "schema"
     assert r.value == "bigint"
     assert "expected int" in r.message and "actual bigint" in r.message
     assert r.severity == "Violation"
+    assert dict(r.context) == {
+        "issue": "type_mismatch",
+        "expectedType": "int",
+        "actualType": "bigint",
+    }
+
+
+def test_report_has_canonical_columns_and_feeds_signatures(spark):
+    """The report adapter must carry every model.VIOLATION_COLUMNS
+    field (notably context) so it flows through the explanation
+    pipeline's signature dedup like any other violations relation."""
+    from xpshacl_spark.explain.signature import signature_id_col
+    from xpshacl_spark.model import VIOLATION_COLUMNS
+
+    rep = schema_violation_report(
+        spark, _df(spark), [ColumnSpec("id", "int")], allow_extra=True
+    )
+    for c in VIOLATION_COLUMNS:
+        assert c in rep.columns, c
+    sigs = rep.select(signature_id_col().alias("sig")).collect()
+    assert len(sigs) == 1 and len(sigs[0].sig) == 32
+
+
+def test_case_insensitive_matching_follows_session_conf(spark):
+    """Under the spark.sql.caseSensitive=false default, a spec matches
+    a differently-cased actual column (no false missing/unexpected
+    pair); the type is still checked."""
+    df = spark.createDataFrame([(1,)], "ID bigint")
+    ok = schema_violations(spark, df, [ColumnSpec("id", "bigint")])
+    assert ok.count() == 0
+    bad = schema_violations(spark, df, [ColumnSpec("id", "int")]).collect()
+    assert [(r.issue, r.actual_type) for r in bad] == [("type_mismatch", "bigint")]
+    saved = spark.conf.get("spark.sql.caseSensitive", "false")
+    try:
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        strict = schema_violations(spark, df, [ColumnSpec("id", "bigint")])
+        assert {r.issue for r in strict.collect()} == {
+            "missing_column", "unexpected_column",
+        }
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", saved)
+
+
+def test_duplicate_actual_columns_each_checked(spark):
+    """Duplicate column names (legal post-join) must each be checked —
+    a type conflict between duplicates is reported, not silently
+    overwritten."""
+    a = spark.createDataFrame([(1, 2)], "id bigint, x int")
+    b = spark.createDataFrame([(1.0, 2)], "id double, y int")
+    j = a.crossJoin(b)  # two 'id' columns: bigint and double
+    rows = schema_violations(
+        spark, j,
+        [ColumnSpec("id", "bigint"), ColumnSpec("x", "int"),
+         ColumnSpec("y", "int")],
+    ).collect()
+    assert [(r.column_name, r.issue, r.actual_type) for r in rows] == [
+        ("id", "type_mismatch", "double")
+    ]

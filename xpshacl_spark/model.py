@@ -32,6 +32,7 @@ class ViolationType:
     UNIQUENESS = "uniqueness"
     REFERENTIAL = "referential"
     DISTRIBUTION = "distribution"
+    SCHEMA = "schema"
 
     ALL = (
         CARDINALITY,
@@ -44,6 +45,7 @@ class ViolationType:
         UNIQUENESS,
         REFERENTIAL,
         DISTRIBUTION,
+        SCHEMA,
     )
 
     #: reference-parity mapping used when reproducing the md5 signature
@@ -60,6 +62,7 @@ class ViolationType:
         UNIQUENESS: "ViolationType.UNIQUENESS",
         REFERENTIAL: "ViolationType.REFERENTIAL",
         DISTRIBUTION: "ViolationType.DISTRIBUTION",
+        SCHEMA: "ViolationType.SCHEMA",
     }
 
 
@@ -106,6 +109,7 @@ COMPONENT_VIOLATION_TYPE = {
     "UniquenessConstraintComponent": ViolationType.UNIQUENESS,
     "ReferentialConstraintComponent": ViolationType.REFERENTIAL,
     "DistributionConstraintComponent": ViolationType.DISTRIBUTION,
+    "SchemaConstraintComponent": ViolationType.SCHEMA,
 }
 
 

@@ -89,11 +89,21 @@ def two_sample_drift(
     hash aggregation with 2*(bins+2) conditional count sums (map-side
     partials; the shuffle carries one row of ints per map partition) —
     a single pass over both inputs, no groupBy key, no collect. The
-    statistics are then column expressions over the one-row result, so
-    the whole check is one job whose output is the tiny (stat, value)
-    relation. Formulas mirror psi_statistic / ks_statistic exactly
-    (eps-floored proportions; ECDF max-gap on bin edges), and term
-    order is fixed so an ANSI-SQL oracle reproduces the doubles."""
+    one-row result then explodes into a (bin, ca, cb) relation of
+    bins+2 rows, over which totals / eps-floored proportions /
+    cumulative ECDFs are window + aggregate expressions: every
+    subexpression is computed once per bin row, keeping the Catalyst
+    tree O(bins) (the all-in-one-expression form duplicates the
+    (bins+2)-term total inside every cumulative term — O(bins^3) nodes
+    at the 64-bin default, past the 64 KB codegen limit). The final
+    stats aggregate one 66-row partition; the heavy work stays in the
+    first fused agg. Formulas mirror psi_statistic / ks_statistic
+    exactly (accumulation in bin order, as a left-associated sum), so
+    an ANSI-SQL oracle reproduces the doubles. In-range values are
+    floor-binned with a clamp to bins-1 (width = (hi-lo)/bins is
+    inexact in doubles; an unclamped floor can emit `bins` for a value
+    just under hi, misfiling it as overflow)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     width = (hi - lo) / bins
@@ -106,7 +116,12 @@ def two_sample_drift(
         b = (
             F.when(v < F.lit(float(lo)), F.lit(-1))
             .when(v >= F.lit(float(hi)), F.lit(bins))
-            .otherwise(F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"))
+            .otherwise(
+                F.least(
+                    F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+                    F.lit(bins - 1),
+                )
+            )
         )
         return proj.select(b.alias("_b"), F.lit(tag).alias("_t"))
 
@@ -116,47 +131,72 @@ def two_sample_drift(
     for side in (0, 1):
         for j in range(n):
             aggs.append(
-                F.sum(
-                    ((F.col("_t") == side) & (F.col("_b") == j - 1)).cast("long")
+                F.coalesce(  # empty union: 0 counts, not NULL
+                    F.sum(
+                        (
+                            (F.col("_t") == side) & (F.col("_b") == j - 1)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias(f"_c{side}_{j}")
             )
     row = u.agg(*aggs)
-
-    def _props(side):
-        total = None
-        for j in range(n):
-            c = F.col(f"_c{side}_{j}")
-            total = c if total is None else total + c
-        out = []
-        for j in range(n):
-            c = F.col(f"_c{side}_{j}").cast("double")
-            out.append(
-                F.when(
-                    total > 0, F.greatest(c / total.cast("double"), F.lit(eps))
-                ).otherwise(F.lit(eps))
+    cells = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"_c0_{j}").alias("ca"),
+                        F.col(f"_c1_{j}").alias("cb"),
+                    )
+                    for j in range(n)
+                ]
             )
-        return out, total
-
-    q, ta = _props(0)  # baseline proportions
-    p, tb = _props(1)  # current proportions
-    psi = None
-    for pj, qj in zip(p, q):
-        term = (pj - qj) * F.log(pj / qj)
-        psi = term if psi is None else psi + term
-    # KS over raw counts (ks_statistic: totals floored at 1.0, no eps)
-    ta_d = F.when(ta > 0, ta.cast("double")).otherwise(F.lit(1.0))
-    tb_d = F.when(tb > 0, tb.cast("double")).otherwise(F.lit(1.0))
-    gap = None
-    ca = cb = None
-    for j in range(n):
-        a_j = F.col(f"_c0_{j}").cast("double") / ta_d
-        b_j = F.col(f"_c1_{j}").cast("double") / tb_d
-        ca = a_j if ca is None else ca + a_j
-        cb = b_j if cb is None else cb + b_j
-        g = F.abs(cb - ca)
-        gap = g if gap is None else F.greatest(gap, g)
-    structs = F.array(
-        F.struct(F.lit("psi").alias("stat"), psi.alias("value")),
-        F.struct(F.lit("ks").alias("stat"), gap.alias("value")),
+        ).alias("_x")
+    ).select("_x.*")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return row.select(F.explode(structs).alias("_s")).select("_s.*")
+    w_cum = Window.partitionBy().orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # totals once per row; proportions floored at eps (psi_statistic's
+    # _proportions: an empty side is all-eps)
+    staged = cells.select(
+        "j",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("ta"),
+        F.sum("cb").over(w_all).alias("tb"),
+    )
+
+    def _prop(c, total):
+        return F.when(
+            total > 0,
+            F.greatest(c.cast("double") / total.cast("double"), F.lit(eps)),
+        ).otherwise(F.lit(eps))
+
+    q = _prop(F.col("ca"), F.col("ta"))  # baseline
+    p = _prop(F.col("cb"), F.col("tb"))  # current
+    ta_d = F.when(F.col("ta") > 0, F.col("ta").cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    tb_d = F.when(F.col("tb") > 0, F.col("tb").cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    terms = staged.select(
+        ((p - q) * F.log(p / q)).alias("_psi_term"),
+        F.abs(
+            F.sum(F.col("cb").cast("double") / tb_d).over(w_cum)
+            - F.sum(F.col("ca").cast("double") / ta_d).over(w_cum)
+        ).alias("_gap"),
+    )
+    out = terms.agg(
+        F.sum("_psi_term").alias("_psi"), F.max("_gap").alias("_ks")
+    )
+    structs = F.array(
+        F.struct(F.lit("psi").alias("stat"), F.col("_psi").alias("value")),
+        F.struct(F.lit("ks").alias("stat"), F.col("_ks").alias("value")),
+    )
+    return out.select(F.explode(structs).alias("_s")).select("_s.*")

@@ -64,23 +64,44 @@ def schema_violations(
     schema deviation, empty when the table conforms. Deterministic
     order-independent content (the relation is tiny — bounded by the
     column count — and built driver-side from metadata alone)."""
-    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # honor the session's resolution rules: case-insensitive matching
+    # under the spark.sql.caseSensitive=false default, exact otherwise
+    case_sensitive = (
+        spark.conf.get("spark.sql.caseSensitive", "false").lower() == "true"
+    )
+
+    def _key(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
+    # keep EVERY actual field (duplicate names are legal post-join and
+    # each one must be checked, not silently overwritten)
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     rows = []
-    spec_names = set()
+    spec_keys = set()
+    matched_idx = set()
     for s in specs:
-        if s.name in spec_names:
+        k = _key(s.name)
+        if k in spec_keys:
             raise ValueError(f"duplicate ColumnSpec for {s.name!r}")
-        spec_names.add(s.name)
-        if s.name not in actual:
+        spec_keys.add(k)
+        hits = [
+            (i, fn, ft)
+            for i, (fn, ft) in enumerate(fields)
+            if _key(fn) == k
+        ]
+        if not hits:
             if s.required:
                 rows.append((s.name, "missing_column", s.dtype, None))
-        elif actual[s.name] != s.dtype:
-            rows.append((s.name, "type_mismatch", s.dtype, actual[s.name]))
+            continue
+        for i, _fn, ft in hits:
+            matched_idx.add(i)
+            if ft != s.dtype:
+                rows.append((s.name, "type_mismatch", s.dtype, ft))
     if not allow_extra:
-        for name, dt in actual.items():
-            if name not in spec_names:
-                rows.append((name, "unexpected_column", None, dt))
-    rows.sort(key=lambda r: (r[0], r[1]))
+        for i, (fn, ft) in enumerate(fields):
+            if i not in matched_idx:
+                rows.append((fn, "unexpected_column", None, ft))
+    rows.sort(key=lambda r: (r[0], r[1], r[3] or ""))
     return spark.createDataFrame(rows, _RESULT_SCHEMA)
 
 
@@ -92,15 +113,19 @@ def schema_violation_report(
     allow_extra: bool = False,
 ) -> DataFrame:
     """The same check reshaped into the engine's violation nomenclature
-    (focus_node = the column; SchemaConstraintComponent), so schema
-    deviations flow through the same report/summary/explanation sinks
-    as value violations."""
+    (focus_node = the column; SchemaConstraintComponent classified as
+    ViolationType.SCHEMA via model.COMPONENT_VIOLATION_TYPE; the issue
+    kind and expected/actual types ride in the context map), matching
+    model.VIOLATION_COLUMNS so schema deviations flow through the same
+    report/summary/explanation sinks as value violations."""
+    from xpshacl_spark.model import classify
+
     v = schema_violations(spark, df, specs, allow_extra=allow_extra)
     return v.select(
         F.col("column_name").alias("focus_node"),
         F.lit(shape_id).alias("shape_id"),
         F.lit("SchemaConstraintComponent").alias("constraint_component"),
-        F.col("issue").alias("violation_type"),
+        F.lit(classify("SchemaConstraintComponent")).alias("violation_type"),
         F.col("column_name").alias("property_path"),
         F.coalesce(F.col("actual_type"), F.lit("<absent>")).alias("value"),
         F.concat(
@@ -113,4 +138,11 @@ def schema_violation_report(
             F.lit(")"),
         ).alias("message"),
         F.lit("Violation").alias("severity"),
+        F.create_map(
+            F.lit("issue"), F.col("issue"),
+            F.lit("expectedType"),
+            F.coalesce(F.col("expected_type"), F.lit("<unspecified>")),
+            F.lit("actualType"),
+            F.coalesce(F.col("actual_type"), F.lit("<absent>")),
+        ).alias("context"),
     )
