@@ -1621,10 +1621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
         "q_topk_documents": q_topk_documents,
+        # --- tail (position 51+): freshest driver proof (r03); first
+        # --- in line for the r05 head under the LRU policy above
         "q_range_lineitem_qty": q_range_lineitem_qty,
         "q_range_customer_acctbal": q_range_customer_acctbal,
-        # --- tail: freshest driver proof (r03); first in line for the
-        # --- r05 head under the LRU policy above
         "q_pattern_part_name": q_pattern_part_name,
         "q_fk_orders_custkey": q_fk_orders_custkey,
         "q_unique_documents": q_unique_documents,

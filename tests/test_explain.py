@@ -849,3 +849,30 @@ def test_kg_ttl_missing_spacey_path_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         kg_from_turtle(str(tmp_path / "kg out.tll"))
+
+
+def test_llm_ollama_default_address_beats_model_route(mock_llm_server):
+    """A routed-substring model name served from an explicit Ollama
+    address (the :11434 default) must speak /api/chat — the server
+    address wins over the model-name route."""
+    from xpshacl_spark.explain import llm_clients
+
+    calls = []
+    orig = llm_clients._post_json
+    base, _ = mock_llm_server
+
+    def spy(url, payload, headers, timeout):
+        calls.append(url)
+        return orig(
+            url.replace("http://localhost:11434", base), payload, headers, timeout
+        )
+
+    llm_clients._post_json = spy
+    try:
+        fn = llm_clients.http_llm_fn(
+            "gpt-oss:20b", base_url="http://localhost:11434", api_key="k"
+        )
+        assert fn("p").startswith("OLLAMA::")
+        assert calls[-1].endswith("/api/chat")
+    finally:
+        llm_clients._post_json = orig

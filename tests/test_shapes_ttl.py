@@ -862,3 +862,29 @@ def test_owlrl_domain_through_subproperty_and_mapped_class(spark):
         .violations.collect()
     }
     assert got == {1, 2}
+
+
+def test_owlrl_unmapped_subproperty_is_skip_reported(spark):
+    """Parent mapped, one subproperty unmapped: the shape compiles on
+    the parent's filter but the coverage loss is recorded."""
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <http://example.org/> .
+    ex:callsTool rdfs:subPropertyOf ex:usesResource .
+    ex:ResourceShape a sh:NodeShape ;
+        sh:targetSubjectsOf ex:usesResource ;
+        sh:property [ sh:path ex:latency ; sh:maxInclusive 100 ] .
+    """
+    imp = import_ttl(
+        ttl,
+        target_map={"usesResource": "resource IS NOT NULL"},
+        column_map={"latency": "latency"},
+        inference="owlrl",
+    )
+    assert imp.shapes[0].target == "resource IS NOT NULL"
+    assert any(
+        "subproperty not target-mapped" in r for _, _, r in imp.skipped
+    )

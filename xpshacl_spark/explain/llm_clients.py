@@ -106,7 +106,13 @@ def http_llm_fn(
         # convention (vLLM/LiteLLM serve OpenAI-style under /v1) —
         # pass api_style explicitly for bare-host OpenAI gateways
         # serving unrouted model names.
-        if key_env is not None:
+        if base_url is not None and (
+            base_url.rstrip("/") == OLLAMA_DEFAULT_URL or ":11434" in base_url
+        ):
+            # an explicit Ollama server address wins over the model-name
+            # route: 'gpt-oss:20b' served locally is still /api/chat
+            api_style = "ollama"
+        elif key_env is not None:
             api_style = "openai"
         elif base_url is None:
             api_style = "ollama"

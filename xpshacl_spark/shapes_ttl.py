@@ -762,8 +762,19 @@ def import_ttl(
                             m = target_map.get(
                                 p, target_map.get(local_name(p))
                             )
-                            if m and m not in filters:
-                                filters.append(m)
+                            if m:
+                                if m not in filters:
+                                    filters.append(m)
+                            else:
+                                # coverage loss must be visible: an
+                                # unmapped subproperty's entailed rows
+                                # cannot be targeted
+                                skipped.append(
+                                    (subj, p,
+                                     "owlrl subproperty not target-"
+                                     "mapped — its rows not OR-ed "
+                                     "into the target")
+                                )
                     if len(filters) == 1:
                         target = filters[0]
                     else:
