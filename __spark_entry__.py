@@ -1434,6 +1434,40 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triage workflow: at most 5 EXAMPLE violations per (shape,
+    component), selected in deterministic md5-hash order — unbiased
+    w.r.t. row order and identical across engines/partitionings
+    (operators.sample.cap_per_group over the violations relation, so
+    the WindowGroupLimit rank-limit pushdown bounds a mega-shape at
+    cap rows per map partition; at 10^9 violations per shape the
+    examples job still moves ~cap rows per input partition)."""
+    from xpshacl_spark.operators.sample import cap_per_group
+
+    li = _load(spark, sf_dir, "lineitem")
+    shapes = [
+        Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
+        Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
+        Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(li, shapes, key_cols=["l_orderkey", "l_linenumber"])
+    v = rep.violations.select(
+        "shape_id",
+        "constraint_component",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("value").cast("double").alias("val"),
+    )
+    return cap_per_group(
+        v,
+        ["shape_id", "constraint_component"],
+        ["l_orderkey", "l_linenumber"],
+        cap=5,
+        seed="vex",
+    )
+
+
 def q_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical-schema validation (north-rule "schema + constraint
     validation"): expected columns/types vs the documents table, with a
@@ -1566,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_violation_examples": q_violation_examples,
         "q_schema_documents": q_schema_documents,
         "q_quantiles_approx": q_quantiles_approx,
         "q_skew_join_orders": q_skew_join_orders,
@@ -2749,6 +2784,25 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
         "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
+        "q_violation_examples": (
+            "WITH v AS ("
+            "SELECT 'li_qty' AS shape_id, "
+            "'MaxInclusiveConstraintComponent' AS constraint_component, "
+            "l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS val "
+            "FROM lineitem WHERE l_quantity > 30 "
+            "UNION ALL SELECT 'li_disc', 'MaxInclusiveConstraintComponent', "
+            "l_orderkey, l_linenumber, CAST(l_discount AS DOUBLE) "
+            "FROM lineitem WHERE l_discount > 0.08 "
+            "UNION ALL SELECT 'li_tax', 'MinInclusiveConstraintComponent', "
+            "l_orderkey, l_linenumber, CAST(l_tax AS DOUBLE) "
+            "FROM lineitem WHERE l_tax < 0.02) "
+            "SELECT shape_id, constraint_component, l_orderkey, "
+            "l_linenumber, val FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY shape_id, constraint_component ORDER BY "
+            "substr(md5('vex' || '|' || CAST(l_orderkey AS VARCHAR) || '|' "
+            "|| CAST(l_linenumber AS VARCHAR)), 1, 8), l_orderkey, "
+            "l_linenumber) AS rn FROM v) WHERE rn <= 5"
+        ),
         "q_schema_documents": (
             # DuckDB DESCRIBE -> Spark simpleString type names; the two
             # engines independently read the same parquet footers
