@@ -481,6 +481,37 @@ def q_stream_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator, driver-oracled: exact dedup
+    over an unbounded stream (applyInPandasWithState, one counter per
+    distinct content fingerprint in state). The documents table plus a
+    re-ingested slice (the duplicate source q_dedup_exact also uses)
+    replays as a ONE-file stream — a single AvailableNow micro-batch,
+    so within-batch key_cols ordering makes every repeat's n_prior
+    deterministic — and the emitted repeats must match the oracle's
+    ROW_NUMBER-over-fingerprint reconstruction row-for-row. State is
+    bounded by distinct fingerprints, not rows (watermark-free exact
+    dedup is the one stateful op whose state legitimately grows with
+    corpus cardinality; the batch incremental-index operator is the
+    at-rest complement)."""
+    import tempfile
+
+    from xpshacl_spark.streaming import streaming_dedup
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_in = d.unionByName(d.where(F.col("doc_id") < 50))
+    src = tempfile.mkdtemp(prefix="xp_stream_dsrc_")
+    # ONE file => one micro-batch => deterministic within-batch order
+    dup_in.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(dup_in.schema).parquet(src)
+    out = streaming_dedup(
+        stream, ["doc_id"], content_col="text", emit_duplicates=True
+    )
+    return _run_stream_to_memory(spark, out, "sdedup_").select(
+        "doc_id", "n_prior"
+    )
+
+
 DRIFT_BINS = 8
 DRIFT_LO, DRIFT_WIDTH = 0.0, 50.0
 DRIFT_BASELINE_CUT = 1704672000  # 2024-01-08 UTC: the reference week
@@ -1600,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_stream_dedup_docs": q_stream_dedup_docs,
         "q_violation_examples": q_violation_examples,
         "q_schema_documents": q_schema_documents,
         "q_quantiles_approx": q_quantiles_approx,
@@ -2784,6 +2816,14 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
         "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
+        "q_stream_dedup_docs": (
+            f"SELECT doc_id, CAST(rn - 1 AS BIGINT) AS n_prior FROM "
+            f"(SELECT doc_id, row_number() OVER (PARTITION BY md5({_NORM}) "
+            "ORDER BY doc_id) AS rn FROM "
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id, text FROM documents WHERE doc_id < 50)) "
+            "WHERE rn >= 2"
+        ),
         "q_violation_examples": (
             "WITH v AS ("
             "SELECT 'li_qty' AS shape_id, "
