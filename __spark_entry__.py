@@ -512,6 +512,43 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming ordering check, driver-oracled: the events
+    table with deliberate time regressions (every event_id % 97 == 0
+    shifted back 2 hours) replays as a ONE-file stream through
+    streaming_monotonic (applyInPandasWithState: per-user state = last
+    (order, ts) pair; in-batch lag over the order column). A single
+    micro-batch makes the emitted regressions exactly the batch lag's,
+    so the oracle is a plain LAG window — the streaming analog of
+    sh:lessThanOrEquals/Monotonic gets the same hash-level proof as the
+    batch one (q_monotonic_events)."""
+    import tempfile
+
+    from xpshacl_spark.streaming import streaming_monotonic
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.pmod("event_id", F.lit(97)) == 0,
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .cast("timestamp")  # testdata stores NTZ; session-tz timestamps
+        .alias("ts"),       # cast to epoch long for the oracle compare
+    )
+    src = tempfile.mkdtemp(prefix="xp_stream_msrc_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_monotonic(stream, ["user_id"], "event_id", ts_col="ts")
+    return _run_stream_to_memory(spark, out, "smono_").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_unix"),
+        F.col("prev_ts").cast("long").alias("prev_ts_unix"),
+    )
+
+
 DRIFT_BINS = 8
 DRIFT_LO, DRIFT_WIDTH = 0.0, 50.0
 DRIFT_BASELINE_CUT = 1704672000  # 2024-01-08 UTC: the reference week
@@ -1631,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_stream_monotonic_events": q_stream_monotonic_events,
         "q_stream_dedup_docs": q_stream_dedup_docs,
         "q_violation_examples": q_violation_examples,
         "q_schema_documents": q_schema_documents,
@@ -2816,6 +2854,18 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_multiprobe": _ivf_multiprobe_sql(),
         "q_ann_lsh_topk": _lsh_topk_sql(),
         "q_quantiles_lineitem": _quantiles_sql(),
+        "q_stream_monotonic_events": (
+            "WITH pe AS (SELECT user_id, event_id, CASE WHEN "
+            "event_id % 97 = 0 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts "
+            "FROM events), lagged AS (SELECT user_id, event_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS "
+            "prev_ts FROM pe) "
+            # floor, not CAST-rounding: Spark's timestamp->long truncates
+            "SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix, "
+            "CAST(floor(epoch(prev_ts)) AS BIGINT) AS prev_ts_unix "
+            "FROM lagged WHERE ts < prev_ts"
+        ),
         "q_stream_dedup_docs": (
             f"SELECT doc_id, CAST(rn - 1 AS BIGINT) AS n_prior FROM "
             f"(SELECT doc_id, row_number() OVER (PARTITION BY md5({_NORM}) "
