@@ -435,6 +435,20 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_one_file_stream(
+    spark: SparkSession, df: DataFrame, prefix: str
+) -> DataFrame:
+    """Materialize `df` as ONE parquet file in a fresh temp dir and open
+    it as a file-stream source. A single file means a single
+    AvailableNow micro-batch, which is what makes the stateful
+    operators' in-batch ordering deterministic for the oracles."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
 def _run_stream_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
     """Append-mode memory sink driven to completion with
     Trigger.AvailableNow; returns the sink table."""
@@ -494,16 +508,11 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is the one stateful op whose state legitimately grows with
     corpus cardinality; the batch incremental-index operator is the
     at-rest complement)."""
-    import tempfile
-
     from xpshacl_spark.streaming import streaming_dedup
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
     dup_in = d.unionByName(d.where(F.col("doc_id") < 50))
-    src = tempfile.mkdtemp(prefix="xp_stream_dsrc_")
-    # ONE file => one micro-batch => deterministic within-batch order
-    dup_in.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(dup_in.schema).parquet(src)
+    stream = _replay_one_file_stream(spark, dup_in, "xp_stream_dsrc_")
     out = streaming_dedup(
         stream, ["doc_id"], content_col="text", emit_duplicates=True
     )
@@ -516,14 +525,12 @@ def q_stream_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming ordering check, driver-oracled: the events
     table with deliberate time regressions (every event_id % 97 == 0
     shifted back 2 hours) replays as a ONE-file stream through
-    streaming_monotonic (applyInPandasWithState: per-user state = last
-    (order, ts) pair; in-batch lag over the order column). A single
+    streaming_monotonic (applyInPandasWithState: per-user state = the
+    last seen ts; in-batch lag over the order column). A single
     micro-batch makes the emitted regressions exactly the batch lag's,
     so the oracle is a plain LAG window — the streaming analog of
     sh:lessThanOrEquals/Monotonic gets the same hash-level proof as the
     batch one (q_monotonic_events)."""
-    import tempfile
-
     from xpshacl_spark.streaming import streaming_monotonic
 
     ev = _load(spark, sf_dir, "events").select(
@@ -537,9 +544,7 @@ def q_stream_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")  # testdata stores NTZ; session-tz timestamps
         .alias("ts"),       # cast to epoch long for the oracle compare
     )
-    src = tempfile.mkdtemp(prefix="xp_stream_msrc_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = _replay_one_file_stream(spark, ev, "xp_stream_msrc_")
     out = streaming_monotonic(stream, ["user_id"], "event_id", ts_col="ts")
     return _run_stream_to_memory(spark, out, "smono_").select(
         "user_id",
@@ -1723,11 +1728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_violation_rollup": q_violation_rollup,
         "q_vocabulary": q_vocabulary,
         "q_sample_documents": q_sample_documents,
+        # --- tail (position 51+): freshest driver proof (r03); first
+        # --- in line for the r05 head under the LRU policy above
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
         "q_topk_documents": q_topk_documents,
-        # --- tail (position 51+): freshest driver proof (r03); first
-        # --- in line for the r05 head under the LRU policy above
         "q_range_lineitem_qty": q_range_lineitem_qty,
         "q_range_customer_acctbal": q_range_customer_acctbal,
         "q_pattern_part_name": q_pattern_part_name,

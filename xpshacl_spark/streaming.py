@@ -193,11 +193,11 @@ def streaming_monotonic(
 
     Emits a row for every (group, order) position whose ts regresses
     below the immediately preceding position's ts. State per key is the
-    last (order, ts) pair, carried across micro-batches — within a
-    batch rows are sorted by order_col, and batches are assumed to
-    arrive in coarse order per key (true for append-style transcript
-    feeds; out-of-order arrivals compare against the latest seen
-    position, exactly like the batch lag over arrival order).
+    LAST SEEN ts (epoch microseconds), carried across micro-batches —
+    within a batch rows are sorted by order_col, and batches are
+    assumed to arrive in coarse order per key (true for append-style
+    transcript feeds; out-of-order arrivals compare against the latest
+    seen ts, exactly like the batch lag over arrival order).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
