@@ -417,3 +417,57 @@ def test_runner_orc_input(spark, tmp_path, capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc in (0, 3)
     assert "n_violations" in s
+
+
+def test_runner_expect_schema_gate(spark, tmp_path, capsys):
+    """--expect-schema: metadata-only gate BEFORE shapes — a conforming
+    spec proceeds to normal validation (exit 3 on violations), a
+    deviating spec prints schema_issues and exits 4 without running any
+    shape."""
+    from xpshacl_spark import runner
+
+    inp = str(tmp_path / "in.parquet")
+    transcripts(spark, n_convs=20).write.parquet(inp)
+    actual = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(inp).schema.fields
+    }
+
+    ok_spec = str(tmp_path / "ok.json")
+    with open(ok_spec, "w") as f:
+        json.dump(
+            [{"name": n, "dtype": t} for n, t in actual.items()], f
+        )
+    out = str(tmp_path / "out_ok")
+    rc = runner.main(
+        ["--input", inp, "--output", out, "--expect-schema", ok_spec]
+    )
+    capsys.readouterr()
+    assert rc == 3  # schema passed; shapes ran and found violations
+    assert os.path.isdir(f"{out}/violations")
+
+    bad_spec = str(tmp_path / "bad.json")
+    with open(bad_spec, "w") as f:
+        json.dump(
+            {
+                "columns": [
+                    {"name": "conv_id", "dtype": "int"},   # actually string
+                    {"name": "missing_col", "dtype": "string"},
+                ],
+                "allow_extra": True,
+            },
+            f,
+        )
+    out2 = str(tmp_path / "out_bad")
+    rc2 = runner.main(
+        ["--input", inp, "--output", out2, "--expect-schema", bad_spec]
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 4
+    assert summary["conforms"] is False
+    issues = {(i["column"], i["issue"]) for i in summary["schema_issues"]}
+    assert issues == {
+        ("conv_id", "type_mismatch"),
+        ("missing_col", "missing_column"),
+    }
+    assert not os.path.isdir(f"{out2}/violations")  # no shape ran

@@ -8,6 +8,10 @@ locally: `python -m xpshacl_spark.runner ...`):
                          canonical transcript suite
   --key-cols a,b         focus row key columns (default conv_id,turn_idx)
   --output DIR           checkpointed output dir (manifest + violations)
+  --expect-schema F.json physical-schema gate run BEFORE shapes
+                         (metadata-only): JSON list of {name, dtype,
+                         required?} or {columns: [...], allow_extra};
+                         deviations -> schema_issues summary, exit 4
   --explain              also produce the explanations relation
   --cache PATH           explanation cache parquet
   --languages en,de      explanation languages
@@ -42,6 +46,52 @@ import argparse
 import json
 import sys
 import time
+
+
+def _schema_gate(spark, df, args):
+    """--expect-schema: metadata-only physical-schema check before any
+    shape runs. Returns the deviation rows (possibly empty => passed =>
+    None) or None when the flag is absent."""
+    if not args.expect_schema:
+        return None
+    import json as _json
+
+    from xpshacl_spark.schema_check import ColumnSpec, schema_violations
+
+    with open(args.expect_schema, encoding="utf-8") as f:
+        spec = _json.load(f)
+    if isinstance(spec, dict):
+        cols, allow_extra = spec["columns"], bool(spec.get("allow_extra"))
+    else:
+        cols, allow_extra = spec, False
+    specs = [
+        ColumnSpec(c["name"], c["dtype"], bool(c.get("required", True)))
+        for c in cols
+    ]
+    issues = schema_violations(spark, df, specs, allow_extra=allow_extra).collect()
+    return issues if issues else None
+
+
+def _schema_summary(issues, t0) -> str:
+    import json as _json
+    import time as _time
+
+    return _json.dumps(
+        {
+            "conforms": False,
+            "schema_issues": [
+                {
+                    "column": r.column_name,
+                    "issue": r.issue,
+                    "expected": r.expected_type,
+                    "actual": r.actual_type,
+                }
+                for r in issues
+            ],
+            "wall_sec": round(_time.monotonic() - t0, 3),
+        },
+        sort_keys=True,
+    )
 
 
 def main(argv=None) -> int:
@@ -89,6 +139,13 @@ def main(argv=None) -> int:
         help="extra ontology .ttl supplying rdfs:subClassOf/"
         "subPropertyOf/domain triples for --inference rdfs/owlrl",
     )
+    ap.add_argument(
+        "--expect-schema",
+        help="JSON physical-schema spec — a list of {name, dtype, "
+        "required?} objects, or {columns: [...], allow_extra: bool}. "
+        "Checked BEFORE any shape runs (metadata-only, zero data "
+        "scanned); deviations print a schema_issues summary and exit 4",
+    )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
@@ -120,6 +177,8 @@ def main(argv=None) -> int:
                 ttl_kwargs["ontology_text"] = "\n".join(onto_parts)
     if args.inference != "none" and not ttl_kwargs:
         ap.error("--inference applies to Turtle shapes (--shapes *.ttl)")
+    if args.expect_schema and (args.replay or args.input_report):
+        ap.error("--expect-schema needs a data input (not replay/report mode)")
     shapes = (
         load_shapes(args.shapes, **ttl_kwargs)
         if args.shapes
@@ -155,6 +214,10 @@ def main(argv=None) -> int:
                 "are single-document graphs — run without --incremental"
             )
         df = spark.read.parquet(args.input)
+        issues = _schema_gate(spark, df, args)
+        if issues is not None:
+            print(_schema_summary(issues, t0))
+            return 4
         report = runner.run_incremental(
             args.input, shapes, key_cols=key_cols, force=args.force_incremental
         )
@@ -180,6 +243,10 @@ def main(argv=None) -> int:
             df = spark.read.orc(args.input)
         else:
             df = spark.read.parquet(args.input)
+        issues = _schema_gate(spark, df, args)
+        if issues is not None:
+            print(_schema_summary(issues, t0))
+            return 4
         report = runner.run(df, shapes, key_cols=key_cols)
 
     counts = report.counts().collect()
