@@ -470,4 +470,18 @@ def test_runner_expect_schema_gate(spark, tmp_path, capsys):
         ("conv_id", "type_mismatch"),
         ("missing_col", "missing_column"),
     }
-    assert not os.path.isdir(f"{out2}/violations")  # no shape ran
+    # gate-rejected run leaves NO output at all (not even the
+    # checkpoint manifest — CheckpointedRunner is constructed lazily)
+    assert not os.path.exists(out2)
+
+    # malformed spec: clean CLI error (argparse exit 2) before the gate
+    empty_spec = str(tmp_path / "empty.json")
+    with open(empty_spec, "w") as f:
+        json.dump({"columns": []}, f)
+    with pytest.raises(SystemExit) as exc:
+        runner.main(
+            ["--input", inp, "--output", out2, "--expect-schema", empty_spec]
+        )
+    capsys.readouterr()
+    assert exc.value.code == 2
+    assert not os.path.exists(out2)

@@ -48,50 +48,61 @@ import sys
 import time
 
 
-def _schema_gate(spark, df, args):
-    """--expect-schema: metadata-only physical-schema check before any
-    shape runs. Returns the deviation rows (possibly empty => passed =>
-    None) or None when the flag is absent."""
-    if not args.expect_schema:
-        return None
-    import json as _json
+def _parse_schema_spec(ap, path):
+    """Load + validate an --expect-schema JSON spec up front (before
+    Spark starts), so a missing/malformed spec fails as a clean CLI
+    error rather than a late traceback. Returns (specs, allow_extra)."""
+    from xpshacl_spark.schema_check import ColumnSpec
 
-    from xpshacl_spark.schema_check import ColumnSpec, schema_violations
+    try:
+        with open(path, encoding="utf-8") as f:
+            spec = json.load(f)
+        if isinstance(spec, dict):
+            cols, allow_extra = spec["columns"], bool(spec.get("allow_extra"))
+        else:
+            cols, allow_extra = spec, False
+        specs = [
+            ColumnSpec(c["name"], c["dtype"], bool(c.get("required", True)))
+            for c in cols
+        ]
+    except (OSError, ValueError, KeyError, TypeError) as exc:
+        ap.error(f"--expect-schema: cannot load spec {path!r}: {exc!r}")
+    if not specs:
+        ap.error(f"--expect-schema: spec {path!r} declares no columns")
+    return specs, allow_extra
 
-    with open(args.expect_schema, encoding="utf-8") as f:
-        spec = _json.load(f)
-    if isinstance(spec, dict):
-        cols, allow_extra = spec["columns"], bool(spec.get("allow_extra"))
-    else:
-        cols, allow_extra = spec, False
-    specs = [
-        ColumnSpec(c["name"], c["dtype"], bool(c.get("required", True)))
-        for c in cols
-    ]
-    issues = schema_violations(spark, df, specs, allow_extra=allow_extra).collect()
-    return issues if issues else None
 
+def _apply_schema_gate(spark, df, schema_gate, t0) -> int:
+    """Metadata-only physical-schema gate before any shape runs: 0 =
+    absent or passed, 4 = deviations (summary printed, caller exits).
+    Pure driver-side tuples — no Spark job on the fail-fast path."""
+    if schema_gate is None:
+        return 0
+    from xpshacl_spark.schema_check import schema_issue_rows
 
-def _schema_summary(issues, t0) -> str:
-    import json as _json
-    import time as _time
-
-    return _json.dumps(
-        {
-            "conforms": False,
-            "schema_issues": [
-                {
-                    "column": r.column_name,
-                    "issue": r.issue,
-                    "expected": r.expected_type,
-                    "actual": r.actual_type,
-                }
-                for r in issues
-            ],
-            "wall_sec": round(_time.monotonic() - t0, 3),
-        },
-        sort_keys=True,
+    specs, allow_extra = schema_gate
+    issues = schema_issue_rows(spark, df, specs, allow_extra=allow_extra)
+    if not issues:
+        return 0
+    print(
+        json.dumps(
+            {
+                "conforms": False,
+                "schema_issues": [
+                    {
+                        "column": name,
+                        "issue": issue,
+                        "expected": expected,
+                        "actual": actual,
+                    }
+                    for name, issue, expected, actual in issues
+                ],
+                "wall_sec": round(time.monotonic() - t0, 3),
+            },
+            sort_keys=True,
+        )
     )
+    return 4
 
 
 def main(argv=None) -> int:
@@ -149,6 +160,16 @@ def main(argv=None) -> int:
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
+    # fail fast, BEFORE the JVM starts: a bad --expect-schema spec is a
+    # clean CLI error, not a 30s-later traceback
+    schema_gate = None
+    if args.expect_schema:
+        if args.replay or args.input_report:
+            ap.error(
+                "--expect-schema needs a data input (not replay/report mode)"
+            )
+        schema_gate = _parse_schema_spec(ap, args.expect_schema)
+
     from xpshacl_spark.checkpoint import CheckpointedRunner
     from xpshacl_spark.compiler import ValidationEngine, ValidationReport
     from xpshacl_spark.datagen import roles_dim, tools_dim
@@ -177,8 +198,6 @@ def main(argv=None) -> int:
                 ttl_kwargs["ontology_text"] = "\n".join(onto_parts)
     if args.inference != "none" and not ttl_kwargs:
         ap.error("--inference applies to Turtle shapes (--shapes *.ttl)")
-    if args.expect_schema and (args.replay or args.input_report):
-        ap.error("--expect-schema needs a data input (not replay/report mode)")
     shapes = (
         load_shapes(args.shapes, **ttl_kwargs)
         if args.shapes
@@ -189,7 +208,9 @@ def main(argv=None) -> int:
     engine = ValidationEngine(
         spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
     )
-    runner = CheckpointedRunner(engine, args.output)
+    # constructed only after the schema gate passes: its __init__ makes
+    # <output>/manifest, and a gate-rejected run must leave no output
+    _runner = lambda: CheckpointedRunner(engine, args.output)  # noqa: E731
 
     if args.input_report:
         from xpshacl_spark.report_ttl import report_violations_df
@@ -214,11 +235,10 @@ def main(argv=None) -> int:
                 "are single-document graphs — run without --incremental"
             )
         df = spark.read.parquet(args.input)
-        issues = _schema_gate(spark, df, args)
-        if issues is not None:
-            print(_schema_summary(issues, t0))
-            return 4
-        report = runner.run_incremental(
+        rc = _apply_schema_gate(spark, df, schema_gate, t0)
+        if rc:
+            return rc
+        report = _runner().run_incremental(
             args.input, shapes, key_cols=key_cols, force=args.force_incremental
         )
     else:
@@ -243,11 +263,10 @@ def main(argv=None) -> int:
             df = spark.read.orc(args.input)
         else:
             df = spark.read.parquet(args.input)
-        issues = _schema_gate(spark, df, args)
-        if issues is not None:
-            print(_schema_summary(issues, t0))
-            return 4
-        report = runner.run(df, shapes, key_cols=key_cols)
+        rc = _apply_schema_gate(spark, df, schema_gate, t0)
+        if rc:
+            return rc
+        report = _runner().run(df, shapes, key_cols=key_cols)
 
     counts = report.counts().collect()
     summary = {

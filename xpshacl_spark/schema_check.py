@@ -54,16 +54,17 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
-def schema_violations(
+def schema_issue_rows(
     spark: SparkSession,
     df: DataFrame,
     specs: Sequence[ColumnSpec],
     allow_extra: bool = False,
-) -> DataFrame:
-    """(column_name, issue, expected_type, actual_type) — one row per
-    schema deviation, empty when the table conforms. Deterministic
-    order-independent content (the relation is tiny — bounded by the
-    column count — and built driver-side from metadata alone)."""
+) -> list:
+    """The deviation rows as plain driver-side tuples
+    (column_name, issue, expected_type, actual_type) — pure metadata,
+    NO Spark job (for fail-fast gates like the runner's
+    --expect-schema); :func:`schema_violations` wraps these in a
+    DataFrame for relational composition."""
     # honor the session's resolution rules: case-insensitive matching
     # under the spark.sql.caseSensitive=false default, exact otherwise
     case_sensitive = (
@@ -102,6 +103,20 @@ def schema_violations(
             if i not in matched_idx:
                 rows.append((fn, "unexpected_column", None, ft))
     rows.sort(key=lambda r: (r[0], r[1], r[3] or ""))
+    return rows
+
+
+def schema_violations(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: Sequence[ColumnSpec],
+    allow_extra: bool = False,
+) -> DataFrame:
+    """(column_name, issue, expected_type, actual_type) — one row per
+    schema deviation, empty when the table conforms. Deterministic
+    order-independent content (the relation is tiny — bounded by the
+    column count — and built driver-side from metadata alone)."""
+    rows = schema_issue_rows(spark, df, specs, allow_extra=allow_extra)
     return spark.createDataFrame(rows, _RESULT_SCHEMA)
 
 
