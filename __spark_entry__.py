@@ -1616,6 +1616,42 @@ def q_skew_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row text parity under stable key ordering — the input_hint's
+    named per-row invariant ("per-turn text equality under stable turn
+    ordering"): row identity is the KEY, never the position, so the
+    check is one full-outer join on the ordering key plus a null-safe
+    equality filter (operators.parity.text_parity_violations), not a
+    sort-and-zip. Side B is a deterministic perturbation of documents
+    (every 97th doc edited, every 101st dropped, every 103rd duplicated
+    under a disjoint key), so the expected mismatch set is exact and the
+    oracle recomputes the identical FULL OUTER JOIN in DuckDB. At scale
+    both sides hash-shuffle on the same key (co-partitioned storage
+    makes the join shuffle-free); an empty result IS the assertion."""
+    from xpshacl_spark.operators.parity import text_parity_violations
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        d.where(F.col("doc_id") % 101 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.col("text"), F.lit(" [EDITED]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 103 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return text_parity_violations(d, b, key_cols=["doc_id"])
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -1669,7 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~73 queries and a 50-slot window this guarantees no
+    # tail. With ~79 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
@@ -1680,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles_approx": q_quantiles_approx,
         "q_skew_join_orders": q_skew_join_orders,
         "q_drift_two_sample": q_drift_two_sample,
+        "q_text_parity": q_text_parity,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1727,9 +1764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
         "q_vocabulary": q_vocabulary,
-        "q_sample_documents": q_sample_documents,
         # --- tail (position 51+): freshest driver proof (r03); first
         # --- in line for the r05 head under the LRU policy above
+        "q_sample_documents": q_sample_documents,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
         "q_topk_documents": q_topk_documents,
@@ -2933,4 +2970,23 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_mktsegment"
         ),
         "q_topk_documents": _topk_sql(),
+        "q_text_parity": (
+            # identical deterministic perturbation + FULL OUTER JOIN;
+            # IS DISTINCT FROM == Spark's ~eqNullSafe
+            "WITH a AS (SELECT doc_id, text FROM documents), "
+            "b AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 "
+            "THEN text || ' [EDITED]' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 101 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000000 AS doc_id, text "
+            "FROM documents WHERE doc_id % 103 = 0) "
+            "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+            "a.text AS value_a, b.text AS value_b, "
+            "CASE WHEN a.doc_id IS NULL THEN 'missing_in_a' "
+            "WHEN b.doc_id IS NULL THEN 'missing_in_b' "
+            "ELSE 'text_mismatch' END AS mismatch_kind "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
+            "WHERE a.doc_id IS NULL OR b.doc_id IS NULL "
+            "OR a.text IS DISTINCT FROM b.text"
+        ),
     }

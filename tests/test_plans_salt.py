@@ -426,3 +426,28 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_text_parity_is_single_key_join_pruned_scan(spark, tmp_path):
+    """q_text_parity's shape: the parity check must be ONE full-outer
+    equi-join on the ordering key over key+text-pruned scans — no
+    cartesian/broadcast-nested-loop, no global sort-and-zip (zipWithIndex
+    would serialize the table through one ordering)."""
+    from xpshacl_spark.operators.parity import text_parity_violations
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),  # prunable: parity never reads it
+    ).write.parquet(p)
+    a = spark.read.parquet(p)
+    b = a.where(F.col("doc_id") % 7 != 0)
+    out = text_parity_violations(a, b, key_cols=["doc_id"])
+    assert out.count() == 72  # ceil(500/7) keys missing_in_b
+    plan = _plan(out)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning reaches the scan: lang is never read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
