@@ -2972,21 +2972,23 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_documents": _topk_sql(),
         "q_text_parity": (
             # identical deterministic perturbation + FULL OUTER JOIN;
-            # IS DISTINCT FROM == Spark's ~eqNullSafe
-            "WITH a AS (SELECT doc_id, text FROM documents), "
+            # IS DISTINCT FROM == Spark's ~eqNullSafe. Classification
+            # uses presence FLAGS (pa/pb), not key-NULL tests, matching
+            # the operator's _pa/_pb semantics for NULL-key rows
+            "WITH a AS (SELECT doc_id, text, TRUE AS pa FROM documents), "
             "b AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 "
-            "THEN text || ' [EDITED]' ELSE text END AS text "
+            "THEN text || ' [EDITED]' ELSE text END AS text, TRUE AS pb "
             "FROM documents WHERE doc_id % 101 <> 0 "
             "UNION ALL "
-            "SELECT doc_id + 1000000000 AS doc_id, text "
+            "SELECT doc_id + 1000000000 AS doc_id, text, TRUE AS pb "
             "FROM documents WHERE doc_id % 103 = 0) "
             "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
             "a.text AS value_a, b.text AS value_b, "
-            "CASE WHEN a.doc_id IS NULL THEN 'missing_in_a' "
-            "WHEN b.doc_id IS NULL THEN 'missing_in_b' "
+            "CASE WHEN pa IS NULL THEN 'missing_in_a' "
+            "WHEN pb IS NULL THEN 'missing_in_b' "
             "ELSE 'text_mismatch' END AS mismatch_kind "
             "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
-            "WHERE a.doc_id IS NULL OR b.doc_id IS NULL "
+            "WHERE pa IS NULL OR pb IS NULL "
             "OR a.text IS DISTINCT FROM b.text"
         ),
     }

@@ -474,14 +474,22 @@ def test_runner_expect_schema_gate(spark, tmp_path, capsys):
     # checkpoint manifest — CheckpointedRunner is constructed lazily)
     assert not os.path.exists(out2)
 
-    # malformed spec: clean CLI error (argparse exit 2) before the gate
-    empty_spec = str(tmp_path / "empty.json")
-    with open(empty_spec, "w") as f:
-        json.dump({"columns": []}, f)
-    with pytest.raises(SystemExit) as exc:
-        runner.main(
-            ["--input", inp, "--output", out2, "--expect-schema", empty_spec]
-        )
-    capsys.readouterr()
-    assert exc.value.code == 2
-    assert not os.path.exists(out2)
+    # malformed specs: clean CLI error (argparse exit 2) before the gate
+    # — empty, case-insensitive duplicate, non-boolean required
+    for bad in (
+        {"columns": []},
+        [{"name": "conv_id", "dtype": "string"},
+         {"name": "CONV_ID", "dtype": "string"}],
+        [{"name": "conv_id", "dtype": "string", "required": "false"}],
+    ):
+        bad_path = str(tmp_path / "malformed.json")
+        with open(bad_path, "w") as f:
+            json.dump(bad, f)
+        with pytest.raises(SystemExit) as exc:
+            runner.main(
+                ["--input", inp, "--output", out2,
+                 "--expect-schema", bad_path]
+            )
+        capsys.readouterr()
+        assert exc.value.code == 2
+        assert not os.path.exists(out2)

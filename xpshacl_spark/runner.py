@@ -61,10 +61,23 @@ def _parse_schema_spec(ap, path):
             cols, allow_extra = spec["columns"], bool(spec.get("allow_extra"))
         else:
             cols, allow_extra = spec, False
-        specs = [
-            ColumnSpec(c["name"], c["dtype"], bool(c.get("required", True)))
-            for c in cols
-        ]
+        specs = []
+        seen = set()
+        for c in cols:
+            name, dtype = c["name"], c["dtype"]
+            required = c.get("required", True)
+            if not isinstance(name, str) or not isinstance(dtype, str):
+                raise ValueError(f"name/dtype must be strings: {c!r}")
+            if not isinstance(required, bool):
+                # bool("false") is True — reject rather than misparse
+                raise ValueError(f"required must be JSON true/false: {c!r}")
+            # duplicate detection matches the gate's default resolution
+            # (spark.sql.caseSensitive=false); schema_issue_rows still
+            # raises as a backstop for case-sensitive sessions
+            if name.lower() in seen:
+                raise ValueError(f"duplicate column spec: {name!r}")
+            seen.add(name.lower())
+            specs.append(ColumnSpec(name, dtype, required))
     except (OSError, ValueError, KeyError, TypeError) as exc:
         ap.error(f"--expect-schema: cannot load spec {path!r}: {exc!r}")
     if not specs:
