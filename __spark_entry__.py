@@ -1652,6 +1652,55 @@ def q_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_parity_violations(d, b, key_cols=["doc_id"])
 
 
+def q_report_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run violation-report diff (report_diff.violation_diff):
+    run N-1 validated {qty<=30, disc<=0.08}; run N tightened qty to 28
+    and swapped disc for a tax floor. The delta relation carries the
+    regression story: 'new' = qty in (28,30] plus every tax violation,
+    'resolved' = every disc violation. One full-outer equi-join on the
+    violation identity (shape, component, focus key) between two
+    violation relations — never touches the fact table twice beyond the
+    two validation scans themselves. Oracle rebuilds both violation
+    sets from the range predicates and takes the identical one-sided
+    FULL OUTER JOIN."""
+    from xpshacl_spark.report_diff import violation_diff
+
+    li = _load(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    engine = ValidationEngine(spark)
+    prev = engine.validate(
+        li,
+        [
+            Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
+            Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
+        ],
+        key_cols=keys,
+    ).violations
+    cur = engine.validate(
+        li,
+        [
+            Shape("li_qty", (MaxInclusive("l_quantity", 28),)),
+            Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
+        ],
+        key_cols=keys,
+    ).violations
+    return violation_diff(cur, prev, key_cols=keys)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-candidate counting
+    (text.bpe_merge_candidates): top-50 adjacent character pairs within
+    normalized tokens — the inner loop of tokenizer training, run as
+    one JVM-side explode + grouped count whose map-side combine bounds
+    the shuffle at |alphabet|^2 rows per partition at any corpus size.
+    Deterministic total order (n desc, pair asc) makes the top-k set
+    hash-stable."""
+    from xpshacl_spark.operators.text import bpe_merge_candidates
+
+    d = _load(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, "text", k=50)
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -1717,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_join_orders": q_skew_join_orders,
         "q_drift_two_sample": q_drift_two_sample,
         "q_text_parity": q_text_parity,
+        "q_report_diff": q_report_diff,
+        "q_bpe_pairs": q_bpe_pairs,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1762,10 +1813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_path_value_orders": q_path_value_orders,
         "q_asof_events": q_asof_events,
-        "q_violation_rollup": q_violation_rollup,
-        "q_vocabulary": q_vocabulary,
         # --- tail (position 51+): freshest driver proof (r03); first
         # --- in line for the r05 head under the LRU policy above
+        "q_violation_rollup": q_violation_rollup,
+        "q_vocabulary": q_vocabulary,
         "q_sample_documents": q_sample_documents,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_quantiles_lineitem": q_quantiles_lineitem,
@@ -2990,5 +3041,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
             "WHERE pa IS NULL OR pb IS NULL "
             "OR a.text IS DISTINCT FROM b.text"
+        ),
+        "q_report_diff": (
+            # both violation sets from the same range predicates the
+            # engine compiles (nulls pass, q_range_* convention), then
+            # the identical one-sided FULL OUTER JOIN on the identity.
+            # DISTINCT per branch: the diff is over the violation SET
+            # (the generated lineitem has duplicate focus keys)
+            "WITH prev AS ("
+            "SELECT DISTINCT 'li_qty' AS shape_id, "
+            "'MaxInclusiveConstraintComponent' AS constraint_component, "
+            "l_orderkey, l_linenumber, TRUE AS pp "
+            "FROM lineitem WHERE l_quantity > 30 "
+            "UNION ALL "
+            "SELECT DISTINCT 'li_disc', 'MaxInclusiveConstraintComponent', "
+            "l_orderkey, l_linenumber, TRUE FROM lineitem "
+            "WHERE l_discount > 0.08), "
+            "cur AS ("
+            "SELECT DISTINCT 'li_qty' AS shape_id, "
+            "'MaxInclusiveConstraintComponent' AS constraint_component, "
+            "l_orderkey, l_linenumber, TRUE AS pc "
+            "FROM lineitem WHERE l_quantity > 28 "
+            "UNION ALL "
+            "SELECT DISTINCT 'li_tax', 'MinInclusiveConstraintComponent', "
+            "l_orderkey, l_linenumber, TRUE FROM lineitem "
+            "WHERE l_tax < 0.02) "
+            "SELECT COALESCE(c.shape_id, p.shape_id) AS shape_id, "
+            "COALESCE(c.constraint_component, p.constraint_component) "
+            "AS constraint_component, "
+            "COALESCE(c.l_orderkey, p.l_orderkey) AS l_orderkey, "
+            "COALESCE(c.l_linenumber, p.l_linenumber) AS l_linenumber, "
+            "CASE WHEN pp IS NULL THEN 'new' ELSE 'resolved' END AS status "
+            "FROM cur c FULL OUTER JOIN prev p "
+            "ON c.shape_id = p.shape_id "
+            "AND c.constraint_component = p.constraint_component "
+            "AND c.l_orderkey = p.l_orderkey "
+            "AND c.l_linenumber = p.l_linenumber "
+            "WHERE pc IS NULL OR pp IS NULL"
+        ),
+        "q_bpe_pairs": (
+            f"WITH toks AS (SELECT unnest(string_split({_NORM}, ' ')) "
+            "AS tok FROM documents), "
+            "t2 AS (SELECT tok FROM toks WHERE length(tok) >= 2), "
+            "pairs AS (SELECT substr(tok, CAST(r.i AS INT), 2) AS pair "
+            "FROM t2, unnest(range(1, length(tok))) AS r(i)) "
+            "SELECT pair, count(*) AS n_pairs FROM pairs GROUP BY pair "
+            "ORDER BY n_pairs DESC, pair ASC LIMIT 50"
         ),
     }

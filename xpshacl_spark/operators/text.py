@@ -398,3 +398,36 @@ def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFram
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("token", "n", "rank")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """One iteration of BPE tokenizer training at corpus scale: the k
+    most frequent ADJACENT CHARACTER PAIRS within normalized tokens,
+    as (pair, n_pairs), ties broken by pair ascending — the pair a
+    trainer would merge next. (Full BPE re-runs this after each merge
+    over the re-segmented corpus; each iteration is this same count.)
+
+    Plan: explode tokens -> explode in-token bigrams via a
+    transform(sequence(...)) higher-order function (JVM-side, no
+    Python) -> ONE grouped count whose map-side combine collapses the
+    pair stream to at most |alphabet|^2 rows per partition before the
+    shuffle (normalized text means <= 36^2 distinct pairs — the
+    shuffle is constant-size regardless of corpus size) ->
+    orderBy+limit, planned as TakeOrderedAndProject."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return counted.orderBy(F.col("n_pairs").desc(), F.col("pair").asc()).limit(
+        k
+    )
