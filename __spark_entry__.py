@@ -1701,6 +1701,35 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(d, "text", k=50)
 
 
+_SUGGEST_COLS = (
+    # (col, kind) — kind drives which rules the oracle mirrors
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def q_suggest_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (suggest.suggest_constraints): profile the
+    orders table in ONE fused multi-distinct aggregate (plus one capped
+    distinct-values pass for the low-cardinality InSet candidates) and
+    emit the proposed constraints as a relation — the Deequ-style
+    authoring loop whose output `suggested_shapes` feeds straight back
+    into ValidationEngine.validate. Oracle recomputes every rule gate
+    (zero nulls -> NotNull, distinct==nonnull -> Unique, numeric ->
+    Min/MaxInclusive, string -> Min/MaxLength, distinct<=10 -> InSet
+    with the sorted value list) from one DuckDB stats CTE."""
+    from xpshacl_spark.suggest import suggest_constraints, suggestions_relation
+
+    o = _load(spark, sf_dir, "orders")
+    sugg = suggest_constraints(
+        o, [c for c, _ in _SUGGEST_COLS], inset_max=10
+    )
+    return suggestions_relation(spark, sugg)
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -1768,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_parity": q_text_parity,
         "q_report_diff": q_report_diff,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_suggest_shapes": q_suggest_shapes,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1812,9 +1842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift": q_stream_drift,
         "q_dedup_incremental": q_dedup_incremental,
         "q_path_value_orders": q_path_value_orders,
-        "q_asof_events": q_asof_events,
         # --- tail (position 51+): freshest driver proof (r03); first
         # --- in line for the r05 head under the LRU policy above
+        "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
         "q_vocabulary": q_vocabulary,
         "q_sample_documents": q_sample_documents,
@@ -2045,6 +2075,50 @@ def _drift_sql() -> str:
         f"SELECT 'psi' AS stat, '{expr}' AS property_path, "
         f"round({psi}, 6) AS stat_value FROM c "
         f"UNION ALL SELECT 'ks', '{expr}', round({ks}, 6) FROM c"
+    )
+
+
+def _suggest_sql() -> str:
+    """DuckDB mirror of q_suggest_shapes: one stats CTE (the same fused
+    multi-distinct aggregate), then one conditionally-gated UNION ALL
+    branch per suggestion rule per column — a branch contributes a row
+    iff its rule's evidence gate holds, exactly suggest_constraints'
+    logic. Min/max are CAST to DOUBLE like SUGGESTION_SCHEMA."""
+    aggs, branches = ["count(*) AS n"], []
+    for i, (c, kind) in enumerate(_SUGGEST_COLS):
+        v = c if kind == "num" else f"length({c})"
+        aggs += [
+            f"count({c}) AS nn{i}",
+            f"count(DISTINCT {c}) AS d{i}",
+            f"CAST(min({v}) AS DOUBLE) AS mn{i}",
+            f"CAST(max({v}) AS DOUBLE) AS mx{i}",
+        ]
+        nul = "CAST(NULL AS DOUBLE) AS param_num, CAST(NULL AS VARCHAR) AS param_str"
+        mincomp, maxcomp = (
+            ("MinInclusiveConstraintComponent", "MaxInclusiveConstraintComponent")
+            if kind == "num"
+            else ("MinLengthConstraintComponent", "MaxLengthConstraintComponent")
+        )
+        branches += [
+            f"SELECT '{c}' AS col_name, 'MinCountConstraintComponent' AS "
+            f"constraint_component, {nul} FROM s WHERE n > 0 AND nn{i} = n",
+            f"SELECT '{c}', 'UniquenessConstraintComponent', NULL, NULL "
+            f"FROM s WHERE nn{i} > 0 AND d{i} = nn{i}",
+            f"SELECT '{c}', '{mincomp}', mn{i}, NULL FROM s "
+            f"WHERE mn{i} IS NOT NULL",
+            f"SELECT '{c}', '{maxcomp}', mx{i}, NULL FROM s "
+            f"WHERE mx{i} IS NOT NULL",
+        ]
+        if kind == "str":
+            branches.append(
+                f"SELECT '{c}', 'InConstraintComponent', NULL, "
+                f"(SELECT string_agg(v, ',' ORDER BY v) FROM "
+                f"(SELECT DISTINCT {c} AS v FROM orders WHERE {c} IS NOT NULL)) "
+                f"FROM s WHERE d{i} BETWEEN 1 AND 10"
+            )
+    return (
+        f"WITH s AS (SELECT {', '.join(aggs)} FROM orders) "
+        + " UNION ALL ".join(branches)
     )
 
 
@@ -3088,4 +3162,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pair, count(*) AS n_pairs FROM pairs GROUP BY pair "
             "ORDER BY n_pairs DESC, pair ASC LIMIT 50"
         ),
+        "q_suggest_shapes": _suggest_sql(),
     }
