@@ -1730,6 +1730,37 @@ def q_suggest_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggestions_relation(spark, sugg)
 
 
+def q_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run metric anomaly detection (operators.anomaly): the
+    history is per-(event_type, day) counts — the shape a nightly
+    validation pipeline's manifest metrics take — with a deterministic
+    planted 3x spike on day 15 (the test seam, q_text_parity
+    convention); metric_anomalies flags rows deviating >50% from their
+    trailing-7 mean after a 3-point warmup. Count-valued metrics make
+    every double exact (integer sums, one division), so the oracle
+    mirrors the raw doubles with no rounding. Plan: one grouped count
+    then ONE metric-partitioned window over the metadata-sized history."""
+    from xpshacl_spark.operators.anomaly import metric_anomalies
+
+    ev = _load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("metric"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hist = daily.select(
+        "metric",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("run_order"),
+        (
+            F.col("n")
+            * F.when(F.dayofmonth("day") == 15, F.lit(3)).otherwise(F.lit(1))
+        )
+        .cast("double")
+        .alias("value"),
+    )
+    return metric_anomalies(hist, window=7, threshold=0.5, min_history=3)
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -1798,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_report_diff": q_report_diff,
         "q_bpe_pairs": q_bpe_pairs,
         "q_suggest_shapes": q_suggest_shapes,
+        "q_metric_anomalies": q_metric_anomalies,
         # -- (b) LRU: last driver-green in r01/r02, absent from r03
         "q_embed_near_dup": q_embed_near_dup,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1841,9 +1873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_mix": q_token_budget_mix,
         "q_stream_drift": q_stream_drift,
         "q_dedup_incremental": q_dedup_incremental,
-        "q_path_value_orders": q_path_value_orders,
         # --- tail (position 51+): freshest driver proof (r03); first
         # --- in line for the r05 head under the LRU policy above
+        "q_path_value_orders": q_path_value_orders,
         "q_asof_events": q_asof_events,
         "q_violation_rollup": q_violation_rollup,
         "q_vocabulary": q_vocabulary,
@@ -3163,4 +3195,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_pairs DESC, pair ASC LIMIT 50"
         ),
         "q_suggest_shapes": _suggest_sql(),
+        "q_metric_anomalies": (
+            # identical expression sequence -> bit-identical doubles
+            # (integer-valued counts; exact sums; one division each)
+            "WITH daily AS (SELECT event_type AS metric, "
+            "CAST(ts AS DATE) AS day, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "hist AS (SELECT metric, "
+            "CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) "
+            "AS run_order, "
+            "CAST(n * (CASE WHEN date_part('day', day) = 15 THEN 3 ELSE 1 "
+            "END) AS DOUBLE) AS value FROM daily), "
+            "scored AS (SELECT metric, run_order, value, "
+            "avg(value) OVER w AS baseline_mean, "
+            "count(value) OVER w AS n_history FROM hist "
+            "WINDOW w AS (PARTITION BY metric ORDER BY run_order "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+            "SELECT metric, run_order, value, baseline_mean, "
+            "(value - baseline_mean) / baseline_mean AS deviation_ratio, "
+            "n_history FROM scored "
+            "WHERE n_history >= 3 AND baseline_mean > 0 "
+            "AND abs(value - baseline_mean) > 0.5 * baseline_mean"
+        ),
     }
