@@ -23,6 +23,7 @@ from xpshacl_spark.shapes import (
     ArrayMinCount,
     ArrayUnique,
     Closed,
+    DenseIndex,
     Expr,
     ForeignKey,
     GroupMinCount,
@@ -39,6 +40,7 @@ from xpshacl_spark.shapes import (
     QualifiedMaxCount,
     QualifiedMinCount,
     Shape,
+    Transition,
     Unique,
     Xone,
 )
@@ -167,6 +169,57 @@ def q_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape = Shape("events_order_shape", (Monotonic(("user_id",), "event_id", "value"),))
     v = _one_shape_violations(spark, e, shape, ["event_id", "user_id"])
     return v.select("event_id", "user_id", "violation_type")
+
+
+def q_transition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-grammar constraint (Transition — the role-alternation
+    analog for multi-turn transcripts, which the reference's SHACL
+    vocabulary cannot express): per user in event_id order, a
+    'purchase' may only follow a 'click' or 'view', and every user's
+    FIRST event must be a 'signup'. Compiled into the same shared lag()
+    window as Monotonic — one shuffle+sort per (partition, order) spec
+    regardless of how many sequence checks share it."""
+    e = _load(spark, sf_dir, "events")
+    shape = Shape(
+        "events_grammar_shape",
+        (
+            Transition(
+                ("user_id",),
+                "event_id",
+                "event_type",
+                allowed_prev=(("purchase", ("click", "view")),),
+                initial=("signup",),
+            ),
+        ),
+    )
+    v = _one_shape_violations(spark, e, shape, ["event_id", "user_id"])
+    return v.select("event_id", "user_id", "value")
+
+
+def q_dense_turns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-index constraint (DenseIndex — the input_hint's turn_idx
+    contract: per-conversation turn indices must enumerate 0,1,2,...).
+    Builds a transcript-shaped relation from events (turn_idx =
+    row_number per user), deletes every 37th event to plant gaps, and
+    validates density; violations carry the expected index in context.
+    The check itself is one lag() in the shared ordered window — at
+    100 TB it rides the same single shuffle as every other sequence
+    check on (user, order)."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    turns = e.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+    )
+    kept = turns.where(F.col("event_id") % 37 != 0)
+    shape = Shape(
+        "turns_dense_shape", (DenseIndex(("user_id",), "turn_idx", "turn_idx"),)
+    )
+    v = _one_shape_violations(spark, kept, shape, ["event_id", "user_id"])
+    return v.select("event_id", "user_id", "value")
 
 
 def q_logical_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_transition_events": q_transition_events,
+        "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
         "q_stream_dedup_docs": q_stream_dedup_docs,
         "q_violation_examples": q_violation_examples,
@@ -2527,6 +2582,25 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_id, user_id, value, lag(value) OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
             "WHERE p IS NOT NULL AND value IS NOT NULL AND value < p"
+        ),
+        "q_transition_events": (
+            "SELECT event_id, user_id, event_type AS value FROM "
+            "(SELECT event_id, user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
+            "WHERE (p IS NOT NULL AND event_type = 'purchase' "
+            "AND p NOT IN ('click', 'view')) "
+            "OR (p IS NULL AND event_type <> 'signup')"
+        ),
+        "q_dense_turns_events": (
+            "SELECT event_id, user_id, CAST(turn_idx AS VARCHAR) AS value FROM "
+            "(SELECT event_id, user_id, turn_idx, lag(turn_idx) OVER "
+            "(PARTITION BY user_id ORDER BY turn_idx) AS p FROM "
+            "(SELECT event_id, user_id, turn_idx FROM "
+            "(SELECT event_id, user_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx "
+            "FROM events) WHERE event_id % 37 <> 0)) "
+            "WHERE (p IS NULL AND turn_idx <> 0) "
+            "OR (p IS NOT NULL AND turn_idx <> p + 1)"
         ),
         "q_logical_orders": (
             "SELECT o_orderkey, 'OrConstraintComponent' AS constraint_component "

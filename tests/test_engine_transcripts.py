@@ -121,6 +121,37 @@ def test_monotonic_violations(tdata, counts):
     )
 
 
+def test_dense_index_violations(tdata, counts):
+    # density: wrong first index, gaps (negative-corrupted rows vacate
+    # their slot), and repeats (injected duplicate turns) all violate
+    exp = _duck(
+        tdata,
+        "SELECT count(*) FROM (SELECT turn_idx, lag(turn_idx) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS p FROM t) "
+        "WHERE (p IS NULL AND turn_idx <> 0) "
+        "OR (p IS NOT NULL AND turn_idx <> p + 1)",
+    )
+    assert exp > 0
+    assert counts[("TurnSeqShape", "DenseIndexConstraintComponent")] == exp
+
+
+def test_transition_violations(tdata, counts):
+    # role grammar: assistant may only follow user/system/tool (the
+    # uppercase-corrupted roles break this), and the opening turn must
+    # be a lowercase non-assistant role
+    exp = _duck(
+        tdata,
+        "SELECT count(*) FROM (SELECT role, lag(role) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS p FROM t) "
+        "WHERE (p IS NOT NULL AND role = 'assistant' "
+        "AND p NOT IN ('user', 'system', 'tool')) "
+        "OR (p IS NULL AND role IS NOT NULL "
+        "AND role NOT IN ('user', 'system', 'tool'))",
+    )
+    assert exp > 0
+    assert counts[("TurnSeqShape", "TransitionConstraintComponent")] == exp
+
+
 def test_cardinality_violations(tdata, counts):
     exp = _duck(
         tdata,

@@ -451,3 +451,36 @@ def test_text_parity_is_single_key_join_pruned_scan(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     # column pruning reaches the scan: lang is never read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_sequence_checks_share_one_window(spark):
+    """Monotonic + DenseIndex + Transition on the same (group, order)
+    spec must fuse into ONE Window operator over ONE Exchange — the
+    at-scale contract that adding sequence checks to a suite that
+    already orders by (conv_id, turn_idx) costs zero extra shuffles."""
+    from xpshacl_spark.shapes import DenseIndex, Monotonic, Transition
+
+    df = transcripts(spark, n_convs=60)
+    shapes = [
+        Shape("ord", (Monotonic(("conv_id",), "turn_idx", "ts"),)),
+        Shape(
+            "seq",
+            (
+                DenseIndex(("conv_id",), "turn_idx", "turn_idx"),
+                Transition(
+                    ("conv_id",),
+                    "turn_idx",
+                    "role",
+                    allowed_prev=(("assistant", ("user", "system", "tool")),),
+                    initial=("user", "system", "tool"),
+                ),
+            ),
+        ),
+    ]
+    rep = ValidationEngine(spark).validate(
+        df, shapes, key_cols=["conv_id", "turn_idx"]
+    )
+    assert rep.metrics["n_plan_parts"] == 1  # one shared window relation
+    plan = _plan(rep.violations)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1

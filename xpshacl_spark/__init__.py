@@ -52,6 +52,8 @@ from xpshacl_spark.shapes import (
     GroupMaxCount,
     Unique,
     Monotonic,
+    DenseIndex,
+    Transition,
     ForeignKey,
     SetEquals,
     SetDisjoint,
@@ -107,6 +109,8 @@ __all__ = [
     "GroupMaxCount",
     "Unique",
     "Monotonic",
+    "DenseIndex",
+    "Transition",
     "ForeignKey",
     "SetEquals",
     "SetDisjoint",

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from xpshacl_spark.model import VIOLATION_COLUMNS, ViolationType
 from xpshacl_spark.shapes import (
+    DenseIndex,
     Drift,
     ForeignKey,
     GroupMaxCount,
@@ -47,6 +48,7 @@ from xpshacl_spark.shapes import (
     SetEquals,
     Shape,
     SqlCheck,
+    Transition,
     Unique,
 )
 
@@ -445,7 +447,7 @@ class ValidationEngine:
         by_spec: dict[tuple, list] = {}
         for shape in shapes:
             for c in shape.group_constraints():
-                if isinstance(c, Monotonic):
+                if isinstance(c, (Monotonic, DenseIndex, Transition)):
                     by_spec.setdefault((tuple(c.group_by), c.order_by), []).append(
                         (shape, c)
                     )
@@ -462,22 +464,59 @@ class ValidationEngine:
             for i, (shape, c) in enumerate(pairs):
                 prev = F.col(lag_cols[i])
                 cur = F.col(c.column)
-                if c.strict:
-                    bad = prev >= cur
-                else:
-                    bad = prev > cur
-                violated = (
-                    _target_col(shape)
-                    & prev.isNotNull()
-                    & cur.isNotNull()
-                    & bad
-                )
-                ctx = F.create_map(
-                    F.lit("previous"),
-                    prev.cast("string"),
-                    F.lit("orderBy"),
-                    F.lit(order_by),
-                )
+                if isinstance(c, DenseIndex):
+                    # gaps, repeats, NULLs, wrong first value all violate;
+                    # eqNullSafe makes a NULL index a violation (density
+                    # is a presence claim, unlike value tests).
+                    expected = F.when(prev.isNull(), F.lit(c.start)).otherwise(
+                        prev + F.lit(c.step)
+                    )
+                    violated = _target_col(shape) & ~cur.eqNullSafe(expected)
+                    ctx = F.create_map(
+                        F.lit("previous"),
+                        prev.cast("string"),
+                        F.lit("expected"),
+                        expected.cast("string"),
+                        F.lit("orderBy"),
+                        F.lit(order_by),
+                    )
+                elif isinstance(c, Transition):
+                    bad_pair = F.lit(False)
+                    for cur_val, prevs in c.allowed_prev:
+                        bad_pair = bad_pair | (
+                            (cur == F.lit(cur_val)) & ~prev.isin(*prevs)
+                        )
+                    violated = F.coalesce(
+                        prev.isNotNull() & bad_pair, F.lit(False)
+                    )
+                    if c.initial is not None:
+                        violated = violated | F.coalesce(
+                            prev.isNull() & ~cur.isin(*c.initial), F.lit(False)
+                        )
+                    violated = _target_col(shape) & violated
+                    ctx = F.create_map(
+                        F.lit("previous"),
+                        prev.cast("string"),
+                        F.lit("orderBy"),
+                        F.lit(order_by),
+                    )
+                else:  # Monotonic
+                    if c.strict:
+                        bad = prev >= cur
+                    else:
+                        bad = prev > cur
+                    violated = (
+                        _target_col(shape)
+                        & prev.isNotNull()
+                        & cur.isNotNull()
+                        & bad
+                    )
+                    ctx = F.create_map(
+                        F.lit("previous"),
+                        prev.cast("string"),
+                        F.lit("orderBy"),
+                        F.lit(order_by),
+                    )
                 structs.append(
                     F.when(violated, _violation_struct(shape, c, cur, ctx))
                 )

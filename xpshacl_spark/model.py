@@ -33,6 +33,7 @@ class ViolationType:
     REFERENTIAL = "referential"
     DISTRIBUTION = "distribution"
     SCHEMA = "schema"
+    SEQUENCE = "sequence"
 
     ALL = (
         CARDINALITY,
@@ -46,6 +47,7 @@ class ViolationType:
         REFERENTIAL,
         DISTRIBUTION,
         SCHEMA,
+        SEQUENCE,
     )
 
     #: reference-parity mapping used when reproducing the md5 signature
@@ -63,6 +65,7 @@ class ViolationType:
         REFERENTIAL: "ViolationType.REFERENTIAL",
         DISTRIBUTION: "ViolationType.DISTRIBUTION",
         SCHEMA: "ViolationType.SCHEMA",
+        SEQUENCE: "ViolationType.SEQUENCE",
     }
 
 
@@ -110,6 +113,8 @@ COMPONENT_VIOLATION_TYPE = {
     "ReferentialConstraintComponent": ViolationType.REFERENTIAL,
     "DistributionConstraintComponent": ViolationType.DISTRIBUTION,
     "SchemaConstraintComponent": ViolationType.SCHEMA,
+    "DenseIndexConstraintComponent": ViolationType.SEQUENCE,
+    "TransitionConstraintComponent": ViolationType.SEQUENCE,
 }
 
 

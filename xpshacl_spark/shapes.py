@@ -928,6 +928,77 @@ class Monotonic(Constraint):
 
 
 @dataclass(frozen=True)
+class DenseIndex(Constraint):
+    """Sequence check for transcript turn indexing (no reference
+    counterpart — the north rule's transcript data model makes
+    `turn_idx` a dense per-conversation enumeration, and the reference's
+    SHACL vocabulary cannot state that): `column` must enumerate each
+    `group_by` group as start, start+step, ... in `order_by` order.
+    Gaps, repeats, NULLs, and a wrong first value all violate; the
+    context map carries the expected value. Compiled into the SAME
+    shared lag() window as Monotonic/Transition — adding this check to
+    a shape that already orders by the same (group, order) spec costs
+    zero extra shuffles."""
+
+    group_by: tuple
+    order_by: str
+    column: str
+    start: int = 0
+    step: int = 1
+
+    def component(self) -> str:
+        return "DenseIndexConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "denseIndex": self.column,
+            "orderBy": self.order_by,
+            "start": self.start,
+            "step": self.step,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+
+@dataclass(frozen=True)
+class Transition(Constraint):
+    """Sequence-grammar check (role-alternation analog for multi-turn
+    transcripts; no SHACL counterpart): for each row whose `column`
+    value is named in `allowed_prev`, the PREVIOUS row's value within
+    the `group_by` group (ordered by `order_by`) must be one of its
+    allowed predecessors. `allowed_prev` is a tuple of
+    (value, (allowed_prev_values...)) pairs — e.g.
+    (("assistant", ("user", "tool")),) reads "an assistant turn may
+    only follow a user or tool turn". Values not named are
+    unconstrained (open-world). `initial`, if given, additionally
+    constrains the FIRST value of every group (e.g. a conversation must
+    open with a user or system turn). NULL values pass vacuously
+    (SHACL null semantics; pair with NotNull to flag absence).
+    Compiled into the shared lag() window."""
+
+    group_by: tuple
+    order_by: str
+    column: str
+    allowed_prev: tuple = ()
+    initial: Optional[tuple] = None
+
+    def component(self) -> str:
+        return "TransitionConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "transition": self.column,
+            "orderBy": self.order_by,
+            "allowedPrev": {k: list(v) for k, v in self.allowed_prev},
+            "initial": list(self.initial) if self.initial is not None else None,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+
+@dataclass(frozen=True)
 class SetEquals(Constraint):
     """Cross-row sh:equals (SURVEY.md §2A #13 set-level variant): within
     each group, the DISTINCT non-null value set of `column` must equal
@@ -1121,7 +1192,10 @@ class Shape:
         return [
             c
             for c in self.constraints
-            if isinstance(c, (GroupMinCount, GroupMaxCount, Unique, Monotonic))
+            if isinstance(
+                c,
+                (GroupMinCount, GroupMaxCount, Unique, Monotonic, DenseIndex, Transition),
+            )
         ]
 
     def join_constraints(self) -> list[ForeignKey]:

@@ -48,7 +48,11 @@ _TUPLE_FIELDS = {
     "children",
     "declared",
     "ignored",
+    "initial",
 }
+
+#: fields holding a tuple of (value, tuple) pairs (Transition.allowed_prev)
+_PAIR_TUPLE_FIELDS = {"allowed_prev"}
 
 
 def constraint_to_dict(c: S.Constraint) -> dict:
@@ -82,6 +86,8 @@ def constraint_from_dict(d: dict) -> S.Constraint:
             v = tuple(constraint_from_dict(x) for x in v)
         elif f.name in _NESTED_SHAPE_FIELDS and isinstance(v, dict):
             v = shape_from_dict(v)
+        elif f.name in _PAIR_TUPLE_FIELDS and isinstance(v, list):
+            v = tuple((x[0], tuple(x[1])) for x in v)
         elif f.name in _TUPLE_FIELDS and isinstance(v, list):
             v = tuple(v)
         kwargs[f.name] = v

@@ -14,6 +14,7 @@ from typing import Optional
 
 from xpshacl_spark.shapes import (
     Datatype,
+    DenseIndex,
     Drift,
     ForeignKey,
     GroupMinCount,
@@ -23,6 +24,7 @@ from xpshacl_spark.shapes import (
     NotNull,
     Pattern,
     Shape,
+    Transition,
     Unique,
 )
 
@@ -64,6 +66,27 @@ def transcript_shapes(drift: Optional[Drift] = None) -> list[Shape]:
             (Monotonic(("conv_id",), "turn_idx", "ts"),),  # r_order_ts
             name="TsOrderShape",
             description="ts must be non-decreasing in turn_idx per conversation",
+        ),
+        Shape(
+            "http://xpshacl.org/spark#TurnSeqShape",
+            (
+                # both ride TsOrderShape's existing (conv_id, turn_idx)
+                # window — 3 sequence checks, ONE shuffle+sort total
+                DenseIndex(("conv_id",), "turn_idx", "turn_idx"),
+                Transition(
+                    ("conv_id",),
+                    "turn_idx",
+                    "role",
+                    allowed_prev=(("assistant", ("user", "system", "tool")),),
+                    initial=("user", "system", "tool"),
+                ),
+            ),
+            name="TurnSeqShape",
+            description=(
+                "turn_idx must enumerate each conversation densely from 0; "
+                "an assistant turn may only follow a non-assistant turn; "
+                "conversations must open with a non-assistant turn"
+            ),
         ),
         Shape(
             "http://xpshacl.org/spark#AssistantCardShape",
