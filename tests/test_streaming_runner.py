@@ -133,7 +133,9 @@ def test_runner_cli_end_to_end(spark, tmp_path):
     assert rc == 3  # violations found
     assert os.path.isdir(f"{out}/violations") and os.path.isdir(f"{out}/manifest")
     manifests = os.listdir(f"{out}/manifest")
-    assert len(manifests) == 6  # one per shape in the canonical suite
+    from xpshacl_spark.suites import transcript_shapes
+
+    assert len(manifests) == len(transcript_shapes())  # one per shape
     rec = json.load(open(f"{out}/manifest/{manifests[0]}"))
     assert rec["status"] == "completed" and "input_files" in rec
     assert os.path.isdir(f"{out}/explained")
