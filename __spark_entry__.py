@@ -23,12 +23,15 @@ from xpshacl_spark.shapes import (
     ArrayMinCount,
     ArrayUnique,
     Closed,
+    DatasetMetric,
     DenseIndex,
     Expr,
     ForeignKey,
+    FunctionalDependency,
     GroupMinCount,
     HasValue,
     InSet,
+    MaxGap,
     MaxInclusive,
     MinInclusive,
     MinLength,
@@ -220,6 +223,112 @@ def q_dense_turns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = _one_shape_violations(spark, kept, shape, ["event_id", "user_id"])
     return v.select("event_id", "user_id", "value")
+
+
+def q_max_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency bound (MaxGap — the transcript-domain response-latency
+    check): per user in event_id order, consecutive events more than
+    100000 s apart violate. Rides the SAME shared lag() window as every
+    other sequence check on (user, order) — zero extra shuffles. The
+    delta is exact on both engines: one exact microsecond-long
+    subtraction then one IEEE division by 1e6 (Spark timestampdiff,
+    DuckDB epoch_us)."""
+    e = _load(spark, sf_dir, "events")
+    shape = Shape(
+        "events_latency_shape",
+        (MaxGap(("user_id",), "event_id", "ts", 100000.0),),
+    )
+    v = _one_shape_violations(spark, e, shape, ["event_id", "user_id"])
+    return v.select(
+        "event_id",
+        "user_id",
+        F.element_at(F.col("context"), "delta").cast("double").alias("gap_sec"),
+    )
+
+
+def q_fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional dependency (FunctionalDependency — Deequ-style
+    determinant -> dependent check; no reference counterpart): each
+    customer's orders must all carry the customer's one market segment.
+    The relation attaches c_mktsegment via a broadcast-sized dim join,
+    then perturbs every 97th order's segment to plant conflicts —
+    exactly mirrored in the oracle. The distinct aggregation shuffles
+    only DISTINCT (custkey, segment) pairs, so a mega-customer with
+    millions of rows but one segment moves one row at 100 TB."""
+    o = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rel = o.join(
+        F.broadcast(cust), o["o_custkey"] == cust["c_custkey"], "inner"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    shape = Shape("orders_fd_shape", (FunctionalDependency(("o_custkey",), "segment"),))
+    v = _one_shape_violations(spark, rel, shape, ["o_orderkey", "o_custkey"])
+    return v.select(
+        F.col("o_custkey").alias("custkey"),
+        F.element_at(F.col("context"), "nDistinct").cast("int").alias("n_distinct"),
+    )
+
+
+def q_dataset_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-scope metric assertions (DatasetMetric — Deequ's check
+    model: constraints on AGGREGATES of the target population, a scope
+    SHACL has no analog for). Four assertions fuse into ONE single-pass
+    aggregation; completeness fails (nulls planted every 53rd doc),
+    distinctness fails (5 langs / 500 docs), mean and row_count pass —
+    so the result proves pass/fail selection, not just the plumbing.
+    Ratio metrics divide exact long counts, so the observed doubles
+    hash-match the oracle bit for bit."""
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "text", F.when(F.col("doc_id") % 53 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    shape = Shape(
+        "docs_metrics_shape",
+        (
+            DatasetMetric("completeness", "text", min_value=1.0),
+            DatasetMetric("distinctness", "lang", min_value=0.5),
+            DatasetMetric("mean", "n_chars", min_value=1.0, max_value=1e9),
+            DatasetMetric("row_count", min_value=1),
+        ),
+    )
+    v = _one_shape_violations(spark, d, shape, ["doc_id"])
+    return v.select(
+        F.element_at(F.col("context"), "metric").alias("metric"),
+        F.element_at(F.col("context"), "observed").cast("double").alias("observed"),
+    )
+
+
+def q_conv_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pass/fail rollup (the north rule's 'per-partition
+    pass/fail' as a relation): validate two sequence shapes over events
+    and emit one row PER USER — including fully-conformant users, whom
+    the universe join proves clean (the violations relation alone
+    cannot). The rollup joins the failure set against a distinct over
+    the group column only — never row-count-sized at 100 TB."""
+    e = _load(spark, sf_dir, "events")
+    shapes = [
+        Shape("events_order_shape", (Monotonic(("user_id",), "event_id", "value"),)),
+        Shape(
+            "events_grammar_shape",
+            (
+                Transition(
+                    ("user_id",),
+                    "event_id",
+                    "event_type",
+                    allowed_prev=(("purchase", ("click", "view")),),
+                    initial=("signup",),
+                ),
+            ),
+        ),
+    ]
+    rep = ValidationEngine(spark).validate(
+        e, shapes, key_cols=["event_id", "user_id"]
+    )
+    return rep.conformance_by_group(e, ["user_id"])
 
 
 def q_logical_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,10 +1976,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~79 queries and a 50-slot window this guarantees no
+    # tail. With ~89 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_max_gap_events": q_max_gap_events,
+        "q_fd_orders": q_fd_orders,
+        "q_dataset_metrics_documents": q_dataset_metrics_documents,
+        "q_conv_conformance": q_conv_conformance,
         "q_transition_events": q_transition_events,
         "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
@@ -1915,7 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
-        # -- (c) r03-proven rotation filling the window to slot 50
+        # -- (c) r03-proven rotation filling the window to slot 50 (the
+        # -- cutoff is positional: entries below slot 50 spill into the
+        # -- tail and simply stay r03-proven — first in line for r05)
         "q_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_pack_documents": q_pack_documents,
@@ -2601,6 +2716,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) WHERE event_id % 37 <> 0)) "
             "WHERE (p IS NULL AND turn_idx <> 0) "
             "OR (p IS NOT NULL AND turn_idx <> p + 1)"
+        ),
+        "q_max_gap_events": (
+            "SELECT event_id, user_id, "
+            "(epoch_us(ts) - epoch_us(p)) / 1000000.0 AS gap_sec FROM "
+            "(SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
+            "WHERE p IS NOT NULL AND ts IS NOT NULL "
+            "AND (epoch_us(ts) - epoch_us(p)) / 1000000.0 > 100000.0"
+        ),
+        "q_fd_orders": (
+            "SELECT o_custkey AS custkey, CAST(nd AS INT) AS n_distinct FROM "
+            "(SELECT o_custkey, count(DISTINCT CASE WHEN o_orderkey % 97 = 0 "
+            "THEN 'PERTURBED' ELSE c_mktsegment END) AS nd "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "GROUP BY o_custkey) WHERE nd > 1"
+        ),
+        "q_dataset_metrics_documents": (
+            "WITH t AS (SELECT CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text "
+            "END AS text, lang, n_chars FROM documents), "
+            "m AS (SELECT count(text) AS a_comp, count(*) AS b_comp, "
+            "count(DISTINCT lang) AS a_dist, count(lang) AS b_dist, "
+            "avg(n_chars) AS mean_nc, count(*) AS rc FROM t) "
+            "SELECT 'completeness' AS metric, "
+            "CAST(a_comp AS DOUBLE)/b_comp AS observed FROM m "
+            "WHERE CAST(a_comp AS DOUBLE)/b_comp < 1.0 "
+            "UNION ALL SELECT 'distinctness', CAST(a_dist AS DOUBLE)/b_dist "
+            "FROM m WHERE CAST(a_dist AS DOUBLE)/b_dist < 0.5 "
+            "UNION ALL SELECT 'mean', mean_nc FROM m "
+            "WHERE mean_nc IS NULL OR mean_nc < 1.0 OR mean_nc > 1e9 "
+            "UNION ALL SELECT 'row_count', CAST(rc AS DOUBLE) FROM m WHERE rc < 1"
+        ),
+        "q_conv_conformance": (
+            "WITH viol AS ("
+            "SELECT user_id, 'LessThanOrEqualsConstraintComponent' AS c FROM "
+            "(SELECT user_id, value, lag(value) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
+            "WHERE p IS NOT NULL AND value IS NOT NULL AND value < p "
+            "UNION ALL "
+            "SELECT user_id, 'TransitionConstraintComponent' AS c FROM "
+            "(SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS p FROM events) "
+            "WHERE (p IS NOT NULL AND event_type = 'purchase' "
+            "AND p NOT IN ('click', 'view')) "
+            "OR (p IS NULL AND event_type <> 'signup')), "
+            "agg AS (SELECT user_id, count(*) AS n, count(DISTINCT c) AS nc "
+            "FROM viol GROUP BY user_id) "
+            "SELECT u.user_id, COALESCE(n, 0) AS n_violations, "
+            "CAST(COALESCE(nc, 0) AS INT) AS n_components, "
+            "COALESCE(n, 0) = 0 AS conforms "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN agg ON u.user_id = agg.user_id"
         ),
         "q_logical_orders": (
             "SELECT o_orderkey, 'OrConstraintComponent' AS constraint_component "

@@ -37,11 +37,14 @@ from pyspark.sql import types as T
 
 from xpshacl_spark.model import VIOLATION_COLUMNS, ViolationType
 from xpshacl_spark.shapes import (
+    DatasetMetric,
     DenseIndex,
     Drift,
     ForeignKey,
+    FunctionalDependency,
     GroupMaxCount,
     GroupMinCount,
+    MaxGap,
     Monotonic,
     RowConstraint,
     SetDisjoint,
@@ -127,6 +130,51 @@ class ValidationReport:
             .orderBy("shape_id", "constraint_component")
         )
 
+    def conformance_by_group(
+        self, universe: DataFrame, group_cols: Sequence[str]
+    ) -> DataFrame:
+        """Per-group pass/fail rollup — the north rule's 'per-partition
+        pass/fail' as a relation: one row per distinct `group_cols` key
+        in `universe` (the fact table, or any relation carrying the
+        keys) with n_violations, n_components (distinct constraint
+        components violated) and a conforms flag. Groups with zero
+        violations appear with conforms=true (the universe join is what
+        proves a CLEAN conversation clean — the violations relation
+        alone cannot).
+
+        Violation rows whose group keys are NULL (dataset-, drift- or
+        coarser-scope rows) belong to no group and are excluded — roll
+        those up with counts() instead. Scale shape: the violations
+        side is the FAILURE set (orders of magnitude below the fact
+        table); the universe side reduces to a distinct over the group
+        columns only (map-side combined), so the join is
+        failure-set-sized on one side and key-universe-sized on the
+        other, never row-count-sized."""
+        group_cols = list(group_cols)
+        v = self.violations
+        cond = reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in group_cols]
+        )
+        agg = (
+            v.where(cond)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_violations"),
+                F.countDistinct("constraint_component").alias("n_components"),
+            )
+        )
+        uni = universe.select(*group_cols).dropDuplicates()
+        out = uni.join(agg, on=group_cols, how="left")
+        n = F.coalesce(F.col("n_violations"), F.lit(0).cast("long"))
+        return out.select(
+            *group_cols,
+            n.alias("n_violations"),
+            F.coalesce(F.col("n_components"), F.lit(0))
+            .cast("int")
+            .alias("n_components"),
+            (n == 0).alias("conforms"),
+        )
+
     def message_counts(self) -> DataFrame:
         """Per-message violation counts — the reference shark-harness
         CSV output shape (/root/reference/data/shark_tests.py:116-141:
@@ -205,6 +253,8 @@ class ValidationEngine:
         parts.extend(self._compile_unique_checks(df, shapes, key_cols))
         parts.extend(self._compile_monotonic_checks(df, shapes, key_cols))
         parts.extend(self._compile_fk_checks(df, shapes, key_cols))
+        parts.extend(self._compile_fd_checks(df, shapes, key_cols))
+        parts.extend(self._compile_dataset_checks(df, shapes, key_cols))
         parts.extend(self._compile_path_checks(df, shapes, key_cols))
         parts.extend(self._compile_set_pair_checks(df, shapes, key_cols))
         parts.extend(self._compile_drift_checks(df, shapes, key_cols))
@@ -447,7 +497,7 @@ class ValidationEngine:
         by_spec: dict[tuple, list] = {}
         for shape in shapes:
             for c in shape.group_constraints():
-                if isinstance(c, (Monotonic, DenseIndex, Transition)):
+                if isinstance(c, (Monotonic, DenseIndex, Transition, MaxGap)):
                     by_spec.setdefault((tuple(c.group_by), c.order_by), []).append(
                         (shape, c)
                     )
@@ -497,6 +547,38 @@ class ValidationEngine:
                     ctx = F.create_map(
                         F.lit("previous"),
                         prev.cast("string"),
+                        F.lit("orderBy"),
+                        F.lit(order_by),
+                    )
+                elif isinstance(c, MaxGap):
+                    # delta in the column's natural numeric space; for a
+                    # timestamp column (TIMESTAMP or TIMESTAMP_NTZ — the
+                    # latter cannot cast to double) the delta is the exact
+                    # microsecond difference divided once by 1e6, which is
+                    # bit-identical to (epoch_us(a)-epoch_us(b))/1000000.0
+                    # on any engine: one exact long subtraction, one IEEE
+                    # division — no per-endpoint rounding.
+                    ctype = df.schema[c.column].dataType.typeName()
+                    if ctype in ("timestamp", "timestamp_ntz"):
+                        delta = F.expr(
+                            f"timestampdiff(MICROSECOND, {lag_cols[i]}, "
+                            f"{c.column})"
+                        ) / F.lit(1000000.0)
+                    else:
+                        delta = cur.cast("double") - prev.cast("double")
+                    violated = (
+                        _target_col(shape)
+                        & prev.isNotNull()
+                        & cur.isNotNull()
+                        & (delta > F.lit(float(c.max_delta)))
+                    )
+                    ctx = F.create_map(
+                        F.lit("previous"),
+                        prev.cast("string"),
+                        F.lit("delta"),
+                        delta.cast("string"),
+                        F.lit("maxDelta"),
+                        F.lit(str(c.max_delta)),
                         F.lit("orderBy"),
                         F.lit(order_by),
                     )
@@ -563,6 +645,144 @@ class ValidationEngine:
                 ).select(*key_cols, "_v.*")
                 outs.append(out)
         return outs
+
+    # ------------------------------------------------------------------
+    # functional dependencies: determinant -> single dependent value
+    # ------------------------------------------------------------------
+
+    def _compile_fd_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        """FunctionalDependency — one aggregation per distinct
+        determinant tuple, all FDs sharing a determinant fused into it.
+        The distinct aggregation's shuffle carries only the DISTINCT
+        (determinant, dependent) pairs (Catalyst's two-phase distinct
+        expansion), so hot determinant keys stay bounded by their
+        distinct dependent values, not their row counts."""
+        by_det: dict[tuple, list] = {}
+        for shape in shapes:
+            for c in shape.fd_constraints():
+                by_det.setdefault(tuple(c.determinant), []).append((shape, c))
+        outs = []
+        for det, pairs in by_det.items():
+            gkey = list(det)
+            aggs = []
+            for i, (shape, c) in enumerate(pairs):
+                cond = _target_col(shape)
+                dep = F.when(cond, F.col(c.dependent))
+                aggs.append(F.countDistinct(dep).alias(f"_nd{i}"))
+            counts = df.groupBy(*gkey).agg(*aggs)
+            structs = []
+            for i, (shape, c) in enumerate(pairs):
+                n = F.col(f"_nd{i}")
+                violated = n > 1
+                ctx = F.create_map(
+                    F.lit("dependent"),
+                    F.lit(c.dependent),
+                    F.lit("nDistinct"),
+                    n.cast("string"),
+                )
+                structs.append(
+                    F.when(violated, _violation_struct(shape, c, n, ctx))
+                )
+            arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+            out = counts.select(*gkey, F.explode(arr).alias("_v")).select(
+                *gkey, "_v.*"
+            )
+            outs.append(self._align_keys(out, df, key_cols, present=gkey))
+        return outs
+
+    # ------------------------------------------------------------------
+    # dataset-scope metric assertions: ONE fused aggregation, lazy
+    # ------------------------------------------------------------------
+
+    def _compile_dataset_checks(
+        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+    ) -> list[DataFrame]:
+        """DatasetMetric — every metric across every shape becomes a
+        pair of conditional aggregates in ONE global aggregation (each
+        shape's target folds into the aggregate's filter, so differing
+        targets don't split the job). The result is a 1-row relation;
+        violation structs explode out of it exactly like the group
+        plan. Fully lazy — unlike Drift there is no driver collect, the
+        single row unions into the violations plan."""
+        pairs = []
+        for shape in shapes:
+            for c in shape.dataset_constraints():
+                if c.min_value is None and c.max_value is None:
+                    raise ValueError(
+                        f"DatasetMetric({c.metric!r}) needs min_value and/or "
+                        "max_value — an unbounded metric asserts nothing"
+                    )
+                if c.metric not in DatasetMetric.METRICS:
+                    raise ValueError(
+                        f"unknown dataset metric {c.metric!r} "
+                        f"(one of {DatasetMetric.METRICS})"
+                    )
+                if c.metric != "row_count" and not c.column:
+                    raise ValueError(
+                        f"DatasetMetric({c.metric!r}) requires a column"
+                    )
+                pairs.append((shape, c))
+        if not pairs:
+            return []
+
+        aggs = []
+        metrics = []  # per pair: Column over the 1-row agg output
+        for i, (shape, c) in enumerate(pairs):
+            cond = _target_col(shape)
+            if c.where:
+                cond = cond & F.coalesce(F.expr(c.where), F.lit(False))
+            col = F.col(c.column) if c.column else None
+            if c.metric == "completeness":
+                # exact long / exact long -> one IEEE division, engine-
+                # and partitioning-independent
+                aggs.append(F.count(F.when(cond & col.isNotNull(), 1)).alias(f"_a{i}"))
+                aggs.append(F.count(F.when(cond, 1)).alias(f"_b{i}"))
+                metrics.append(F.col(f"_a{i}") / F.col(f"_b{i}"))
+            elif c.metric == "distinctness":
+                aggs.append(F.countDistinct(F.when(cond, col)).alias(f"_a{i}"))
+                aggs.append(F.count(F.when(cond & col.isNotNull(), 1)).alias(f"_b{i}"))
+                metrics.append(F.col(f"_a{i}") / F.col(f"_b{i}"))
+            elif c.metric == "row_count":
+                aggs.append(F.count(F.when(cond, 1)).alias(f"_a{i}"))
+                metrics.append(F.col(f"_a{i}").cast("double"))
+            elif c.metric == "mean":
+                aggs.append(F.avg(F.when(cond, col)).alias(f"_a{i}"))
+                metrics.append(F.col(f"_a{i}").cast("double"))
+            elif c.metric == "sum":
+                aggs.append(F.sum(F.when(cond, col)).alias(f"_a{i}"))
+                metrics.append(F.col(f"_a{i}").cast("double"))
+            elif c.metric == "min":
+                aggs.append(F.min(F.when(cond, col)).alias(f"_a{i}"))
+                metrics.append(F.col(f"_a{i}").cast("double"))
+            else:  # max
+                aggs.append(F.max(F.when(cond, col)).alias(f"_a{i}"))
+                metrics.append(F.col(f"_a{i}").cast("double"))
+
+        row = df.agg(*aggs)
+        structs = []
+        for i, (shape, c) in enumerate(pairs):
+            m = metrics[i]
+            violated = m.isNull()  # empty population can't witness a bound
+            if c.min_value is not None:
+                violated = violated | (m < F.lit(float(c.min_value)))
+            if c.max_value is not None:
+                violated = violated | (m > F.lit(float(c.max_value)))
+            ctx = F.create_map(
+                F.lit("metric"),
+                F.lit(c.metric),
+                F.lit("observed"),
+                m.cast("string"),
+                F.lit("minValue"),
+                F.lit(None if c.min_value is None else str(c.min_value)),
+                F.lit("maxValue"),
+                F.lit(None if c.max_value is None else str(c.max_value)),
+            )
+            structs.append(F.when(violated, _violation_struct(shape, c, m, ctx)))
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        out = row.select(F.explode(arr).alias("_v")).select("_v.*")
+        return [self._align_keys(out, df, key_cols, present=[])]
 
     # ------------------------------------------------------------------
     # sequence paths: FK -> dim attribute value constraints

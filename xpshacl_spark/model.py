@@ -34,6 +34,8 @@ class ViolationType:
     DISTRIBUTION = "distribution"
     SCHEMA = "schema"
     SEQUENCE = "sequence"
+    DEPENDENCY = "dependency"
+    DATASET = "dataset"
 
     ALL = (
         CARDINALITY,
@@ -48,6 +50,8 @@ class ViolationType:
         DISTRIBUTION,
         SCHEMA,
         SEQUENCE,
+        DEPENDENCY,
+        DATASET,
     )
 
     #: reference-parity mapping used when reproducing the md5 signature
@@ -66,6 +70,8 @@ class ViolationType:
         DISTRIBUTION: "ViolationType.DISTRIBUTION",
         SCHEMA: "ViolationType.SCHEMA",
         SEQUENCE: "ViolationType.SEQUENCE",
+        DEPENDENCY: "ViolationType.DEPENDENCY",
+        DATASET: "ViolationType.DATASET",
     }
 
 
@@ -115,6 +121,9 @@ COMPONENT_VIOLATION_TYPE = {
     "SchemaConstraintComponent": ViolationType.SCHEMA,
     "DenseIndexConstraintComponent": ViolationType.SEQUENCE,
     "TransitionConstraintComponent": ViolationType.SEQUENCE,
+    "MaxGapConstraintComponent": ViolationType.SEQUENCE,
+    "FunctionalDependencyConstraintComponent": ViolationType.DEPENDENCY,
+    "DatasetMetricConstraintComponent": ViolationType.DATASET,
 }
 
 

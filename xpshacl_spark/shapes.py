@@ -999,6 +999,125 @@ class Transition(Constraint):
 
 
 @dataclass(frozen=True)
+class MaxGap(Constraint):
+    """Sequence check for response latency (transcript domain; no SHACL
+    counterpart): within each `group_by` group ordered by `order_by`,
+    the numeric delta between consecutive values of `column` must not
+    exceed `max_delta`. For a timestamp column (TIMESTAMP or
+    TIMESTAMP_NTZ) the delta is in fractional seconds, computed as the
+    exact microsecond difference divided once by 1e6 — engine-portable
+    bit for bit. First rows and NULL endpoints pass
+    vacuously (no predecessor / no value node — SHACL null semantics;
+    pair with NotNull/DenseIndex to forbid absence). Compiled into the
+    SAME shared lag() window as Monotonic/DenseIndex/Transition —
+    adding a latency bound to a shape that already orders by the same
+    (group, order) spec costs zero extra shuffles."""
+
+    group_by: tuple
+    order_by: str
+    column: str
+    max_delta: float
+
+    def component(self) -> str:
+        return "MaxGapConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "maxGap": self.column,
+            "orderBy": self.order_by,
+            "maxDelta": self.max_delta,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column
+
+
+@dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """Functional-dependency check (data-quality canon — Deequ's
+    uniqueness family generalized; no reference counterpart): the
+    `determinant` column tuple must determine `dependent` — every
+    determinant group must carry at most ONE distinct non-null
+    dependent value. NULL dependents are absent values and never
+    conflict (SHACL null semantics). Emits one violation per violating
+    determinant group with the conflicting-value count in context.
+
+    Compiled to groupBy(determinant).agg(count(DISTINCT dependent)):
+    Catalyst expands distinct aggregation into a two-phase plan whose
+    shuffle carries only the DISTINCT (determinant, dependent) pairs —
+    bounded by the true dependency violations, not the row count, so a
+    hot determinant key with millions of rows but two distinct
+    dependent values moves two rows. Multiple FDs sharing a
+    determinant tuple fuse into ONE aggregation."""
+
+    determinant: tuple
+    dependent: str
+
+    def component(self) -> str:
+        return "FunctionalDependencyConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "determinant": list(self.determinant),
+            "dependent": self.dependent,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return f"{','.join(self.determinant)}->{self.dependent}"
+
+
+@dataclass(frozen=True)
+class DatasetMetric(Constraint):
+    """Dataset-scope metric assertion (Deequ's check model — a
+    constraint on an AGGREGATE of the target population, not on any
+    single row; no SHACL counterpart): compute `metric` over the
+    shape's target rows and assert min_value <= metric <= max_value.
+    Emits ONE violation row (all focus keys NULL, like Drift) when the
+    assertion fails; the observed value rides both `value` and
+    context["observed"].
+
+    Metrics (ratio metrics divide exact long counts, so the observed
+    double is bit-identical across engines and partitionings):
+      completeness  — non-null fraction of `column` among target rows
+      distinctness  — distinct non-null values / non-null rows
+      row_count     — number of target rows (`column` unused)
+      mean          — avg(column) (exact for integral columns)
+      sum           — sum(column)
+      min / max     — extrema of column
+
+    An optional `where` SQL predicate refines the population below the
+    shape target (e.g. completeness of `tool` among role='tool' rows).
+    A NULL metric (empty population / all-null column) fails any
+    bounded assertion — an absent population cannot witness a bound.
+    ALL dataset metrics across ALL shapes fuse into ONE single-pass
+    aggregation job (conditional aggregates keyed by each shape's
+    target), and the plan stays lazy — no driver-side collect."""
+
+    metric: str
+    column: Optional[str] = None
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    where: Optional[str] = None
+
+    METRICS = ("completeness", "distinctness", "row_count", "mean", "sum", "min", "max")
+
+    def component(self) -> str:
+        return "DatasetMetricConstraintComponent"
+
+    def params(self) -> dict:
+        return {
+            "metric": self.metric,
+            "column": self.column,
+            "minValue": self.min_value,
+            "maxValue": self.max_value,
+            "where": self.where,
+        }
+
+    def property_path(self) -> Optional[str]:
+        return self.column or self.metric
+
+
+@dataclass(frozen=True)
 class SetEquals(Constraint):
     """Cross-row sh:equals (SURVEY.md §2A #13 set-level variant): within
     each group, the DISTINCT non-null value set of `column` must equal
@@ -1194,9 +1313,23 @@ class Shape:
             for c in self.constraints
             if isinstance(
                 c,
-                (GroupMinCount, GroupMaxCount, Unique, Monotonic, DenseIndex, Transition),
+                (
+                    GroupMinCount,
+                    GroupMaxCount,
+                    Unique,
+                    Monotonic,
+                    DenseIndex,
+                    Transition,
+                    MaxGap,
+                ),
             )
         ]
+
+    def fd_constraints(self) -> list["FunctionalDependency"]:
+        return [c for c in self.constraints if isinstance(c, FunctionalDependency)]
+
+    def dataset_constraints(self) -> list["DatasetMetric"]:
+        return [c for c in self.constraints if isinstance(c, DatasetMetric)]
 
     def join_constraints(self) -> list[ForeignKey]:
         return [c for c in self.constraints if isinstance(c, ForeignKey)]

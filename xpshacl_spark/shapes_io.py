@@ -41,6 +41,7 @@ _NESTED_LIST_FIELDS = {"children"}
 _NESTED_SHAPE_FIELDS = {"shape"}  # NodeRef carries a whole referenced Shape
 _TUPLE_FIELDS = {
     "columns",
+    "determinant",
     "group_by",
     "ref_columns",
     "values",
