@@ -146,6 +146,42 @@ def test_runner_cli_end_to_end(spark, tmp_path):
     assert rc2 == 3
 
 
+def test_runner_cli_conformance_by(spark, tmp_path):
+    """--conformance-by writes the per-group pass/fail relation and
+    reports the nonconforming-group count; clean groups appear with
+    conforms=true, and the total row count is the full conv universe."""
+    from xpshacl_spark import runner
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    transcripts(spark, n_convs=60).write.parquet(inp)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = runner.main(
+            ["--input", inp, "--output", out, "--conformance-by", "conv_id"]
+        )
+    assert rc == 3
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    conf = spark.read.parquet(f"{out}/conformance")
+    assert conf.count() == 60  # every conversation present
+    n_bad = conf.where("NOT conforms").count()
+    assert 0 < n_bad < 60
+    assert summary["n_nonconforming_groups"] == n_bad
+    # per-group violation totals (keyed rows only) reconcile with the
+    # dataset-scope-free violation relation
+    v = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{out}/violations"
+    )
+    assert (
+        conf.agg({"n_violations": "sum"}).first()[0]
+        == v.where("conv_id IS NOT NULL").count()
+    )
+
+
 def _stream_one_file_per_batch(spark, path):
     schema = spark.read.parquet(path).schema
     return (

@@ -170,6 +170,15 @@ def main(argv=None) -> int:
         "Checked BEFORE any shape runs (metadata-only, zero data "
         "scanned); deviations print a schema_issues summary and exit 4",
     )
+    ap.add_argument(
+        "--conformance-by",
+        dest="conformance_by",
+        help="comma-separated group columns (e.g. conv_id): additionally "
+        "write <output>/conformance — one row per distinct group key "
+        "with n_violations, n_components and a conforms flag (the north "
+        "rule's per-partition pass/fail as a relation; clean groups "
+        "appear with conforms=true via the universe join)",
+    )
     ap.add_argument("--master")
     args = ap.parse_args(argv)
 
@@ -291,6 +300,23 @@ def main(argv=None) -> int:
         },
         "wall_sec": round(time.monotonic() - t0, 3),
     }
+
+    if args.conformance_by:
+        group_cols = args.conformance_by.split(",")
+        if df is None:
+            ap.error(
+                "--conformance-by needs a data input for the group-key "
+                "universe (not replay/report mode)"
+            )
+        missing = [c for c in group_cols if c not in df.columns]
+        if missing:
+            ap.error(f"--conformance-by columns not in input: {missing}")
+        conf = report.conformance_by_group(df, group_cols)
+        conf.write.mode("overwrite").parquet(f"{args.output}/conformance")
+        summary["conformance_path"] = f"{args.output}/conformance"
+        summary["n_nonconforming_groups"] = int(
+            conf.where("NOT conforms").count()
+        )
 
     if args.explain:
         cache = ExplanationCache(args.cache) if args.cache else ExplanationCache()
