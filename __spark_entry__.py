@@ -1035,6 +1035,20 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_relation(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution entropy + distinctness per column (Deequ's
+    Entropy/Distinctness analyzers — per-VALUE counts, which the fused
+    min/max/HLL profiler can't express). One stacked scan, one
+    (column, value) hash agg, per-column rollup over the
+    cardinality-sized distinct relation; entropy rounded to 6 decimals
+    on BOTH engines (FP-order-dependent sum, unigram_logprob
+    precedent); distinctness divides exact longs."""
+    from xpshacl_spark.operators.profile import entropy_relation
+
+    d = _load(spark, sf_dir, "documents")
+    return entropy_relation(d, ["lang", "source"])
+
+
 def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explanation pipeline stage 1: violation signature dedup + md5
     signature ids (byte-parity with reference violation_kg.py:88-102)."""
@@ -1976,7 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~89 queries and a 50-slot window this guarantees no
+    # tail. With ~90 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
@@ -1984,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
         "q_conv_conformance": q_conv_conformance,
+        "q_entropy_documents": q_entropy_documents,
         "q_transition_events": q_transition_events,
         "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
@@ -2746,6 +2761,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'mean', mean_nc FROM m "
             "WHERE mean_nc IS NULL OR mean_nc < 1.0 OR mean_nc > 1e9 "
             "UNION ALL SELECT 'row_count', CAST(rc AS DOUBLE) FROM m WHERE rc < 1"
+        ),
+        "q_entropy_documents": (
+            "WITH s AS ("
+            "SELECT 'lang' AS col_name, lang AS value FROM documents "
+            "WHERE lang IS NOT NULL "
+            "UNION ALL SELECT 'source', source FROM documents "
+            "WHERE source IS NOT NULL), "
+            "vc AS (SELECT col_name, value, count(*) AS c FROM s "
+            "GROUP BY col_name, value) "
+            "SELECT col_name, CAST(sum(c) AS BIGINT) AS n_values, "
+            "count(*) AS n_distinct, "
+            "CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) "
+            "AS distinctness, "
+            "round(ln(CAST(sum(c) AS DOUBLE)) - "
+            "sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / "
+            "CAST(sum(c) AS DOUBLE), 6) AS entropy "
+            "FROM vc GROUP BY col_name"
         ),
         "q_conv_conformance": (
             "WITH viol AS ("

@@ -248,3 +248,27 @@ def test_two_sample_drift_clamps_inexact_width_edge(spark):
     # both singletons fully in-range: totals 1 and 1 -> KS gap 1.0 at
     # the first bin edge (b all in bin 0, a clamped into bin 2)
     assert got["ks"] == 1.0
+
+
+def test_entropy_relation_values_and_plan(spark):
+    """entropy_relation: hand-computed entropy/distinctness on a tiny
+    distribution; NULLs excluded; all-null columns emit no row; and the
+    plan is pure hash aggregation — no Window, no Sort, no join."""
+    import math
+
+    from xpshacl_spark.operators.profile import entropy_relation
+
+    rows = [("a", "x", None), ("a", "y", None), ("b", "x", None), ("b", "x", None)]
+    df = spark.createDataFrame(rows, "u string, v string, w string")
+    out = entropy_relation(df, ["u", "v", "w"])
+    got = {r["col_name"]: r for r in out.collect()}
+    assert set(got) == {"u", "v"}  # w is all-null
+    # u: counts (2,2) -> entropy ln2; v: (3,1) -> ln4 - (3 ln3)/4
+    assert got["u"]["n_values"] == 4 and got["u"]["n_distinct"] == 2
+    assert got["u"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert got["u"]["distinctness"] == pytest.approx(0.5)
+    assert got["v"]["entropy"] == pytest.approx(
+        math.log(4) - 3 * math.log(3) / 4, abs=1e-6
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan and "Join" not in plan

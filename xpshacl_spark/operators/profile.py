@@ -306,6 +306,47 @@ def quantiles_error_bound_relation(
     return _explode_cells(row, structs)
 
 
+def entropy_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Shannon entropy (nats) + distinctness of each column's non-null
+    value distribution — the Deequ analyzer pair the fused min/max/HLL
+    profiler can't express (entropy needs per-VALUE counts).
+
+    Plan: ONE stacked scan (explode of a per-row column->value map, so
+    N columns still read the input once) -> ONE (column, value) hash
+    aggregation (map-side combined — a hot value pre-reduces per
+    partition) -> a per-column rollup over the DISTINCT-value relation,
+    which is cardinality-sized, not row-count-sized. No window, no
+    sort, no Python. entropy = ln(n) - sum(c*ln c)/n, rounded to 6
+    decimals because the sum over distinct values is
+    floating-point-order-dependent (same canonicalization as
+    text.unigram_logprob); distinctness = n_distinct/n divides exact
+    longs. Columns with zero non-null values emit no row."""
+    kv = []
+    for c in columns:
+        kv.append(F.lit(c))
+        kv.append(F.col(c).cast("string"))
+    stacked = df.select(
+        F.explode(F.create_map(*kv)).alias("col_name", "value")
+    ).where(F.col("value").isNotNull())
+    vc = stacked.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cd = F.col("c").cast("double")
+    per = vc.groupBy("col_name").agg(
+        F.sum("c").alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(cd * F.log(cd)).alias("_s"),
+    )
+    n_d = F.col("n_values").cast("double")
+    return per.select(
+        "col_name",
+        "n_values",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / n_d).alias("distinctness"),
+        F.round(F.log(n_d) - F.col("_s") / n_d, 6).alias("entropy"),
+    )
+
+
 def save_baseline(path: str, prof: dict) -> None:
     with open(path, "w") as f:
         json.dump(prof, f, sort_keys=True)
