@@ -124,3 +124,34 @@ def test_single_fused_agg_plan(spark):
     assert stats["_rows"] == 4
     empty = df.where(F.lit(False))
     assert suggest_constraints(empty, cols=["k", "cat"]) == []
+
+
+def test_completeness_suggestion(spark):
+    """A column with some nulls but completeness >= the floor gets a
+    DatasetMetric('completeness') suggestion whose bound is the observed
+    ratio floored to 2dp — so the trusted slice itself conforms — and
+    the round trip through to_constraint() validates clean."""
+    rows = [(i, None if i == 0 else f"t{i}") for i in range(12)]  # 11/12
+    df = spark.createDataFrame(rows, "k bigint, txt string")
+    sugg = suggest_constraints(df, cols=["txt"], inset_max=0)
+    comp = [s for s in sugg if s.constraint_component == "DatasetMetricConstraintComponent"]
+    assert len(comp) == 1
+    s = comp[0]
+    assert s.param_str == "completeness" and s.param_num == 0.91  # floor(11/12*100)/100
+    c = s.to_constraint()
+    from xpshacl_spark.shapes import DatasetMetric
+
+    assert c == DatasetMetric("completeness", "txt", min_value=0.91)
+    shapes = suggested_shapes(comp)
+    rep = ValidationEngine(spark).validate(df, shapes, key_cols=["k"])
+    assert rep.violations.count() == 0  # trusted slice conforms
+    # below the floor: too holey to assert anything
+    holey = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "x") for i in range(10)],
+        "k bigint, txt string",
+    )
+    assert not [
+        s
+        for s in suggest_constraints(holey, cols=["txt"], inset_max=0)
+        if s.constraint_component == "DatasetMetricConstraintComponent"
+    ]

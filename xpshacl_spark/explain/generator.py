@@ -72,6 +72,22 @@ _SUGGESTIONS = {
         "Investigate the pipeline change that shifted the distribution of '{path}'.",
         "If the shift is expected, refresh the stored baseline histogram.",
     ],
+    "schema": [
+        "Align the table's physical schema for '{path}' with the expected spec.",
+        "If the schema change is intentional, update the expected-schema spec.",
+    ],
+    "sequence": [
+        "Repair the ordering, numbering, or timing of '{path}' within its group.",
+        "Check the upstream writer for dropped, reordered, or delayed rows.",
+    ],
+    "dependency": [
+        "Reconcile the conflicting values of '{path}' so the determinant maps to one value.",
+        "If multiple values are legitimate, drop the functional-dependency constraint.",
+    ],
+    "dataset": [
+        "Investigate the batch that moved the dataset-level metric on '{path}' out of bounds.",
+        "If the new level is expected, adjust the metric's bounds on the shape.",
+    ],
     "other": [
         "Inspect the value of '{path}' against the shape definition.",
         "Update either the data or the shape so they agree.",

@@ -17,6 +17,11 @@ Suggestion rules (all evidence-based, deterministic):
 * numeric column        -> ``MinInclusive(min)`` + ``MaxInclusive(max)``
 * string column         -> ``MinLength(min_len)`` + ``MaxLength(max_len)``
 * string column with distinct <= ``inset_max`` -> ``InSet(sorted values)``
+* some nulls but completeness >= ``completeness_floor`` ->
+  ``DatasetMetric("completeness", min_value=observed floored to 2dp)``
+  (Deequ's hasCompleteness-at-observed-level suggestion: a column that
+  is ALMOST always present gets a dataset-level floor instead of an
+  unassertable row-level NotNull)
 
 Plan shape: pass 1 is ONE global hash aggregate computing every
 per-column statistic in a single scan (count/nulls/min/max/lengths and
@@ -35,6 +40,7 @@ sets — suggestion output is metadata-sized by construction.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -44,6 +50,7 @@ from pyspark.sql import types as T
 
 from .shapes import (
     Constraint,
+    DatasetMetric,
     InSet,
     MaxInclusive,
     MaxLength,
@@ -91,6 +98,10 @@ class Suggestion:
             return MaxLength(c, int(self.param_num))
         if comp == "InConstraintComponent":
             return InSet(c, tuple(self.param_str.split(",")))
+        if comp == "DatasetMetricConstraintComponent":
+            return DatasetMetric(
+                self.param_str, c, min_value=self.param_num
+            )
         raise ValueError(f"no constraint mapping for {comp!r}")
 
 
@@ -161,6 +172,7 @@ def suggest_constraints(
     *,
     inset_max: int = 10,
     exact: bool = True,
+    completeness_floor: float = 0.9,
 ) -> list[Suggestion]:
     """Profile ``df`` and return deterministic, evidence-backed
     constraint suggestions, ordered (col order given, component name).
@@ -195,6 +207,21 @@ def suggest_constraints(
         s = stats[c]
         if n_rows > 0 and s["nonnull"] == n_rows:
             out.append(Suggestion(c, "MinCountConstraintComponent"))
+        elif (
+            n_rows > 0
+            and s["nonnull"] / n_rows >= completeness_floor
+        ):
+            # floor to 2dp so the suggested bound is deterministic and
+            # the trusted slice itself conforms (observed >= bound)
+            bound = math.floor(s["nonnull"] / n_rows * 100) / 100.0
+            out.append(
+                Suggestion(
+                    c,
+                    "DatasetMetricConstraintComponent",
+                    bound,
+                    "completeness",
+                )
+            )
         if exact and s["nonnull"] > 0 and s["distinct"] == s["nonnull"]:
             out.append(Suggestion(c, "UniquenessConstraintComponent"))
         is_num = dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal")
