@@ -1049,6 +1049,24 @@ def q_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_relation(d, ["lang", "source"])
 
 
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per column pair (Deequ's Correlation
+    analyzer): ONE fused agg of five sums per pair, r assembled with
+    the textbook formula on BOTH engines (never the built-in corr(),
+    whose accumulation differs) and rounded to 6 decimals. One scan,
+    1-row result at any row count."""
+    from xpshacl_spark.operators.profile import correlation_relation
+
+    li = _load(spark, sf_dir, "lineitem")
+    return correlation_relation(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_discount", "l_tax"),
+        ],
+    )
+
+
 def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explanation pipeline stage 1: violation signature dedup + md5
     signature ids (byte-parity with reference violation_kg.py:88-102)."""
@@ -1990,7 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~90 queries and a 50-slot window this guarantees no
+    # tail. With ~91 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
@@ -1999,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
         "q_conv_conformance": q_conv_conformance,
         "q_entropy_documents": q_entropy_documents,
+        "q_corr_lineitem": q_corr_lineitem,
         "q_transition_events": q_transition_events,
         "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
@@ -2761,6 +2780,43 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'mean', mean_nc FROM m "
             "WHERE mean_nc IS NULL OR mean_nc < 1.0 OR mean_nc > 1e9 "
             "UNION ALL SELECT 'row_count', CAST(rc AS DOUBLE) FROM m WHERE rc < 1"
+        ),
+        "q_corr_lineitem": (
+            "WITH s AS (SELECT "
+            "count(*) FILTER (WHERE w1) AS n1, "
+            "sum(CASE WHEN w1 THEN CAST(l_quantity AS DOUBLE) END) AS sx1, "
+            "sum(CASE WHEN w1 THEN CAST(l_extendedprice AS DOUBLE) END) AS sy1, "
+            "sum(CASE WHEN w1 THEN CAST(l_quantity AS DOUBLE) * "
+            "CAST(l_extendedprice AS DOUBLE) END) AS sxy1, "
+            "sum(CASE WHEN w1 THEN CAST(l_quantity AS DOUBLE) * "
+            "CAST(l_quantity AS DOUBLE) END) AS sxx1, "
+            "sum(CASE WHEN w1 THEN CAST(l_extendedprice AS DOUBLE) * "
+            "CAST(l_extendedprice AS DOUBLE) END) AS syy1, "
+            "count(*) FILTER (WHERE w2) AS n2, "
+            "sum(CASE WHEN w2 THEN CAST(l_discount AS DOUBLE) END) AS sx2, "
+            "sum(CASE WHEN w2 THEN CAST(l_tax AS DOUBLE) END) AS sy2, "
+            "sum(CASE WHEN w2 THEN CAST(l_discount AS DOUBLE) * "
+            "CAST(l_tax AS DOUBLE) END) AS sxy2, "
+            "sum(CASE WHEN w2 THEN CAST(l_discount AS DOUBLE) * "
+            "CAST(l_discount AS DOUBLE) END) AS sxx2, "
+            "sum(CASE WHEN w2 THEN CAST(l_tax AS DOUBLE) * "
+            "CAST(l_tax AS DOUBLE) END) AS syy2 "
+            "FROM (SELECT *, "
+            "(l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) AS w1, "
+            "(l_discount IS NOT NULL AND l_tax IS NOT NULL) AS w2 "
+            "FROM lineitem)) "
+            "SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, n1 AS n_pairs, "
+            "CASE WHEN n1 >= 2 AND n1*sxx1 - sx1*sx1 > 0 "
+            "AND n1*syy1 - sy1*sy1 > 0 THEN "
+            "round((n1*sxy1 - sx1*sy1) / "
+            "sqrt((n1*sxx1 - sx1*sx1) * (n1*syy1 - sy1*sy1)), 6) END AS corr "
+            "FROM s "
+            "UNION ALL SELECT 'l_discount', 'l_tax', n2, "
+            "CASE WHEN n2 >= 2 AND n2*sxx2 - sx2*sx2 > 0 "
+            "AND n2*syy2 - sy2*sy2 > 0 THEN "
+            "round((n2*sxy2 - sx2*sy2) / "
+            "sqrt((n2*sxx2 - sx2*sx2) * (n2*syy2 - sy2*sy2)), 6) END AS corr "
+            "FROM s"
         ),
         "q_entropy_documents": (
             "WITH s AS ("

@@ -287,3 +287,29 @@ def test_new_kinds_json_roundtrip():
     ]
     back = shapes_from_json(shapes_to_json(shapes))
     assert back == shapes
+
+
+def test_suite_optional_latency_shape(spark):
+    """transcript_shapes(max_gap_seconds=...) appends LatencyShape; the
+    default suite is unchanged; and the added check rides the suite's
+    existing (conv_id, turn_idx) window (no extra Window/Exchange)."""
+    from xpshacl_spark.datagen import roles_dim, tools_dim, transcripts
+    from xpshacl_spark.suites import transcript_shapes
+
+    base = transcript_shapes()
+    with_gap = transcript_shapes(max_gap_seconds=3600.0)
+    assert len(with_gap) == len(base) + 1
+    assert with_gap[-1].name == "LatencyShape"
+
+    df = transcripts(spark, n_convs=40)
+    eng = ValidationEngine(
+        spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
+    )
+
+    def _counts(shapes):
+        plan = eng.validate(
+            df, shapes, key_cols=["conv_id", "turn_idx"]
+        ).violations._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Window"), plan.count("Exchange")
+
+    assert _counts(with_gap) == _counts(base)

@@ -272,3 +272,27 @@ def test_entropy_relation_values_and_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan and "Join" not in plan
+
+
+def test_correlation_relation(spark):
+    """correlation_relation: exact r on a hand-checkable set, pairwise
+    null deletion, NULL for constant columns, and a pure-aggregate plan
+    (no window/sort/join)."""
+    from xpshacl_spark.operators.profile import correlation_relation
+
+    rows = [
+        (1.0, 2.0, 5.0, 1.0),
+        (2.0, 4.0, 4.0, 1.0),
+        (3.0, 6.0, 3.0, 1.0),
+        (4.0, None, 2.0, 1.0),  # dropped pairwise for (x,y) only
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    out = correlation_relation(df, [("x", "y"), ("x", "z"), ("x", "c")])
+    got = {(r["x"], r["y"]): r for r in out.collect()}
+    assert got[("x", "y")]["n_pairs"] == 3
+    assert got[("x", "y")]["corr"] == pytest.approx(1.0)
+    assert got[("x", "z")]["n_pairs"] == 4
+    assert got[("x", "z")]["corr"] == pytest.approx(-1.0)
+    assert got[("x", "c")]["corr"] is None  # zero variance
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan

@@ -347,6 +347,55 @@ def entropy_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
 
 
+def correlation_relation(
+    df: DataFrame, pairs: Sequence[tuple]
+) -> DataFrame:
+    """Pearson correlation per (x, y) numeric column pair — Deequ's
+    Correlation analyzer. ONE fused aggregation carries five sums per
+    pair (n, Σx, Σy, Σxy, Σx², Σy²) over rows where BOTH sides are
+    non-null (pairwise deletion), and r is assembled from the sums with
+    the textbook formula — NOT the engine's built-in corr(), whose
+    accumulation scheme differs between engines — then rounded to 6
+    decimals (FP-order-dependent sums; unigram_logprob precedent). NULL
+    when either side is constant (zero variance) or fewer than 2 pairs.
+    Scale shape: one scan, map-side combined partial sums, a 1-row
+    result — the same job regardless of row count."""
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xd = F.when(both, F.col(x).cast("double"))
+        yd = F.when(both, F.col(y).cast("double"))
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"_n{i}"),
+            F.sum(xd).alias(f"_sx{i}"),
+            F.sum(yd).alias(f"_sy{i}"),
+            F.sum(xd * yd).alias(f"_sxy{i}"),
+            F.sum(xd * xd).alias(f"_sxx{i}"),
+            F.sum(yd * yd).alias(f"_syy{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = []
+    for i, (x, y) in enumerate(pairs):
+        n = F.col(f"_n{i}").cast("double")
+        sx, sy = F.col(f"_sx{i}"), F.col(f"_sy{i}")
+        sxy, sxx, syy = F.col(f"_sxy{i}"), F.col(f"_sxx{i}"), F.col(f"_syy{i}")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        )
+        structs.append(
+            F.struct(
+                F.lit(x).alias("x"),
+                F.lit(y).alias("y"),
+                F.col(f"_n{i}").alias("n_pairs"),
+                r.alias("corr"),
+            )
+        )
+    return _explode_cells(row, structs)
+
+
 def save_baseline(path: str, prof: dict) -> None:
     with open(path, "w") as f:
         json.dump(prof, f, sort_keys=True)

@@ -18,6 +18,7 @@ from xpshacl_spark.shapes import (
     Drift,
     ForeignKey,
     GroupMinCount,
+    MaxGap,
     MaxLength,
     MinInclusive,
     Monotonic,
@@ -29,7 +30,10 @@ from xpshacl_spark.shapes import (
 )
 
 
-def transcript_shapes(drift: Optional[Drift] = None) -> list[Shape]:
+def transcript_shapes(
+    drift: Optional[Drift] = None,
+    max_gap_seconds: Optional[float] = None,
+) -> list[Shape]:
     shapes = [
         Shape(
             "http://xpshacl.org/spark#TurnRowShape",
@@ -99,6 +103,20 @@ def transcript_shapes(drift: Optional[Drift] = None) -> list[Shape]:
             description="every conversation needs at least one assistant turn",
         ),
     ]
+    if max_gap_seconds is not None:
+        shapes.append(
+            Shape(
+                "http://xpshacl.org/spark#LatencyShape",
+                # rides TsOrderShape/TurnSeqShape's (conv_id, turn_idx)
+                # window — zero extra shuffles
+                (MaxGap(("conv_id",), "turn_idx", "ts", max_gap_seconds),),
+                name="LatencyShape",
+                description=(
+                    "consecutive turns must be no more than "
+                    f"{max_gap_seconds}s apart"
+                ),
+            )
+        )
     if drift is not None:
         shapes.append(
             Shape(
