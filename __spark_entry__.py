@@ -1067,6 +1067,18 @@ def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (Deequ's
+    MutualInformation analyzer): one (x,y) hash agg over the fact
+    table, both marginals and the total derived from the
+    pair-cardinality-sized relation itself (fact scanned ONCE),
+    broadcast joins, term sum rounded to 6dp on both engines."""
+    from xpshacl_spark.operators.profile import mutual_information_relation
+
+    d = _load(spark, sf_dir, "documents")
+    return mutual_information_relation(d, "lang", "source")
+
+
 def q_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explanation pipeline stage 1: violation signature dedup + md5
     signature ids (byte-parity with reference violation_kg.py:88-102)."""
@@ -2008,7 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~91 queries and a 50-slot window this guarantees no
+    # tail. With ~92 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
@@ -2018,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_conformance": q_conv_conformance,
         "q_entropy_documents": q_entropy_documents,
         "q_corr_lineitem": q_corr_lineitem,
+        "q_mi_documents": q_mi_documents,
         "q_transition_events": q_transition_events,
         "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
@@ -2780,6 +2793,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'mean', mean_nc FROM m "
             "WHERE mean_nc IS NULL OR mean_nc < 1.0 OR mean_nc > 1e9 "
             "UNION ALL SELECT 'row_count', CAST(rc AS DOUBLE) FROM m WHERE rc < 1"
+        ),
+        "q_mi_documents": (
+            "WITH p AS (SELECT lang AS x, source AS y, count(*) AS cxy "
+            "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY lang, source), "
+            "mx AS (SELECT x, sum(cxy) AS cx FROM p GROUP BY x), "
+            "my AS (SELECT y, sum(cxy) AS cy FROM p GROUP BY y), "
+            "t AS (SELECT sum(cxy) AS n FROM p) "
+            "SELECT 'lang' AS x, 'source' AS y, "
+            "CAST(sum(cxy) AS BIGINT) AS n_pairs, "
+            "round(sum((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "ln(CAST(n AS DOUBLE) * CAST(cxy AS DOUBLE) / "
+            "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))), 6) AS mi "
+            "FROM p JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t"
         ),
         "q_corr_lineitem": (
             "WITH s AS (SELECT "

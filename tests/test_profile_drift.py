@@ -296,3 +296,34 @@ def test_correlation_relation(spark):
     assert got[("x", "c")]["corr"] is None  # zero variance
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_mutual_information_relation(spark):
+    """mutual_information_relation: MI=0 for independent columns,
+    ln(2) for a deterministic 1-1 mapping of two equiprobable values,
+    and the fact table is scanned once (single Scan in the plan)."""
+    import math
+
+    from xpshacl_spark.operators.profile import mutual_information_relation
+
+    # deterministic bijection: MI = H(X) = ln 2
+    rows = [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information_relation(df, "x", "y").collect()[0]
+    assert r["n_pairs"] == 4
+    assert r["mi"] == pytest.approx(math.log(2), abs=1e-6)
+
+    # independent: every (x,y) combination equally likely -> MI 0
+    rows2 = [(a, b) for a in "ab" for b in "pq"]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = mutual_information_relation(df2, "x", "y").collect()[0]
+    assert r2["mi"] == pytest.approx(0.0, abs=1e-6)
+
+    out = mutual_information_relation(df, "x", "y")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # marginals + total derive from the pair relation: the pair-agg
+    # exchange is computed ONCE and the three derived branches attach
+    # as ReusedExchange — the fact table is scanned once
+    assert plan.count("ReusedExchange") == 3
+    assert "Window" not in plan

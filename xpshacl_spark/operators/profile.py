@@ -396,6 +396,56 @@ def correlation_relation(
     return _explode_cells(row, structs)
 
 
+def mutual_information_relation(
+    df: DataFrame, x: str, y: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    Deequ's MutualInformation analyzer. MI = Σ_xy p_xy·ln(n·c_xy /
+    (c_x·c_y)); rows with a NULL on either side are excluded.
+
+    Plan: ONE (x, y) hash aggregation over the fact table (the only
+    row-count-sized shuffle, map-side combined), then BOTH marginals
+    derived from the pair relation itself — c_x = Σ_y c_xy — so the
+    fact table is scanned once and everything downstream is
+    pair-cardinality-sized: two tiny aggs broadcast-joined back, one
+    term sum. Result rounded to 6 decimals (FP-order-dependent term
+    sum; unigram_logprob precedent). Returns 1 row (x, y, n_pairs,
+    mi); mi is NULL when no co-occurring rows exist. MI >= 0 up to
+    rounding; equals 0 iff independent."""
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    pairs = (
+        df.where(both)
+        .groupBy(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_cxy"))
+    )
+    mx = pairs.groupBy("_x").agg(F.sum("_cxy").alias("_cx"))
+    my = pairs.groupBy("_y").agg(F.sum("_cxy").alias("_cy"))
+    tot = pairs.agg(F.sum("_cxy").alias("_n"))
+    joined = (
+        pairs.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n").cast("double")
+    terms = joined.select(
+        F.col("_cxy"),
+        (
+            (F.col("_cxy").cast("double") / n)
+            * F.log(
+                n
+                * F.col("_cxy").cast("double")
+                / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+            )
+        ).alias("_t"),
+    )
+    out = terms.agg(
+        F.sum("_cxy").alias("n_pairs"), F.round(F.sum("_t"), 6).alias("mi")
+    )
+    return out.select(
+        F.lit(x).alias("x"), F.lit(y).alias("y"), "n_pairs", "mi"
+    )
+
+
 def save_baseline(path: str, prof: dict) -> None:
     with open(path, "w") as f:
         json.dump(prof, f, sort_keys=True)
