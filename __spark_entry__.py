@@ -1297,6 +1297,22 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α-weighted pretraining mix,
+    GPT-3-style): each source's share of a 30k-char budget is
+    sqrt(total)/Σsqrt(total) (α = 0.5 — math.sqrt/sqrt() are IEEE
+    correctly-rounded, so the rates are bit-identical across engines);
+    the oracle rebuilds the normalizer as the SAME left-associated
+    chain over the sorted source list and the same rate->hex-threshold
+    truncation as q_token_budget_mix."""
+    from xpshacl_spark.operators.sample import temperature_mix
+
+    d = _load(spark, sf_dir, "documents")
+    return temperature_mix(
+        d, "source", "n_chars", ["doc_id"], budget=30000.0, alpha=0.5, seed="tmix"
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_salted_skew_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """salt_partitions='auto' end-to-end on a DELIBERATELY skewed group
     key: ~70% of lineitem rows collapse onto one hot key (-1). The skew
@@ -2020,7 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # OLDEST (i.e. all entries absent from the previous round's
     # CORRECTNESS_r{N}.json), then (c) enough of the most-recently-proven
     # queries to fill slot 50; the freshest-proven remainder forms the
-    # tail. With ~92 queries and a 50-slot window this guarantees no
+    # tail. With ~93 queries and a 50-slot window this guarantees no
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
@@ -2031,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entropy_documents": q_entropy_documents,
         "q_corr_lineitem": q_corr_lineitem,
         "q_mi_documents": q_mi_documents,
+        "q_temperature_mix": q_temperature_mix,
         "q_transition_events": q_transition_events,
         "q_dense_turns_events": q_dense_turns_events,
         "q_stream_monotonic_events": q_stream_monotonic_events,
@@ -2514,6 +2531,38 @@ def _quantiles_sql() -> str:
         "FROM lineitem"
         for c in cols
         for q in qs
+    )
+
+
+def _temperature_mix_sql() -> str:
+    """Mirror of q_temperature_mix: sqrt-share rates rebuilt with the
+    ENGINE's exact double arithmetic — sqrt() is IEEE correctly-rounded
+    on both engines, the normalizer is the same left-associated '+'
+    chain over the sorted source list (an absent source COALESCEs to
+    +0.0, which is exact), and the rate->threshold truncation matches
+    rate_threshold()."""
+    budget = 30000.0
+    srcs = sorted([f"src{i}" for i in range(20)], key=str)
+    chain = " + ".join(
+        f"COALESCE((SELECT sqrt(CAST(t AS DOUBLE)) FROM tot "
+        f"WHERE source = '{s}'), 0.0)"
+        for s in srcs
+    )
+    rate = (
+        f"((({budget!r} * sqrt(CAST(t AS DOUBLE))) / stot) "
+        "/ CAST(t AS DOUBLE))"
+    )
+    return (
+        "WITH tot AS (SELECT source, sum(n_chars) AS t FROM documents "
+        "GROUP BY 1), "
+        f"s AS (SELECT {chain} AS stot), "
+        f"thr AS (SELECT tot.source, CASE WHEN {rate} >= 1.0 THEN 'g' "
+        f"ELSE lpad(lower(to_hex(CAST(trunc({rate} * 4294967296.0) "
+        "AS BIGINT))), 8, '0') END AS th FROM tot, s) "
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+        "JOIN thr ON d.source = thr.source "
+        "WHERE substr(md5('tmix' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) "
+        "< th"
     )
 
 
@@ -3262,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
             "round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) AS dup_ratio "
             "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
         ),
+        "q_temperature_mix": _temperature_mix_sql(),
         "q_token_budget_mix": (
             # VALUES list of (source, budget) mirrors MIX_BUDGETS; the
             # threshold recomputes rate_threshold()'s double arithmetic:

@@ -1088,3 +1088,38 @@ def test_simhash_null_text_and_duplicate_ids(spark):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=0).collect()}
     assert pairs.get((2, 3)) == 0  # the two NULL docs pair at hamming 0
+
+
+def test_temperature_mix(spark):
+    """temperature_mix: alpha<1 flattens the mixture (the small stratum
+    keeps a HIGHER fraction than the big one), an over-budgeted stratum
+    is kept whole (never up-sampled), membership is
+    partitioning-independent, and rates follow the sqrt-share formula."""
+    import math
+
+    from xpshacl_spark.operators.sample import temperature_mix
+
+    # 'big' has 100x the weight of 'small'
+    rows = [(i, "big", 100.0) for i in range(400)] + [
+        (1000 + i, "small", 4.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    out = temperature_mix(df, "source", "w", ["doc_id"], budget=8000.0, alpha=0.5)
+    kept = out.groupBy("source").count().collect()
+    frac = {r["source"]: r["count"] / (400 if r["source"] == "big" else 100) for r in kept}
+    # sqrt shares: sqrt(40000)=200, sqrt(400)=20 -> big gets 10/11 of
+    # budget but holds 100/101 of the weight: its keep RATE is lower
+    assert frac["small"] > frac["big"]
+    t_big, t_small = 40000.0, 400.0
+    s = math.sqrt(t_big) + math.sqrt(t_small)
+    exp_big = min(1.0, (8000.0 * math.sqrt(t_big) / s) / t_big)
+    assert frac["big"] == pytest.approx(exp_big, abs=0.08)  # hash sampling noise
+
+    # generous budget: every stratum kept whole, partitioning-stable
+    whole = temperature_mix(df, "source", "w", ["doc_id"], budget=1.0e9)
+    assert whole.count() == 500
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in temperature_mix(
+        df.repartition(7), "source", "w", ["doc_id"], budget=8000.0, alpha=0.5
+    ).collect()}
+    assert a == b

@@ -185,3 +185,53 @@ def budget_mix(
         t = totals.get(stratum)
         rates[stratum] = 0.0 if not t else min(1.0, budget / t)
     return stratified_sample(df, strata_col, rates, key_cols, default_rate, seed)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    budget: float,
+    alpha: float = 0.5,
+    seed: str = "tmix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the α-weighted pretraining
+    mix (GPT-3 §2.2 / multilingual-LM exponent-smoothed sampling,
+    publicly documented): stratum i receives share t_i^α / Σ_j t_j^α of
+    the total weight `budget`, so α < 1 flattens the natural mixture
+    (up-weights small sources, down-weights the web-crawl monolith)
+    and α = 1 degenerates to proportional (keep-rate uniform across
+    strata). Per-stratum keep rate = min(1, share·budget / t_i); a
+    stratum whose α-share exceeds its size is kept whole (no
+    up-sampling — repeat-epoch scheduling is a trainer concern).
+
+    Determinism across engines/partitionings: totals are exact sums;
+    α = 0.5 uses math.sqrt (IEEE correctly-rounded — bit-identical in
+    any engine, unlike pow); the normalizer Σ accumulates in
+    sorted-stratum order; membership is the same hash-threshold
+    predicate as every sampler here. Plan: one narrow totals groupBy
+    collected (one row per stratum), then a zero-shuffle CASE scan."""
+    import math
+
+    def _powa(t: float) -> float:
+        return math.sqrt(t) if alpha == 0.5 else t**alpha
+
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(strata_col).agg(F.sum(weight_col)).collect()
+        if r[0] is not None and r[1] is not None
+    }
+    items = sorted(totals.items(), key=lambda kv: str(kv[0]))
+    s_total = 0.0
+    for _, t in items:
+        if t > 0:
+            s_total += _powa(t)
+    rates = {}
+    for stratum, t in items:
+        if t <= 0 or s_total <= 0:
+            rates[stratum] = 0.0
+        else:
+            rates[stratum] = min(1.0, (budget * _powa(t) / s_total) / t)
+    return stratified_sample(df, strata_col, rates, key_cols, default_rate, seed)
