@@ -1229,6 +1229,30 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(d, "doc_id", "text", n=5)
 
 
+def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact-substring dedup at word granularity
+    (Lee et al. 2022): MAXIMAL duplicated word-8-gram spans per doc —
+    consecutive duplicated gram starts merged by gaps-and-islands into
+    one (doc_id, start_word, end_word, len_words) row. All keyed (gram
+    count agg -> occurrence join -> per-doc window), never pairwise."""
+    from xpshacl_spark.operators.dedup import exact_dup_spans
+
+    d = _load(spark, sf_dir, "documents")
+    return exact_dup_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REWRITE the span relation exists for: every maximal
+    duplicated 8-gram span removed from every doc's normalized word
+    sequence, per-row (doc_id, clean_text). Covered positions are
+    exploded linearly (never corpus-sized arrays) and the rebuild is a
+    per-doc array_sort(collect_list) bounded by doc length."""
+    from xpshacl_spark.operators.dedup import strip_dup_spans
+
+    d = _load(spark, sf_dir, "documents")
+    return strip_dup_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
 def q_path_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL sequence path (sh:path (o_custkey c_acctbal)): every
     order's CUSTOMER must have a non-negative balance — PathValue
@@ -2040,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query ever goes two consecutive rounds without a fresh driver row.
     return {
         # -- (a) NEW in r04
+        "q_dup_span_extract": q_dup_span_extract,
+        "q_strip_dup_spans": q_strip_dup_spans,
         "q_max_gap_events": q_max_gap_events,
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
@@ -2170,6 +2196,27 @@ _SHP_CTE = (
     "(SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df "
     f"FROM sh) WHERE df <= {JACCARD_DF_CAP})"
 )
+
+# exact-substring span CTE chain (operators.dedup.exact_dup_spans,
+# n=8, min_count=2): positioned 8-gram occurrences (NOT distinct) ->
+# corpus occurrence counts -> duplicated positions -> gaps-and-islands
+# -> maximal spans. DuckDB list slicing ws[i:i+7] is inclusive = 8
+# words, mirroring Spark's slice(ws, i, 8).
+_SPAN_CTES = (
+    f"nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "
+    "pshq AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS shingle "
+    "FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-7, 0)+1)) AS pos FROM nw)), "
+    "dupg AS (SELECT shingle FROM "
+    "(SELECT shingle, count(*) AS c FROM pshq GROUP BY 1) WHERE c >= 2), "
+    "duppos AS (SELECT doc_id, pos FROM pshq JOIN dupg USING (shingle)), "
+    "isl AS (SELECT doc_id, pos, pos - row_number() "
+    "OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM duppos), "
+    "spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS start_word, "
+    "CAST(max(pos)+7 AS INT) AS end_word, "
+    "CAST(max(pos)+7-min(pos)+1 AS INT) AS len_words "
+    "FROM isl GROUP BY doc_id, island)"
+)
+
 
 # double-precision cosine, same op order as operators.dedup.cosine
 def _cos_sql(a: str, b: str) -> str:
@@ -3296,6 +3343,24 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY source ORDER BY "
             "substr(md5('cap' || '|' || CAST(doc_id AS VARCHAR)), 1, 8), "
             "doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "q_dup_span_extract": (
+            f"WITH {_SPAN_CTES} "
+            "SELECT doc_id, start_word, end_word, len_words FROM spans"
+        ),
+        "q_strip_dup_spans": (
+            f"WITH {_SPAN_CTES}, "
+            "cov AS (SELECT DISTINCT doc_id, "
+            "unnest(range(start_word, end_word + 1)) AS pos FROM spans), "
+            "wrd AS (SELECT doc_id, pos, ws[pos] AS w FROM "
+            "(SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM nw)), "
+            "kept AS (SELECT wrd.doc_id, wrd.pos, wrd.w FROM wrd "
+            "LEFT JOIN cov ON wrd.doc_id = cov.doc_id AND wrd.pos = cov.pos "
+            "WHERE cov.doc_id IS NULL), "
+            "reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text "
+            "FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id"
         ),
         "q_dup_span_stats": (
             f"WITH nw AS (SELECT doc_id, {_NWORDS} AS ws FROM documents), "

@@ -1123,3 +1123,58 @@ def test_temperature_mix(spark):
         df.repartition(7), "source", "w", ["doc_id"], budget=8000.0, alpha=0.5
     ).collect()}
     assert a == b
+
+
+def test_exact_dup_spans_islands_and_within_doc(spark):
+    """Hand-built corpus: docs 1 and 2 share words 1..9 (two
+    overlapping dup 8-grams at pos 1,2 -> ONE maximal span 1..9);
+    doc 3 repeats its own 8-gram twice (within-doc duplication counts);
+    doc 4 is unique -> no span."""
+    from xpshacl_spark.operators.dedup import exact_dup_spans, strip_dup_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, shared + " xa xb xc"),
+        (2, shared + " ya yb yc"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 zz r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.start_word, r.end_word, r.len_words)
+        for r in exact_dup_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert spans == {
+        (1, 1, 9, 9),
+        (2, 1, 9, 9),
+        (3, 1, 8, 8),
+        (3, 10, 17, 8),
+    }
+
+    clean = {
+        r.doc_id: r.clean_text
+        for r in strip_dup_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert clean == {
+        1: "xa xb xc",
+        2: "ya yb yc",
+        3: "zz",
+        4: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+    }
+
+
+def test_strip_dup_spans_fully_covered_doc_empty(spark):
+    """A doc that is entirely duplicated text strips to the EMPTY
+    string but stays in the output (one row per input doc)."""
+    from xpshacl_spark.operators.dedup import strip_dup_spans
+
+    t = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "only six words here not eight")],
+        "doc_id long, text string",
+    )
+    clean = {
+        r.doc_id: r.clean_text
+        for r in strip_dup_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert clean == {1: "", 2: "", 3: "only six words here not eight"}

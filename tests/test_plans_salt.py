@@ -484,3 +484,20 @@ def test_sequence_checks_share_one_window(spark):
     plan = _plan(rep.violations)
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_exact_dup_spans_keyed_never_pairwise(spark):
+    """exact_dup_spans must stay keyed end-to-end: ONE gram-count
+    aggregate, ONE occurrence equi-join back, ONE per-doc window for
+    gaps-and-islands — never a gram-keyed self-join (k^2 rows per hot
+    gram) and never a cartesian."""
+    from xpshacl_spark.operators.dedup import exact_dup_spans
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(exact_dup_spans(df, "doc_id", "text", n=8))
+    assert plan.count("Join") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -902,3 +902,160 @@ def incremental_exact_dedup(
         F.col("_ck").alias("content_key"), F.col(id_col).alias("keep_id")
     )
     return kept.drop("_ck"), delta
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (suffix-array-style, word granularity)
+# ---------------------------------------------------------------------------
+
+
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Word n-gram occurrences WITH their start position: one row per
+    (doc_id, pos, shingle), pos = 1-based word index of the gram's
+    first word. Unlike `shingles` this is NOT distinct-per-doc —
+    within-doc repeats keep every occurrence, which is what span
+    extraction needs. Zero-shuffle scan (posexplode folds into the
+    consumer's exchange)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
+    k = F.size(ws) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        "doc_id", F.posexplode(grams).alias("_i", "shingle")
+    ).select("doc_id", (F.col("_i") + 1).cast("int").alias("pos"), "shingle")
+
+
+def exact_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated word spans per document — the word-granular
+    analog of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    word n-gram occurring >= min_count times corpus-wide (within-doc
+    repeats included) is duplicated text; runs of consecutive
+    duplicated gram starts merge into one maximal span. Returns
+    (doc_id, start_word, end_word, len_words), 1-based inclusive word
+    indexes into the normalized word sequence.
+
+    Plan (all keyed, no pairwise fan-out — this is why it scales where
+    pair enumeration cannot):
+      1. positioned gram scan (zero-shuffle),
+      2. gram occurrence counts: ONE hash agg keyed by shingle —
+         map-side combine pre-reduces hot grams per partition,
+      3. equi-join back (one row per occurrence, linear however hot
+         the gram),
+      4. gaps-and-islands: window partitioned by doc_id over the
+         DUPLICATED positions only — island = pos - row_number(),
+      5. per-island min/max agg -> maximal spans.
+    At 100 TB the only superlinear hazard would be a pairwise join;
+    there is none. The gram-count relation is vocabulary-sized; the
+    join and window shuffle O(total duplicated occurrences).
+
+    The reference engine has no substring-level dedup at all (its
+    dedup is violation-signature md5, violation_kg.py:88-102); this is
+    the training-pipeline operator its users need at corpus scale.
+    """
+    ps = positioned_shingles(df, id_col, text_col, n=n)
+    dup_grams = (
+        ps.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .where(F.col("_occ") >= min_count)
+        .select("shingle")
+    )
+    dup_pos = ps.join(dup_grams, "shingle").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("int").alias("start_word"),
+            (F.max("pos") + (n - 1)).cast("int").alias("end_word"),
+        )
+        .select(
+            "doc_id",
+            "start_word",
+            "end_word",
+            (F.col("end_word") - F.col("start_word") + 1)
+            .cast("int")
+            .alias("len_words"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every maximal duplicated span from every document,
+    returning (id_col, clean_text) over the normalized word sequence.
+
+    Removal semantics: ALL occurrences of duplicated spans are dropped
+    (deterministic, idempotent given the original corpus counts).
+    Training-data practice sometimes keeps ONE canonical occurrence;
+    that variant is an ownership assignment (e.g. min doc_id per gram,
+    exactly the `fingerprint_index` keep-rule) layered on the same
+    span relation — the span extraction, which is the scale-relevant
+    part, is shared.
+
+    Plan: spans -> explode to covered positions (linear in covered
+    words) -> left-anti against the positioned word scan -> per-doc
+    rebuild via array_sort(collect_list(struct(pos, word))) — per-doc
+    arrays are doc-length bounded, never corpus-sized.
+    """
+    spans = exact_dup_spans(df, id_col, text_col, n=n, min_count=min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start_word"), F.col("end_word"))
+        ).alias("pos"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"))
+    word_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "_i", "word"
+        ),
+    ).select("doc_id", (F.col("_i") + 1).cast("int").alias("pos"), "word")
+    kept = word_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "word"))
+            ).alias("_pw")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform(F.col("_pw"), lambda s: s["word"])
+            ).alias("clean_text"),
+        )
+    )
+    # docs whose every word was covered (or empty docs) keep an empty
+    # clean_text rather than vanishing
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+    )
