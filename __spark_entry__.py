@@ -1241,6 +1241,18 @@ def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules 5-6: per (doc, n) for n in (2,3,4,5,10), the most
+    frequent word n-gram's character-coverage fraction (top-n-gram
+    filter) and the character fraction covered by all n-grams occurring
+    >= 2 times (duplicated-n-gram filter). ONE text scan for ALL n —
+    the gram transform slices with the runtime n."""
+    from xpshacl_spark.operators.text import ngram_repetition_stats
+
+    d = _load(spark, sf_dir, "documents")
+    return ngram_repetition_stats(d, "doc_id", "text", ns=(2, 3, 4, 5, 10))
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup REWRITE the span relation exists for: every maximal
     duplicated 8-gram span removed from every doc's normalized word
@@ -2066,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) NEW in r04
         "q_dup_span_extract": q_dup_span_extract,
         "q_strip_dup_spans": q_strip_dup_spans,
+        "q_ngram_repetition": q_ngram_repetition,
         "q_max_gap_events": q_max_gap_events,
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
@@ -3347,6 +3360,35 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_span_extract": (
             f"WITH {_SPAN_CTES} "
             "SELECT doc_id, start_word, end_word, len_words FROM spans"
+        ),
+        "q_ngram_repetition": (
+            f"WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents), "
+            "st AS (SELECT doc_id, length(t) AS chars, "
+            "list_filter(string_split(t, ' '), w -> w <> '') AS ws FROM nt), "
+            "nn AS (SELECT unnest([2, 3, 4, 5, 10]) AS n), "
+            "occ AS (SELECT doc_id, chars, n, "
+            "unnest(list_transform(range(1, greatest(len(ws)-(n-1), 0)+1), "
+            "i -> array_to_string(ws[i:i+n-1], ' '))) AS gram "
+            "FROM st CROSS JOIN nn), "
+            "cnt AS (SELECT doc_id, n, gram, count(*) AS c "
+            "FROM occ GROUP BY 1, 2, 3), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rk FROM cnt), "
+            "topg AS (SELECT doc_id, n, gram AS top_ngram, "
+            "c*length(gram) AS cover FROM ranked WHERE rk = 1), "
+            "dupc AS (SELECT doc_id, n, sum(CASE WHEN c >= 2 "
+            "THEN c*length(gram) ELSE 0 END) AS dupchars "
+            "FROM cnt GROUP BY 1, 2), "
+            "sp AS (SELECT doc_id, chars, n FROM st CROSS JOIN nn) "
+            "SELECT sp.doc_id, sp.n, topg.top_ngram, "
+            "CASE WHEN sp.chars > 0 AND topg.cover IS NOT NULL THEN "
+            "round(topg.cover / CAST(sp.chars AS DOUBLE), 6) ELSE 0.0 END "
+            "AS top_char_frac, "
+            "CASE WHEN sp.chars > 0 AND topg.cover IS NOT NULL THEN "
+            "round(dupc.dupchars / CAST(sp.chars AS DOUBLE), 6) ELSE 0.0 END "
+            "AS dup_char_frac "
+            "FROM sp LEFT JOIN topg USING (doc_id, n) "
+            "LEFT JOIN dupc USING (doc_id, n)"
         ),
         "q_strip_dup_spans": (
             f"WITH {_SPAN_CTES}, "

@@ -1178,3 +1178,29 @@ def test_strip_dup_spans_fully_covered_doc_empty(spark):
         for r in strip_dup_spans(df, "doc_id", "text", n=8).collect()
     }
     assert clean == {1: "", 2: "", 3: "only six words here not eight"}
+
+
+def test_ngram_repetition_stats_hand_computed(spark):
+    """doc 1 = 'a b a b a b' (norm chars=11): top 2-gram 'a b' occurs 3x
+    covering 9 chars -> 9/11; dup 2-grams: 'a b' 3x(9) + 'b a' 2x(6) =
+    15/11 (per-occurrence coverage, may exceed 1). doc 2 has no repeats
+    -> dup 0; ties for top 2-gram break lexicographically ('x y').
+    doc 3 empty -> one row per n with NULL top and 0.0 fracs."""
+    from xpshacl_spark.operators.text import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.n): (r.top_ngram, r.top_char_frac, r.dup_char_frac)
+        for r in ngram_repetition_stats(df, ns=(2, 3)).collect()
+    }
+    assert len(out) == 6  # one row per (doc, n), empty doc included
+    assert out[(1, 2)] == ("a b", round(9 / 11, 6), round(15 / 11, 6))
+    # 3-grams: 'a b a' 2x (tie, lexicographic winner) + 'b a b' 2x ->
+    # dup coverage 2*5 + 2*5 = 20 chars
+    assert out[(1, 3)] == ("a b a", round(10 / 11, 6), round(20 / 11, 6))
+    assert out[(2, 2)] == ("x y", round(3 / 5, 6), 0.0)
+    assert out[(3, 2)] == (None, 0.0, 0.0)
+    assert out[(3, 3)] == (None, 0.0, 0.0)

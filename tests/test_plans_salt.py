@@ -501,3 +501,19 @@ def test_exact_dup_spans_keyed_never_pairwise(spark):
     assert plan.count("Join") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_repetition_single_scan_no_join(spark):
+    """ngram_repetition_stats computes every n in ONE pass: one text
+    scan, two keyed hash aggregates, and NO join (empty docs survive
+    via explode_outer, not a spine join) — the shuffle carries distinct
+    grams per doc, never occurrence-sized rows or pairs."""
+    from xpshacl_spark.operators.text import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    plan = _plan(ngram_repetition_stats(df, ns=(2, 3, 4)))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan

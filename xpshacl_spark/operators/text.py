@@ -431,3 +431,91 @@ def bpe_merge_candidates(
     return counted.orderBy(F.col("n_pairs").desc(), F.col("pair").asc()).limit(
         k
     )
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 4, 5, 10),
+) -> DataFrame:
+    """Gopher rule 5-6 n-gram repetition signals, one row per (doc, n):
+
+    * top_ngram / top_char_frac — the MOST FREQUENT word n-gram (ties
+      break to the lexicographically smallest) and the fraction of the
+      normalized text's characters its occurrences cover
+      (count * chars(gram) / chars(doc)); Gopher filters docs whose
+      top-{2,3,4}-gram fraction exceeds 0.20/0.18/0.16.
+    * dup_char_frac — characters covered by ALL n-grams occurring >= 2
+      times, summed per occurrence (count * chars(gram)) / chars(doc);
+      Gopher filters duplicated-{5..10}-gram fractions above
+      0.15..0.10. Overlapping occurrences are counted per-occurrence
+      (the standard Dolma/RedPajama reimplementation), so the raw
+      value can exceed 1 on degenerate inputs — thresholds live well
+      below that.
+
+    Plan: ONE text scan -> explode the n list (|ns| rows per doc, the
+    gram transform slices with the RUNTIME n so all n share one
+    codepath) -> explode_outer grams (empty docs keep a NULL-gram row,
+    so the relation always has exactly one row per (doc, n) after the
+    final agg — no spine join, same trick as repetition_stats) ->
+    hash agg counts on (doc, n, gram) with map-side combine -> per-
+    (doc, n) agg (min_by for the mode, conditional sum for dup
+    coverage). Shuffle carries distinct grams per doc — never
+    occurrence-sized — and nothing is pairwise."""
+    nt = F.trim(normalize_text(text_col))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(nt, " "), lambda w: w != "").alias("_ws"),
+        F.length(nt).alias("_chars"),
+        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
+    )
+    ws = F.col("_ws")
+    k = F.size(ws) - (F.col("n") - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.col("n"))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = staged.select(
+        "doc_id", "_chars", "n", F.explode_outer(grams).alias("gram")
+    )
+    cnt = occ.groupBy("doc_id", "n", "_chars", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    real = F.col("gram").isNotNull()
+    glen = F.length("gram")
+    per = cnt.groupBy("doc_id", "n", "_chars").agg(
+        F.min_by(
+            F.when(
+                real,
+                F.struct(
+                    F.col("gram").alias("g"), (F.col("c") * glen).alias("cover")
+                ),
+            ),
+            # non-null grams first, then count desc, then gram asc
+            F.struct(
+                F.col("gram").isNull().alias("z"),
+                (-F.col("c")).alias("a"),
+                F.col("gram").alias("b"),
+            ),
+        ).alias("_top"),
+        F.sum(
+            F.when(real & (F.col("c") >= 2), F.col("c") * glen).otherwise(0)
+        ).alias("_dupchars"),
+    )
+    chars = F.col("_chars").cast("double")
+    has = (F.col("_chars") > 0) & F.col("_top").isNotNull()
+    return per.select(
+        "doc_id",
+        "n",
+        F.col("_top.g").alias("top_ngram"),
+        F.when(has, F.round(F.col("_top.cover") / chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_char_frac"),
+        F.when(has, F.round(F.col("_dupchars") / chars, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_char_frac"),
+    )
