@@ -2019,6 +2019,54 @@ def q_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_anomalies(hist, window=7, threshold=0.5, min_history=3)
 
 
+def _daily_metric_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared history relation for the anomaly-strategy queries:
+    per-(event_type, day) counts with the deterministic 3x day-15 spike
+    (same seam as q_metric_anomalies)."""
+    ev = _load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("metric"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily.select(
+        "metric",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("run_order"),
+        (
+            F.col("n")
+            * F.when(F.dayofmonth("day") == 15, F.lit(3)).otherwise(F.lit(1))
+        )
+        .cast("double")
+        .alias("value"),
+    )
+
+
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ RelativeRateOfChangeStrategy over the manifest-metric
+    history: value/prev outside [0.5, 2.0] pages — the planted day-15
+    3x spike fires on the way up AND on the way back down. One lag
+    window per metric over the metadata-sized history."""
+    from xpshacl_spark.operators.anomaly import rate_of_change_anomalies
+
+    return rate_of_change_anomalies(
+        _daily_metric_history(spark, sf_dir), max_increase=2.0, max_decrease=0.5
+    )
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ OnlineNormalStrategy (batch form): |value - trailing mean|
+    > 3 trailing sample stds. Variance is the explicit textbook
+    one-pass form — fixed op order, bit-identical across engines for
+    count-valued metrics — NOT the engine's stddev_samp (Welford ulp
+    differences would break hash parity). ONE window, three shared
+    frame aggregates."""
+    from xpshacl_spark.operators.anomaly import zscore_anomalies
+
+    return zscore_anomalies(
+        _daily_metric_history(spark, sf_dir), window=7, z=3.0, min_history=3
+    )
+
+
 def q_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters per column (operators.profile.top_values): grouped
     count per column (map-side combine absorbs hot keys) + rank window
@@ -2079,6 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_extract": q_dup_span_extract,
         "q_strip_dup_spans": q_strip_dup_spans,
         "q_ngram_repetition": q_ngram_repetition,
+        "q_rate_anomalies": q_rate_anomalies,
+        "q_zscore_anomalies": q_zscore_anomalies,
         "q_max_gap_events": q_max_gap_events,
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
@@ -2228,6 +2278,18 @@ _SPAN_CTES = (
     "CAST(max(pos)+7 AS INT) AS end_word, "
     "CAST(max(pos)+7-min(pos)+1 AS INT) AS len_words "
     "FROM isl GROUP BY doc_id, island)"
+)
+
+
+# manifest-metric history (per-(event_type, day) counts, 3x day-15
+# spike) shared by the three anomaly-strategy oracles
+_HIST_CTES = (
+    "daily AS (SELECT event_type AS metric, "
+    "CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), "
+    "hist AS (SELECT metric, "
+    "CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS run_order, "
+    "CAST(n * (CASE WHEN date_part('day', day) = 15 THEN 3 ELSE 1 END) "
+    "AS DOUBLE) AS value FROM daily)"
 )
 
 
@@ -3707,6 +3769,35 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_pairs DESC, pair ASC LIMIT 50"
         ),
         "q_suggest_shapes": _suggest_sql(),
+        "q_rate_anomalies": (
+            f"WITH {_HIST_CTES}, "
+            "scored AS (SELECT metric, run_order, value, "
+            "lag(value) OVER (PARTITION BY metric ORDER BY run_order) "
+            "AS prev_value FROM hist) "
+            "SELECT metric, run_order, value, prev_value, "
+            "value / prev_value AS rate FROM scored "
+            "WHERE prev_value IS NOT NULL AND prev_value > 0 "
+            "AND (value / prev_value > 2.0 OR value / prev_value < 0.5)"
+        ),
+        "q_zscore_anomalies": (
+            # explicit textbook variance, same op order as
+            # anomaly.zscore_anomalies -> bit-identical doubles
+            f"WITH {_HIST_CTES}, "
+            "scored AS (SELECT metric, run_order, value, "
+            "sum(value) OVER w AS s1, sum(value * value) OVER w AS s2, "
+            "count(value) OVER w AS n FROM hist "
+            "WINDOW w AS (PARTITION BY metric ORDER BY run_order "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+            "derived AS (SELECT metric, run_order, value, n, "
+            "s1 / CAST(n AS DOUBLE) AS baseline_mean, "
+            "sqrt(greatest((s2 - s1 * s1 / CAST(n AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) - 1), 0.0)) AS baseline_std FROM scored) "
+            "SELECT metric, run_order, value, "
+            "round(baseline_mean, 6) AS baseline_mean, "
+            "round(baseline_std, 6) AS baseline_std, n AS n_history "
+            "FROM derived WHERE n >= 3 AND baseline_std > 0 "
+            "AND abs(value - baseline_mean) > 3.0 * baseline_std"
+        ),
         "q_metric_anomalies": (
             # identical expression sequence -> bit-identical doubles
             # (integer-valued counts; exact sums; one division each)

@@ -103,3 +103,55 @@ def test_history_from_manifests_cross_run(spark, tmp_path):
     ]
     with pytest.raises(FileNotFoundError):
         history_from_manifests(spark, [str(tmp_path / "nope")])
+
+
+def test_rate_of_change_flags_both_directions(spark):
+    """3x spike then recovery: the up-leg (rate 3) and down-leg
+    (rate 1/3) both fire; steady points and the no-prior first point
+    never do; a zero previous value yields no ratio, not a flag."""
+    from xpshacl_spark.operators.anomaly import rate_of_change_anomalies
+
+    hist = spark.createDataFrame(
+        [("m", 1.0, 100.0), ("m", 2.0, 100.0), ("m", 3.0, 300.0),
+         ("m", 4.0, 100.0), ("z", 1.0, 0.0), ("z", 2.0, 50.0)],
+        "metric string, run_order double, value double",
+    )
+    out = {
+        (r.metric, r.run_order): r.rate
+        for r in rate_of_change_anomalies(hist).collect()
+    }
+    assert out == {("m", 3.0): 3.0, ("m", 4.0): 100.0 / 300.0}
+
+
+def test_zscore_textbook_variance_and_warmup(spark):
+    """Constant history has std 0 -> never flagged (no division blowup);
+    a varied history flags only the 3-sigma outlier; fewer than
+    min_history prior points never flag."""
+    from xpshacl_spark.operators.anomaly import zscore_anomalies
+
+    rows = [("m", float(i), v) for i, v in enumerate(
+        [10.0, 12.0, 11.0, 10.0, 11.0, 12.0, 11.0, 60.0]
+    )] + [("c", float(i), 5.0) for i in range(8)]
+    hist = spark.createDataFrame(
+        rows, "metric string, run_order double, value double"
+    )
+    out = zscore_anomalies(hist, window=7, z=3.0, min_history=3).collect()
+    assert [(r.metric, r.run_order, r.value) for r in out] == [("m", 7.0, 60.0)]
+    r = out[0]
+    import statistics
+    prior = [10.0, 12.0, 11.0, 10.0, 11.0, 12.0, 11.0]
+    assert r.baseline_mean == round(sum(prior) / 7, 6)
+    assert abs(r.baseline_std - statistics.stdev(prior)) < 1e-6
+    assert r.n_history == 7
+
+
+def test_zscore_param_validation(spark):
+    from xpshacl_spark.operators.anomaly import zscore_anomalies
+
+    hist = spark.createDataFrame(
+        [("m", 1.0, 1.0)], "metric string, run_order double, value double"
+    )
+    with pytest.raises(ValueError):
+        zscore_anomalies(hist, window=1)
+    with pytest.raises(ValueError):
+        zscore_anomalies(hist, window=5, min_history=6)

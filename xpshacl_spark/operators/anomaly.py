@@ -125,3 +125,115 @@ def history_from_manifests(
     return spark.createDataFrame(
         rows, "metric string, run_order double, value double, run_id string"
     )
+
+
+def rate_of_change_anomalies(
+    history: DataFrame,
+    metric_col: str = "metric",
+    order_col: str = "run_order",
+    value_col: str = "value",
+    *,
+    max_increase: float = 2.0,
+    max_decrease: float = 0.5,
+) -> DataFrame:
+    """Deequ RelativeRateOfChangeStrategy: per metric in run order,
+    rate = value / previous value; a row is anomalous when the rate
+    exceeds ``max_increase`` or falls below ``max_decrease``. Rows with
+    no prior point, or a prior value <= 0 (no meaningful ratio), are
+    never flagged. One lag window per metric over the metadata-sized
+    history — same plan shape as metric_anomalies. Doubles are one
+    division on both engines, so the relation value-oracles exactly
+    for count-valued metrics."""
+    w = Window.partitionBy(metric_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v).over(w)
+    return (
+        history.select(
+            F.col(metric_col).alias("metric"),
+            F.col(order_col).alias("run_order"),
+            v.alias("value"),
+            prev.alias("prev_value"),
+        )
+        .withColumn("rate", F.col("value") / F.col("prev_value"))
+        .where(
+            F.col("prev_value").isNotNull()
+            & (F.col("prev_value") > 0)
+            & (
+                (F.col("rate") > F.lit(max_increase))
+                | (F.col("rate") < F.lit(max_decrease))
+            )
+        )
+        .select("metric", "run_order", "value", "prev_value", "rate")
+    )
+
+
+def zscore_anomalies(
+    history: DataFrame,
+    metric_col: str = "metric",
+    order_col: str = "run_order",
+    value_col: str = "value",
+    *,
+    window: int = 7,
+    z: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Deequ OnlineNormalStrategy, batch form: per metric, trailing
+    sample mean and standard deviation over up to ``window`` preceding
+    points (never including the current one); a row is anomalous when
+    ``|value - mean| > z * std`` with at least ``min_history`` prior
+    points and a strictly positive std.
+
+    The variance is computed EXPLICITLY as
+    (sum(v^2) - sum(v)^2/n) / (n-1) — the textbook one-pass form with a
+    fixed operation order — rather than the engine's stddev_samp, whose
+    internal algorithm (Welford vs naive) differs across engines by an
+    ulp and would break value-hash parity; for count-valued metrics
+    every sum is exact in double, making the whole relation
+    bit-reproducible on any ANSI engine (same convention as
+    profile.correlation_relation). Plan: ONE window (partitionBy
+    metric, ROWS [-window, -1]) carrying three shared frame aggregates."""
+    if window < 2 or min_history < 2 or min_history > window:
+        raise ValueError(
+            f"need 2 <= min_history <= window, got {min_history}/{window}"
+        )
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    n = F.count(v).over(w)
+    staged = history.select(
+        F.col(metric_col).alias("metric"),
+        F.col(order_col).alias("run_order"),
+        v.alias("value"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        n.alias("_n"),
+    )
+    nn = F.col("_n").cast("double")
+    mean = F.col("_s1") / nn
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / nn) / (nn - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        staged.withColumn("baseline_mean", mean)
+        .withColumn("baseline_std", std)
+        .where(
+            (F.col("_n") >= min_history)
+            & (F.col("baseline_std") > 0)
+            & (
+                F.abs(F.col("value") - F.col("baseline_mean"))
+                > F.lit(z) * F.col("baseline_std")
+            )
+        )
+        .select(
+            "metric",
+            "run_order",
+            "value",
+            F.round("baseline_mean", 6).alias("baseline_mean"),
+            F.round("baseline_std", 6).alias("baseline_std"),
+            F.col("_n").alias("n_history"),
+        )
+    )
