@@ -2174,13 +2174,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join_events": q_interval_join_events,
         "q_asof_join_events": q_asof_join_events,
         # -- (a) CHANGED in r04: stop-shingle prune rewritten to agg +
-        # -- broadcast anti-join; simhash_pairs refactored to expose the
-        # -- fingerprint cache handle
+        # -- anti-join; simhash_pairs refactored to expose the
+        # -- fingerprint cache handle. With 98 queries the 50-slot
+        # -- window ends here: the two DIRECTLY-rewritten entries
+        # -- (jaccard drives the new prune; simhash_pairs the new cache
+        # -- API) take the last in-window slots; the three
+        # -- TRANSITIVELY-changed consumers (decontaminate/corpus_prep/
+        # -- clusters) stay r03-proven + local-mirror-green and lead
+        # -- the r05 head.
         "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_decontaminate": q_decontaminate,
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         # -- (c) r03-proven rotation filling the window to slot 50 (the
         # -- cutoff is positional: entries below slot 50 spill into the
         # -- tail and simply stay r03-proven — first in line for r05)
