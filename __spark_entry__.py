@@ -1253,6 +1253,20 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition_stats(d, "doc_id", "text", ns=(2, 3, 4, 5, 10))
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/LLaMA "looks like the
+    reference corpus"): Bernoulli naive-Bayes word weights trained
+    against source in (src0, src1) as the reference class, every doc
+    scored by its mean word weight — train + score in ONE lazy plan,
+    one distinct-(doc, word) scan feeding both stages."""
+    from xpshacl_spark.operators.text import nb_quality_scores
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "is_ref", F.col("source").isin("src0", "src1")
+    )
+    return nb_quality_scores(d, "doc_id", "text", "is_ref")
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup REWRITE the span relation exists for: every maximal
     duplicated 8-gram span removed from every doc's normalized word
@@ -2129,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_repetition": q_ngram_repetition,
         "q_rate_anomalies": q_rate_anomalies,
         "q_zscore_anomalies": q_zscore_anomalies,
+        "q_nb_quality": q_nb_quality,
         "q_max_gap_events": q_max_gap_events,
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
@@ -3428,6 +3443,31 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_span_extract": (
             f"WITH {_SPAN_CTES} "
             "SELECT doc_id, start_word, end_word, len_words FROM spans"
+        ),
+        "q_nb_quality": (
+            # identical expression tree: a = (dfp+0.5)/(P+1),
+            # b = (dfn+0.5)/(N+1), ln(a/b); round-6 absorbs ln/order ulps
+            f"WITH lab AS (SELECT doc_id, source IN ('src0', 'src1') "
+            f"AS is_ref, {_NORM} AS t FROM documents), "
+            "W AS (SELECT DISTINCT doc_id, is_ref, word FROM "
+            "(SELECT doc_id, is_ref, "
+            "unnest(list_filter(string_split(t, ' '), w -> w <> '')) "
+            "AS word FROM lab)), "
+            "tot AS (SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS P, "
+            "count(*) - sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS N "
+            "FROM lab), "
+            "stats AS (SELECT word, "
+            "sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS dfp, "
+            "count(*) AS dft FROM W GROUP BY 1), "
+            "wts AS (SELECT word, ln(((dfp + 0.5) / (P + 1)) / "
+            "((dft - dfp + 0.5) / (N + 1))) AS w "
+            "FROM stats CROSS JOIN tot), "
+            "sc AS (SELECT doc_id, round(sum(w) / count(*), 6) AS score, "
+            "CAST(count(*) AS INT) AS n_scored_words "
+            "FROM W JOIN wts USING (word) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(sc.score, 0.0) AS score, "
+            "coalesce(sc.n_scored_words, 0) AS n_scored_words "
+            "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
         "q_ngram_repetition": (
             f"WITH nt AS (SELECT doc_id, {_NORM} AS t FROM documents), "

@@ -1204,3 +1204,44 @@ def test_ngram_repetition_stats_hand_computed(spark):
     assert out[(2, 2)] == ("x y", round(3 / 5, 6), 0.0)
     assert out[(3, 2)] == (None, 0.0, 0.0)
     assert out[(3, 3)] == (None, 0.0, 0.0)
+
+
+def test_nb_quality_separates_classes(spark):
+    """Reference docs share a marker vocabulary; non-reference docs a
+    different one. Every reference doc must outscore every
+    non-reference doc; a shared-vocab doc lands between; a wordless
+    doc scores 0.0 with n_scored_words 0."""
+    from xpshacl_spark.operators.text import nb_quality_scores
+
+    rows = [
+        (1, "good fine clean prose", True),
+        (2, "good clean text here", True),
+        (3, "spam junk click now", False),
+        (4, "junk spam buy now", False),
+        (5, "good spam", False),
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+    out = {r.doc_id: (r.score, r.n_scored_words)
+           for r in nb_quality_scores(df).collect()}
+    assert out[6] == (0.0, 0)
+    ref_scores = [out[1][0], out[2][0]]
+    bad_scores = [out[3][0], out[4][0]]
+    assert min(ref_scores) > out[5][0] > max(bad_scores)
+    assert out[1][1] == 4 and out[6][1] == 0
+
+
+def test_nb_quality_single_corpus_scan_no_collect(spark):
+    """Train + score must stay ONE lazy plan: no cartesian blowup (the
+    only cross join is the broadcast 1-row totals), and the scoring
+    join is keyed by word."""
+    from xpshacl_spark.operators.text import nb_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "b c", False)],
+        "doc_id long, text string, is_ref boolean",
+    )
+    plan = nb_quality_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # broadcast 1-row totals is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

@@ -519,3 +519,72 @@ def ngram_repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_char_frac"),
     )
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_ref",
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet/LLaMA-style "looks like
+    the reference corpus" classifier): train a Bernoulli naive-Bayes
+    word model against a boolean reference label and score every doc —
+    BOTH stages in one lazy plan, no driver-side training loop.
+
+    Per word (distinct per doc):
+        w(word) = ln(((dfp + 0.5) / (P + 1)) / ((dfn + 0.5) / (N + 1)))
+    where dfp/dfn are the word's reference/non-reference document
+    frequencies and P/N the class doc totals (Laplace 0.5). Per doc:
+        score = round(mean of w over its distinct words, 6)
+    (0.0 and n_scored_words = 0 for wordless docs). Positive score =
+    reference-like; filter below a threshold.
+
+    Plan: ONE distinct-(doc, word) scan feeds BOTH the vocab-sized
+    weight agg and the scoring join (self-reuse, no second corpus
+    read); class totals are a 1-row agg cross-joined broadcast into the
+    weight relation (never collected); the scoring join is keyed by
+    word with map-side combine absorbing hot words. Rounding to 6
+    decimals absorbs the sub-ulp double drift of ln and of partition-
+    order float summation (same convention as unigram_logprob)."""
+    words_arr = F.array_distinct(
+        F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
+    )
+    W = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("boolean").alias("_ref"),
+        F.explode(words_arr).alias("word"),
+    )
+    totals = df.select(
+        F.sum(F.col(label_col).cast("boolean").cast("long")).alias("_P"),
+        F.count(F.lit(1)).alias("_T"),
+    ).select("_P", (F.col("_T") - F.col("_P")).alias("_N"))
+    stats = W.groupBy("word").agg(
+        F.sum(F.col("_ref").cast("long")).alias("_dfp"),
+        F.count(F.lit(1)).alias("_dft"),
+    )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.log(
+            ((F.col("_dfp") + 0.5) / (F.col("_P") + 1))
+            / ((F.col("_dft") - F.col("_dfp") + 0.5) / (F.col("_N") + 1))
+        ).alias("_w"),
+    )
+    scored = (
+        W.select("doc_id", "word")
+        .join(weights, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_scored_words"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.coalesce("n_scored_words", F.lit(0)).alias("n_scored_words"),
+        )
+    )
