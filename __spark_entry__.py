@@ -1253,6 +1253,36 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition_stats(d, "doc_id", "text", ns=(2, 3, 4, 5, 10))
 
 
+def q_conv_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly + conversation-level dedup (the
+    transcripts-payload bridge to the doc-level operators): each user's
+    events in stable (ts, event_id) order render as one 'role: text'
+    transcript document — ONE grouped agg, per-group array_sort, no
+    window over the full relation — then conversation_duplicates marks
+    transcript-identical conversations with the min-key survivor rule.
+    The full transcript string stays out of the result (md5 + stats
+    only), so the relation is metadata-sized at any scale."""
+    from xpshacl_spark.operators.conversations import (
+        assemble_conversations,
+        conversation_duplicates,
+    )
+
+    e = _load(spark, sf_dir, "events")
+    conv = assemble_conversations(
+        e,
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+        "props",
+        ts_col="ts",
+    )
+    dup = conversation_duplicates(conv, ["user_id"])
+    return dup.select(
+        "user_id", "n_turns", "transcript_md5", "n_same_transcript", "keep",
+        "duration_us",
+    )
+
+
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (CCNet/LLaMA "looks like the
     reference corpus"): Bernoulli naive-Bayes word weights trained
@@ -2144,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rate_anomalies": q_rate_anomalies,
         "q_zscore_anomalies": q_zscore_anomalies,
         "q_nb_quality": q_nb_quality,
+        "q_conv_assembly": q_conv_assembly,
         "q_max_gap_events": q_max_gap_events,
         "q_fd_orders": q_fd_orders,
         "q_dataset_metrics_documents": q_dataset_metrics_documents,
@@ -3443,6 +3474,19 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_span_extract": (
             f"WITH {_SPAN_CTES} "
             "SELECT doc_id, start_word, end_word, len_words FROM spans"
+        ),
+        "q_conv_assembly": (
+            "WITH conv AS (SELECT user_id, CAST(count(*) AS INT) AS n_turns, "
+            "md5(string_agg(event_type || ': ' || coalesce(props, ''), "
+            "chr(10) ORDER BY ts, event_id)) AS transcript_md5, "
+            "date_diff('microsecond', min(ts), max(ts)) AS duration_us "
+            "FROM events GROUP BY user_id), "
+            "grp AS (SELECT transcript_md5, CAST(count(*) AS INT) "
+            "AS n_same_transcript, min(user_id) AS keeper "
+            "FROM conv GROUP BY 1) "
+            "SELECT c.user_id, c.n_turns, c.transcript_md5, "
+            "g.n_same_transcript, c.user_id = g.keeper AS keep, "
+            "c.duration_us FROM conv c JOIN grp g USING (transcript_md5)"
         ),
         "q_nb_quality": (
             # identical expression tree: a = (dfp+0.5)/(P+1),

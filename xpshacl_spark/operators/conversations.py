@@ -1,0 +1,119 @@
+"""Conversation assembly: turn-level rows -> conversation-level docs.
+
+The transcripts-payload bridge between the validation engine (which
+works turn-level, keyed by (conv_id, turn_idx)) and the corpus
+operators (dedup / quality / packing, which work doc-level): assemble
+each conversation's turns, in stable turn order, into ONE transcript
+document plus rollup stats, so conversation-level dedup is exactly
+`exact_duplicates` (or MinHash/SimHash) over the assembled relation.
+
+Scale design: ONE hash aggregation keyed by the conversation columns.
+Turn order inside a conversation is restored by
+array_sort(collect_list(struct(order_cols..., line))) — struct compare
+is lexicographic over the order columns, and the per-conversation
+array is bounded by conversation length (thousands of turns), never
+corpus-sized, so collect_list here is the per-group rollup Spark's agg
+buffers are built for, not a driver-side collect. No window, no join:
+a grouped agg lets map-side combine absorb turn-count skew between
+conversations (a window over (conv, turn) would sort the full relation
+instead).
+
+The reference has no conversation assembly (it validates per-focus-node
+triples); the north rule's multi-turn transcript table makes the
+conversation the natural unit of dedup and quality filtering, so the
+operator exists here as a first-class relation builder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xpshacl_spark.operators.text import normalize_text  # noqa: F401 (re-export convenience)
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_cols: Sequence[str],
+    order_cols: Sequence[str],
+    role_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """One row per conversation: (conv_cols..., n_turns, transcript,
+    transcript_md5[, duration_us]).
+
+    transcript = turns in (order_cols...) order, each rendered as
+    "role: text" (NULL text renders as empty), joined by ``sep``.
+    transcript_md5 is the conversation's content fingerprint — group
+    on it (or feed the transcript to the dedup operators) for
+    conversation-level dedup. With ``ts_col``, duration_us is the
+    exact integer microsecond span between the first and last turn
+    (min/max in the same agg; no second pass)."""
+    conv_cols = list(conv_cols)
+    order_cols = list(order_cols)
+    line = F.concat(
+        F.col(role_col).cast("string"),
+        F.lit(": "),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+    )
+    keyed = df.select(
+        *conv_cols,
+        *(
+            [F.col(ts_col).alias("_ts")] if ts_col else []
+        ),
+        F.struct(
+            *[F.col(c) for c in order_cols], line.alias("_line")
+        ).alias("_turn"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.array_sort(F.collect_list("_turn")).alias("_turns"),
+    ]
+    if ts_col:
+        # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_micros rejects NTZ); exact integer microseconds
+        aggs.append(
+            F.expr(
+                "timestampdiff(MICROSECOND, min(_ts), max(_ts))"
+            ).alias("duration_us")
+        )
+    agg = keyed.groupBy(*conv_cols).agg(*aggs)
+    transcript = F.concat_ws(
+        sep, F.transform(F.col("_turns"), lambda t: t["_line"])
+    )
+    out_cols = [
+        *conv_cols,
+        F.col("n_turns"),
+        transcript.alias("transcript"),
+        F.md5(transcript.cast("binary")).alias("transcript_md5"),
+    ]
+    if ts_col:
+        out_cols.append(F.col("duration_us"))
+    return agg.select(*out_cols)
+
+
+def conversation_duplicates(
+    assembled: DataFrame, conv_cols: Sequence[str]
+) -> DataFrame:
+    """Conversation-level exact dedup over an assembled relation: adds
+    n_same_transcript (how many conversations share this transcript)
+    and keep (true for the min-key conversation of each group — the
+    same survivor rule as dedup.exact_duplicates). One agg on the md5
+    + one keyed equi-join back; never a self-join on transcripts."""
+    conv_cols = list(conv_cols)
+    groups = assembled.groupBy("transcript_md5").agg(
+        F.count(F.lit(1)).cast("int").alias("n_same_transcript"),
+        F.min(F.struct(*[F.col(c) for c in conv_cols])).alias("_keeper"),
+    )
+    joined = assembled.join(groups, "transcript_md5")
+    keep = F.struct(*[F.col(c) for c in conv_cols]) == F.col("_keeper")
+    return joined.select(
+        *[c for c in assembled.columns],
+        "n_same_transcript",
+        keep.alias("keep"),
+    )
