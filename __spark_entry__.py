@@ -2217,19 +2217,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_and_nodekind_part": q_and_nodekind_part,
         "q_explanations": q_explanations,
         "q_sessionize_events": q_sessionize_events,
-        "q_interval_join_events": q_interval_join_events,
-        "q_asof_join_events": q_asof_join_events,
         # -- (a) CHANGED in r04: stop-shingle prune rewritten to agg +
         # -- anti-join; simhash_pairs refactored to expose the
-        # -- fingerprint cache handle. With 98 queries the 50-slot
-        # -- window ends here: the two DIRECTLY-rewritten entries
-        # -- (jaccard drives the new prune; simhash_pairs the new cache
-        # -- API) take the last in-window slots; the three
-        # -- TRANSITIVELY-changed consumers (decontaminate/corpus_prep/
-        # -- clusters) stay r03-proven + local-mirror-green and lead
-        # -- the r05 head.
+        # -- fingerprint cache handle; shingle inputs rebalanced when
+        # -- narrow. With 100 queries the 50-slot window ends here: the
+        # -- two DIRECTLY-rewritten entries (jaccard drives the new
+        # -- prune; simhash_pairs the new cache API) take the last
+        # -- in-window slots; the TRANSITIVELY-changed consumers
+        # -- (decontaminate/corpus_prep/clusters) and the two LRU
+        # -- entries they displace (interval_join/asof_join_events,
+        # -- unchanged plans, r01/r02-proven, mirror-green at two SFs)
+        # -- lead the r05 head.
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_interval_join_events": q_interval_join_events,
+        "q_asof_join_events": q_asof_join_events,
         "q_decontaminate": q_decontaminate,
         "q_corpus_prep": q_corpus_prep,
         "q_dedup_clusters": q_dedup_clusters,
