@@ -1288,7 +1288,9 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference corpus"): Bernoulli naive-Bayes word weights trained
     against source in (src0, src1) as the reference class, every doc
     scored by its mean word weight — train + score in ONE lazy plan,
-    one distinct-(doc, word) scan feeding both stages."""
+    the distinct-(doc, word) relation feeding both stages (two explode
+    passes at this scale; the persist_words seam materializes it once
+    on a large corpus)."""
     from xpshacl_spark.operators.text import nb_quality_scores
 
     d = _load(spark, sf_dir, "documents").withColumn(

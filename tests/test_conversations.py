@@ -74,3 +74,20 @@ def test_assembly_plan_one_agg_no_window(spark):
     )
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_duplicates_single_assembly_pass(spark):
+    """conversation_duplicates must NOT re-assemble: exactly one
+    collect_list aggregation (partial+final) in the whole plan — the
+    md5 grouping is a window over the conversation-level relation."""
+    df = spark.createDataFrame(
+        [("a", 1, "u", "x"), ("b", 1, "u", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    conv = assemble_conversations(df, ["conv_id"], ["turn_idx"], "role", "text")
+    plan = (
+        conversation_duplicates(conv, ["conv_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("collect_list") <= 2, plan  # one partial + one final
+    assert "Join" not in plan, plan

@@ -103,17 +103,23 @@ def conversation_duplicates(
     """Conversation-level exact dedup over an assembled relation: adds
     n_same_transcript (how many conversations share this transcript)
     and keep (true for the min-key conversation of each group — the
-    same survivor rule as dedup.exact_duplicates). One agg on the md5
-    + one keyed equi-join back; never a self-join on transcripts."""
+    same survivor rule as dedup.exact_duplicates).
+
+    Shape: ONE md5-partitioned window over the CONVERSATION-level
+    relation (frame aggregates, no orderBy frame). The groupBy +
+    join-back alternative references the assembled relation twice,
+    which Spark plans as TWO full turn-level assemblies — the window
+    keeps assembly single-pass, and its sort is over the
+    conversation-level rows (corpus-row-count / avg-turns), never the
+    turn relation. Identical-transcript groups are dup clusters —
+    small by nature — so the md5 partitioning has no skew hazard."""
+    from pyspark.sql import Window
+
     conv_cols = list(conv_cols)
-    groups = assembled.groupBy("transcript_md5").agg(
-        F.count(F.lit(1)).cast("int").alias("n_same_transcript"),
-        F.min(F.struct(*[F.col(c) for c in conv_cols])).alias("_keeper"),
-    )
-    joined = assembled.join(groups, "transcript_md5")
-    keep = F.struct(*[F.col(c) for c in conv_cols]) == F.col("_keeper")
-    return joined.select(
+    w = Window.partitionBy("transcript_md5")
+    key = F.struct(*[F.col(c) for c in conv_cols])
+    return assembled.select(
         *[c for c in assembled.columns],
-        "n_same_transcript",
-        keep.alias("keep"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_same_transcript"),
+        (key == F.min(key).over(w)).alias("keep"),
     )

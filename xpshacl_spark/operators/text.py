@@ -545,6 +545,8 @@ def nb_quality_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "is_ref",
+    *,
+    persist_words: bool = False,
 ) -> DataFrame:
     """Model-based quality filtering (the CCNet/LLaMA-style "looks like
     the reference corpus" classifier): train a Bernoulli naive-Bayes
@@ -559,13 +561,18 @@ def nb_quality_scores(
     (0.0 and n_scored_words = 0 for wordless docs). Positive score =
     reference-like; filter below a threshold.
 
-    Plan: ONE distinct-(doc, word) scan feeds BOTH the vocab-sized
-    weight agg and the scoring join (self-reuse, no second corpus
-    read); class totals are a 1-row agg cross-joined broadcast into the
-    weight relation (never collected); the scoring join is keyed by
-    word with map-side combine absorbing hot words. Rounding to 6
-    decimals absorbs the sub-ulp double drift of ln and of partition-
-    order float summation (same convention as unigram_logprob)."""
+    Plan: the distinct-(doc, word) relation feeds the vocab-sized
+    weight agg AND the scoring join; Spark plans the two consumers as
+    two explode passes over the corpus text — pass
+    ``persist_words=True`` to materialize the relation once
+    (MEMORY_AND_DISK) when the corpus is large, and unpersist via the
+    returned DataFrame's lineage when done (same caller-owned-cache
+    convention as dedup.simhash_pairs). Class totals are a 1-row agg
+    cross-joined broadcast into the weight relation (never collected);
+    the scoring join is keyed by word with map-side combine absorbing
+    hot words. Rounding to 6 decimals absorbs the sub-ulp double drift
+    of ln and of partition-order float summation (same convention as
+    unigram_logprob)."""
     words_arr = F.array_distinct(
         F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
     )
@@ -574,6 +581,10 @@ def nb_quality_scores(
         F.col(label_col).cast("boolean").alias("_ref"),
         F.explode(words_arr).alias("word"),
     )
+    if persist_words:
+        from pyspark import StorageLevel
+
+        W = W.persist(StorageLevel.MEMORY_AND_DISK)
     totals = df.select(
         F.sum(F.col(label_col).cast("boolean").cast("long")).alias("_P"),
         F.count(F.lit(1)).alias("_T"),
