@@ -355,3 +355,50 @@ def test_two_sample_drift_matches_reference_stats(spark, xs_a, xs_b, bins):
     want_ks = ks_statistic(counts(xs_a), counts(xs_b))
     assert abs(got["psi"] - want_psi) < 1e-9
     assert abs(got["ks"] - want_ks) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@SLOW
+def test_exact_dup_spans_match_python_oracle(spark, docs, n):
+    """exact_dup_spans vs a quadratic row-at-a-time Python oracle on a
+    tiny 3-letter alphabet (forces heavy duplication, within-doc
+    repeats, overlapping islands, and short docs below n)."""
+    from collections import Counter
+
+    from xpshacl_spark.operators.dedup import exact_dup_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_word, r.end_word, r.len_words)
+        for r in exact_dup_spans(df, "doc_id", "text", n=n).collect()
+    }
+
+    # oracle: count every n-gram occurrence, mark duplicated start
+    # positions, merge consecutive runs per doc into maximal spans
+    occ = Counter()
+    grams = {}
+    for i, ws in enumerate(docs):
+        grams[i] = [tuple(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+        occ.update(grams[i])
+    want = set()
+    for i, gs in grams.items():
+        dup_pos = [j + 1 for j, g in enumerate(gs) if occ[g] >= 2]
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                s, e = run[0], run[-1] + n - 1
+                want.add((i, s, e, e - s + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == want
