@@ -402,3 +402,45 @@ def test_exact_dup_spans_match_python_oracle(spark, docs, n):
             if p is not None:
                 run.append(p)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "c"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SLOW
+def test_ngram_repetition_matches_python_oracle(spark, docs):
+    """ngram_repetition_stats vs a row-at-a-time oracle: mode with
+    (count desc, gram asc) tie-break, per-occurrence dup coverage,
+    mixed word lengths so char math is exercised, empty docs kept."""
+    from collections import Counter
+
+    from xpshacl_spark.operators.text import ngram_repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n): (r.top_ngram, r.top_char_frac, r.dup_char_frac)
+        for r in ngram_repetition_stats(df, ns=(2, 3)).collect()
+    }
+
+    for i, ws in enumerate(docs):
+        chars = len(" ".join(ws))
+        for n in (2, 3):
+            grams = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            if not grams or chars == 0:
+                assert got[(i, n)] == (None, 0.0, 0.0) or (
+                    got[(i, n)][0] is None
+                )
+                continue
+            cnt = Counter(grams)
+            top = min(cnt, key=lambda g: (-cnt[g], g))
+            top_frac = round(cnt[top] * len(top) / chars, 6)
+            dup = round(
+                sum(c * len(g) for g, c in cnt.items() if c >= 2) / chars, 6
+            )
+            assert got[(i, n)] == (top, top_frac, dup), (i, n, ws)
+    assert len(got) == 2 * len(docs)
