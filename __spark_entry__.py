@@ -1232,9 +1232,10 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style exact-substring dedup at word granularity
     (Lee et al. 2022): MAXIMAL duplicated word-8-gram spans per doc —
-    consecutive duplicated gram starts merged by gaps-and-islands into
-    one (doc_id, start_word, end_word, len_words) row. All keyed (gram
-    count agg -> occurrence join -> per-doc window), never pairwise."""
+    duplicated gram starts whose coverage overlaps or touches (start
+    gap <= 8) interval-merged into one (doc_id, start_word, end_word,
+    len_words) row. All keyed (gram count agg -> occurrence join ->
+    per-doc window), never pairwise."""
     from xpshacl_spark.operators.dedup import exact_dup_spans
 
     d = _load(spark, sf_dir, "documents")
@@ -1289,8 +1290,8 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     against source in (src0, src1) as the reference class, every doc
     scored by its mean word weight — train + score in ONE lazy plan,
     the distinct-(doc, word) relation feeding both stages (two explode
-    passes at this scale; the persist_words seam materializes it once
-    on a large corpus)."""
+    passes at this scale; nb_quality_scores_with_words persists it
+    once on a large corpus and hands the caller the cache handle)."""
     from xpshacl_spark.operators.text import nb_quality_scores
 
     d = _load(spark, sf_dir, "documents").withColumn(
@@ -2046,23 +2047,12 @@ def q_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE metric-partitioned window over the metadata-sized history."""
     from xpshacl_spark.operators.anomaly import metric_anomalies
 
-    ev = _load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type").alias("metric"), F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    hist = daily.select(
-        "metric",
-        F.datediff(F.col("day"), F.lit("1970-01-01"))
-        .cast("double")
-        .alias("run_order"),
-        (
-            F.col("n")
-            * F.when(F.dayofmonth("day") == 15, F.lit(3)).otherwise(F.lit(1))
-        )
-        .cast("double")
-        .alias("value"),
+    return metric_anomalies(
+        _daily_metric_history(spark, sf_dir),
+        window=7,
+        threshold=0.5,
+        min_history=3,
     )
-    return metric_anomalies(hist, window=7, threshold=0.5, min_history=3)
 
 
 def _daily_metric_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,8 +2318,14 @@ _SPAN_CTES = (
     "dupg AS (SELECT shingle FROM "
     "(SELECT shingle, count(*) AS c FROM pshq GROUP BY 1) WHERE c >= 2), "
     "duppos AS (SELECT doc_id, pos FROM pshq JOIN dupg USING (shingle)), "
-    "isl AS (SELECT doc_id, pos, pos - row_number() "
-    "OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM duppos), "
+    # interval merge (coverage overlap/touch = start gap <= n), NOT
+    # consecutive-start islands: starts {1,3} at n=8 are ONE span 1-10
+    "lagd AS (SELECT doc_id, pos, lag(pos) "
+    "OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM duppos), "
+    "isl AS (SELECT doc_id, pos, "
+    "sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+    "AS island FROM lagd), "
     "spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS start_word, "
     "CAST(max(pos)+7 AS INT) AS end_word, "
     "CAST(max(pos)+7-min(pos)+1 AS INT) AS len_words "
@@ -3481,7 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_conv_assembly": (
             "WITH conv AS (SELECT user_id, CAST(count(*) AS INT) AS n_turns, "
-            "md5(string_agg(event_type || ': ' || coalesce(props, ''), "
+            "md5(string_agg(coalesce(event_type, '') || ': ' || coalesce(props, ''), "
             "chr(10) ORDER BY ts, event_id)) AS transcript_md5, "
             "date_diff('microsecond', min(ts), max(ts)) AS duration_us "
             "FROM events GROUP BY user_id), "

@@ -1245,3 +1245,100 @@ def test_nb_quality_single_corpus_scan_no_collect(spark):
     assert "CartesianProduct" not in plan
     # broadcast 1-row totals is the only nested-loop join
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_exact_dup_spans_overlapping_starts_merge(spark):
+    """Duplicated gram starts {1, 3} with a UNIQUE interior gram at 2
+    (docB shares words 1-8, docC shares words 3-10) must merge into ONE
+    maximal span 1-10 — the consecutive-start form emitted overlapping
+    rows (1,8) and (3,10), double-counting words 3-8."""
+    from xpshacl_spark.operators.dedup import (
+        exact_dup_spans,
+        exact_dup_spans_with_positions,
+    )
+
+    wa = [f"w{i}" for i in range(1, 11)]          # w1..w10
+    rows = [
+        (1, " ".join(wa)),
+        (2, " ".join(wa[0:8]) + " xb1 xb2"),      # shares gram @1
+        (3, " ".join(wa[2:10]) + " xc1 xc2"),     # shares gram @3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.start_word, r.end_word)
+        for r in exact_dup_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert (1, 1, 10) in spans
+    assert not any(d == 1 and (s, e) != (1, 10) for d, s, e in spans)
+    assert (2, 1, 8) in spans and (3, 1, 8) in spans
+
+    spans2, ps = exact_dup_spans_with_positions(df, "doc_id", "text", n=8)
+    assert {
+        (r.doc_id, r.start_word, r.end_word) for r in spans2.collect()
+    } == spans
+    assert ps.is_cached
+    ps.unpersist()
+
+
+def test_rebalance_probe_skips_shuffled_and_streaming_inputs(spark):
+    """rebalance_if_narrow must return shuffle-downstream and streaming
+    inputs UNTOUCHED: post-shuffle parallelism is already
+    shuffle.partitions, and probing such a plan with .rdd would execute
+    its stages under AQE at plan-construction time."""
+    from xpshacl_spark.operators.text import rebalance_if_narrow
+
+    agg = (
+        spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert rebalance_if_narrow(agg) is agg
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="xp_rebal_stream_")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(d)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(d)
+    assert rebalance_if_narrow(sdf) is sdf
+
+
+def test_nb_quality_with_words_handle(spark):
+    """The _with_words variant persists the word relation, returns the
+    handle, and scores identically to the pure form."""
+    from xpshacl_spark.operators.text import (
+        nb_quality_scores,
+        nb_quality_scores_with_words,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good fine", True), (2, "spam junk", False), (3, "good spam", False)],
+        "doc_id long, text string, is_ref boolean",
+    )
+    pure = {r.doc_id: (r.score, r.n_scored_words)
+            for r in nb_quality_scores(df).collect()}
+    scored, words = nb_quality_scores_with_words(df)
+    cached = {r.doc_id: (r.score, r.n_scored_words) for r in scored.collect()}
+    assert cached == pure
+    assert words.is_cached
+    words.unpersist()
+
+
+def test_conversation_null_role_keeps_turn(spark):
+    """A NULL-role turn must still appear in the transcript (empty role
+    renders as ': text'), so conversations differing only by that turn
+    are NOT collapsed into duplicates."""
+    from xpshacl_spark.operators.conversations import assemble_conversations
+
+    rows = [
+        ("a", 1, "u", "x"), ("a", 2, None, "secret"),
+        ("b", 1, "u", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.conv_id: r for r in assemble_conversations(
+        df, ["conv_id"], ["turn_idx"], "role", "text").collect()}
+    assert out["a"].transcript == "u: x\n: secret"
+    assert out["a"].transcript_md5 != out["b"].transcript_md5

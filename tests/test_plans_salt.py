@@ -488,9 +488,10 @@ def test_sequence_checks_share_one_window(spark):
 
 def test_exact_dup_spans_keyed_never_pairwise(spark):
     """exact_dup_spans must stay keyed end-to-end: ONE gram-count
-    aggregate, ONE occurrence equi-join back, ONE per-doc window for
-    gaps-and-islands — never a gram-keyed self-join (k^2 rows per hot
-    gram) and never a cartesian."""
+    aggregate, ONE occurrence equi-join back, and the interval-merge
+    islands as TWO stacked window nodes (lag, then running sum of
+    gap-open flags) sharing ONE (doc_id, pos) sort/exchange — never a
+    gram-keyed self-join (k^2 rows per hot gram), never a cartesian."""
     from xpshacl_spark.operators.dedup import exact_dup_spans
 
     df = spark.createDataFrame(
@@ -499,7 +500,9 @@ def test_exact_dup_spans_keyed_never_pairwise(spark):
     )
     plan = _plan(exact_dup_spans(df, "doc_id", "text", n=8))
     assert plan.count("Join") == 1, plan
-    assert plan.count("Window") == 1, plan
+    assert plan.count("Window") == 2, plan
+    # the two windows share one sort: exactly one sort on (doc_id, pos)
+    assert plan.count("Sort [doc_id") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 

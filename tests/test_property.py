@@ -384,7 +384,8 @@ def test_exact_dup_spans_match_python_oracle(spark, docs, n):
     }
 
     # oracle: count every n-gram occurrence, mark duplicated start
-    # positions, merge consecutive runs per doc into maximal spans
+    # positions, interval-merge starts whose coverage overlaps or
+    # touches (gap <= n) into maximal spans
     occ = Counter()
     grams = {}
     for i, ws in enumerate(docs):
@@ -395,7 +396,7 @@ def test_exact_dup_spans_match_python_oracle(spark, docs, n):
         dup_pos = [j + 1 for j, g in enumerate(gs) if occ[g] >= 2]
         run = []
         for p in dup_pos + [None]:
-            if run and (p is None or p != run[-1] + 1):
+            if run and (p is None or p - run[-1] > n):
                 s, e = run[0], run[-1] + n - 1
                 want.add((i, s, e, e - s + 1))
                 run = []

@@ -48,7 +48,11 @@ def assemble_conversations(
     transcript_md5[, duration_us]).
 
     transcript = turns in (order_cols...) order, each rendered as
-    "role: text" (NULL text renders as empty), joined by ``sep``.
+    "role: text" (NULL role and NULL text both render as empty — a
+    null-propagating concat would silently DROP the whole turn from
+    the transcript and its md5 while n_turns still counted it,
+    collapsing distinct conversations into false duplicates), joined
+    by ``sep``.
     transcript_md5 is the conversation's content fingerprint — group
     on it (or feed the transcript to the dedup operators) for
     conversation-level dedup. With ``ts_col``, duration_us is the
@@ -57,7 +61,7 @@ def assemble_conversations(
     conv_cols = list(conv_cols)
     order_cols = list(order_cols)
     line = F.concat(
-        F.col(role_col).cast("string"),
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")),
         F.lit(": "),
         F.coalesce(F.col(text_col).cast("string"), F.lit("")),
     )

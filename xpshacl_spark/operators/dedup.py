@@ -35,7 +35,11 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from xpshacl_spark.operators.text import normalize_text, rebalance_if_narrow
+from xpshacl_spark.operators.text import (
+    gram_array,
+    normalize_text,
+    rebalance_if_narrow,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -90,18 +94,10 @@ def shingles(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(text_col), " ").alias("_ws"),
     )
-    ws = F.col("_ws")
-    k = F.size(ws) - (n - 1)
-    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
-    sh = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        staged.select("doc_id", F.explode(sh).alias("shingle"))
+        staged.select(
+            "doc_id", F.explode(gram_array(F.col("_ws"), n)).alias("shingle")
+        )
         .dropDuplicates(["doc_id", "shingle"])
     )
 
@@ -927,17 +923,9 @@ def positioned_shingles(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(text_col), " ").alias("_ws"),
     )
-    ws = F.col("_ws")
-    k = F.size(ws) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return staged.select(
-        "doc_id", F.posexplode(grams).alias("_i", "shingle")
+        "doc_id",
+        F.posexplode(gram_array(F.col("_ws"), n)).alias("_i", "shingle"),
     ).select("doc_id", (F.col("_i") + 1).cast("int").alias("pos"), "shingle")
 
 
@@ -952,10 +940,13 @@ def exact_dup_spans(
     analog of suffix-array exact-substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): any
     word n-gram occurring >= min_count times corpus-wide (within-doc
-    repeats included) is duplicated text; runs of consecutive
-    duplicated gram starts merge into one maximal span. Returns
-    (doc_id, start_word, end_word, len_words), 1-based inclusive word
-    indexes into the normalized word sequence.
+    repeats included) is duplicated text; duplicated gram starts whose
+    COVERAGE overlaps or touches (start gap <= n) merge into one
+    maximal span — not just consecutive starts, which would emit
+    overlapping non-maximal spans when an interior gram is unique
+    (e.g. starts {1, 3} at n=8 cover words 1-8 and 3-10: ONE span
+    1-10). Returns (doc_id, start_word, end_word, len_words), 1-based
+    inclusive word indexes into the normalized word sequence.
 
     Plan (all keyed, no pairwise fan-out — this is why it scales where
     pair enumeration cannot):
@@ -964,18 +955,31 @@ def exact_dup_spans(
          map-side combine pre-reduces hot grams per partition,
       3. equi-join back (one row per occurrence, linear however hot
          the gram),
-      4. gaps-and-islands: window partitioned by doc_id over the
-         DUPLICATED positions only — island = pos - row_number(),
+      4. interval-merge islands: per-doc window over the DUPLICATED
+         positions only — island = running count of gap-open flags
+         (lag + running sum share one (doc_id, pos) sort; two Window
+         nodes, ONE exchange),
       5. per-island min/max agg -> maximal spans.
     At 100 TB the only superlinear hazard would be a pairwise join;
     there is none. The gram-count relation is vocabulary-sized; the
-    join and window shuffle O(total duplicated occurrences).
+    join and window shuffle O(total duplicated occurrences). The
+    positioned gram relation feeds both the count agg and the join —
+    two gram-construction passes; on a large corpus either persist the
+    INPUT df (both passes then read the cached corpus) or use
+    :func:`exact_dup_spans_with_positions` to cache the gram relation
+    itself.
 
     The reference engine has no substring-level dedup at all (its
     dedup is violation-signature md5, violation_kg.py:88-102); this is
     the training-pipeline operator its users need at corpus scale.
     """
     ps = positioned_shingles(df, id_col, text_col, n=n)
+    return _spans_from_positions(ps, n, min_count)
+
+
+def _spans_from_positions(
+    ps: DataFrame, n: int, min_count: int
+) -> DataFrame:
     dup_grams = (
         ps.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -984,8 +988,17 @@ def exact_dup_spans(
     )
     dup_pos = ps.join(dup_grams, "shingle").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = dup_pos.select(
-        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl")
+    # interval merge: a new island opens when this start's coverage
+    # cannot touch the previous one's (gap > n); first row opens one
+    opens = F.coalesce(
+        (F.col("pos") - F.lag("pos").over(w) > n).cast("int"), F.lit(1)
+    )
+    islands = dup_pos.select("doc_id", "pos", opens.alias("_open")).select(
+        "doc_id",
+        "pos",
+        F.sum("_open")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_isl"),
     )
     return (
         islands.groupBy("doc_id", "_isl")
@@ -1002,6 +1015,27 @@ def exact_dup_spans(
             .alias("len_words"),
         )
     )
+
+
+def exact_dup_spans_with_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`exact_dup_spans` plus the PERSISTED positioned-gram
+    relation — ``(spans, positions)``. Both consumers of the gram
+    relation (the count agg and the occurrence join) then read the
+    cache instead of rebuilding grams from text. The caller owns the
+    handle: ``positions.unpersist()`` once spans are materialized
+    (same convention as :func:`simhash_pairs_with_fingerprints`)."""
+    from pyspark import StorageLevel
+
+    ps = positioned_shingles(df, id_col, text_col, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _spans_from_positions(ps, n, min_count), ps
 
 
 def strip_dup_spans(

@@ -128,11 +128,48 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     fixes the imbalance. At cluster scale inputs already arrive with
     >= shuffle-partition splits, so this is a structural no-op there;
     values are unchanged either way (round-robin repartition is
-    retry-deterministic via Spark's sort-before-repartition)."""
+    retry-deterministic via Spark's sort-before-repartition).
+
+    The partition probe is gated: streaming inputs and plans with an
+    upstream shuffle are returned untouched (post-shuffle parallelism
+    is already shuffle.partitions, and probing such a plan with .rdd
+    would execute its stages under AQE at plan-construction time)."""
+    if df.isStreaming:
+        return df
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return df
+    # a shuffle upstream already yields shuffle-partition parallelism —
+    # and probing such a plan with .rdd would EXECUTE the upstream
+    # stages under AQE (a real job at plan-construction time, running
+    # the most expensive stage twice). Only bare-scan pipelines are
+    # probed; .rdd on those runs no job.
+    if "Exchange" in plan.replace("BroadcastExchange", ""):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def gram_array(ws: Column, n) -> Column:
+    """Guarded word n-gram array over a word-array column: one
+    space-joined gram per start position, EMPTY for docs with < n
+    words (a bare sequence(1, size-n+1) would DESCEND on short docs,
+    not be empty). ``n`` may be a Python int or a Column (runtime n) —
+    the single shared builder for shingles, positioned shingles, and
+    the all-n repetition stats, so gram construction can never diverge
+    between the span operators and the quality signals."""
+    n_col = F.lit(n) if isinstance(n, int) else n
+    k = F.size(ws) - (n_col - F.lit(1))
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n_col)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -489,15 +526,7 @@ def ngram_repetition_stats(
         F.length(nt).alias("_chars"),
         F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
     )
-    ws = F.col("_ws")
-    k = F.size(ws) - (F.col("n") - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, F.col("n"))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = gram_array(F.col("_ws"), F.col("n"))
     occ = staged.select(
         "doc_id", "_chars", "n", F.explode_outer(grams).alias("gram")
     )
@@ -545,8 +574,6 @@ def nb_quality_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "is_ref",
-    *,
-    persist_words: bool = False,
 ) -> DataFrame:
     """Model-based quality filtering (the CCNet/LLaMA-style "looks like
     the reference corpus" classifier): train a Bernoulli naive-Bayes
@@ -563,11 +590,13 @@ def nb_quality_scores(
 
     Plan: the distinct-(doc, word) relation feeds the vocab-sized
     weight agg AND the scoring join; Spark plans the two consumers as
-    two explode passes over the corpus text — pass
-    ``persist_words=True`` to materialize the relation once
-    (MEMORY_AND_DISK) when the corpus is large, and unpersist via the
-    returned DataFrame's lineage when done (same caller-owned-cache
-    convention as dedup.simhash_pairs). Class totals are a 1-row agg
+    two explode passes over the corpus text — on a large corpus use
+    :func:`nb_quality_scores_with_words`, which persists the relation
+    and returns the handle so the caller can unpersist (same
+    convention as dedup.simhash_pairs_with_fingerprints; a bare
+    keyword flag could never release the cache, since unpersist only
+    acts on the exact DataFrame persist was called on). Class totals
+    are a 1-row agg
     cross-joined broadcast into the weight relation (never collected);
     the scoring join is keyed by word with map-side combine absorbing
     hot words. Rounding to 6 decimals absorbs the sub-ulp double drift
@@ -581,10 +610,36 @@ def nb_quality_scores(
         F.col(label_col).cast("boolean").alias("_ref"),
         F.explode(words_arr).alias("word"),
     )
-    if persist_words:
-        from pyspark import StorageLevel
+    return _nb_scores_from_words(df, W, id_col, label_col)
 
-        W = W.persist(StorageLevel.MEMORY_AND_DISK)
+
+def nb_quality_scores_with_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_ref",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`nb_quality_scores` plus the PERSISTED distinct-(doc,
+    word) relation — ``(scores, words)``. Both consumers (weight agg +
+    scoring join) read the cache instead of re-exploding the corpus
+    text. The caller owns the handle: ``words.unpersist()`` once
+    scores are materialized."""
+    from pyspark import StorageLevel
+
+    words_arr = F.array_distinct(
+        F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
+    )
+    W = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("boolean").alias("_ref"),
+        F.explode(words_arr).alias("word"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _nb_scores_from_words(df, W, id_col, label_col), W
+
+
+def _nb_scores_from_words(
+    df: DataFrame, W: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
     totals = df.select(
         F.sum(F.col(label_col).cast("boolean").cast("long")).alias("_P"),
         F.count(F.lit(1)).alias("_T"),
