@@ -81,3 +81,19 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_gate_contract_consistency():
+    """Driver-contract hygiene: every oracle key names a real query (a
+    typo'd key would silently skip its check), every query has an
+    oracle (the stronger hash gate, not the rows-only fallback), and
+    the queries dict has no duplicate-insert shadowing."""
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    assert set(qs) == set(os_), set(qs) - set(os_)
+    src = open(os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")).read()
+    import re
+    keys = re.findall(r'^        "(q_[a-z0-9_]+)": q_', src, re.M)
+    assert len(keys) == len(set(keys)), "duplicate key insert shadows a query"
+    assert len(keys) == len(qs)
