@@ -2149,6 +2149,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # r05 NOTE: with 100 queries and two 50-slot windows (r04 + r05),
+    # full driver coverage has ZERO slack — r05's head must be exactly
+    # the 50 entries absent from CORRECTNESS_r04, and r05 should NOT
+    # add new gate entries (any addition leaves some query permanently
+    # driver-unproven; extend operators behind existing queries or
+    # accept mirror-only proof for additions).
     # ORDER MATTERS — STANDING LRU ROTATION POLICY: the driver's
     # correctness gate runs only the FIRST 50 entries, so each round the
     # head is rebuilt as (a) queries NEW or semantically CHANGED this
