@@ -2557,8 +2557,10 @@ def _suggest_sql() -> str:
         ]
         if kind == "str":
             branches.append(
+                # JSON array (python json.dumps with ","/":" separators
+                # == DuckDB to_json on a list), not a comma join
                 f"SELECT '{c}', 'InConstraintComponent', NULL, "
-                f"(SELECT string_agg(v, ',' ORDER BY v) FROM "
+                f"(SELECT CAST(to_json(list(v ORDER BY v)) AS VARCHAR) FROM "
                 f"(SELECT DISTINCT {c} AS v FROM orders WHERE {c} IS NOT NULL)) "
                 f"FROM s WHERE d{i} BETWEEN 1 AND 10"
             )

@@ -313,3 +313,50 @@ def test_suite_optional_latency_shape(spark):
         return plan.count("Window"), plan.count("Exchange")
 
     assert _counts(with_gap) == _counts(base)
+
+
+def test_transition_null_predecessor_is_not_an_opener(spark):
+    """A mid-sequence row whose PREDECESSOR value is NULL must not be
+    treated as the group opener: only row 1 is checked against
+    `initial`, a NULL opener passes vacuously, and the pair rule stays
+    vacuous across a NULL predecessor."""
+    rows = [
+        ("c1", 0, None),          # NULL opener: passes vacuously
+        ("c1", 1, "assistant"),   # after NULL: NOT an opener, no pair check
+        ("c2", 0, "assistant"),   # real opener violating initial
+        ("c2", 1, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    shape = Shape(
+        "grammar",
+        (
+            Transition(
+                ("conv_id",),
+                "turn_idx",
+                "role",
+                allowed_prev=(("assistant", ("user", "tool")),),
+                initial=("user", "system"),
+            ),
+        ),
+    )
+    rep = ValidationEngine(spark).validate(
+        df, [shape], key_cols=["conv_id", "turn_idx"]
+    )
+    v = {(r.conv_id, r.turn_idx) for r in rep.violations.collect()}
+    assert v == {("c2", 0)}
+
+
+def test_dense_index_repeat_of_start_after_null_violates(spark):
+    """After a NULL index the sequence is broken: the successor
+    violates even when its value coincidentally equals `start` (the
+    old lag-IS-NULL form re-opened the sequence and passed it)."""
+    rows = [("c1", 0, 0), ("c1", 1, None), ("c1", 2, 0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ord int, turn_idx int"
+    )
+    shape = Shape(
+        "dense", (DenseIndex(("conv_id",), "ord", "turn_idx", start=0),)
+    )
+    rep = ValidationEngine(spark).validate(df, [shape], key_cols=["conv_id", "ord"])
+    v = {r.ord for r in rep.violations.collect()}
+    assert v == {1, 2}  # the NULL itself and its successor

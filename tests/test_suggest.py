@@ -45,12 +45,12 @@ def test_rules_fire_exactly(spark):
         ("cat", "MinCountConstraintComponent", None, None),
         ("cat", "MinLengthConstraintComponent", 1.0, None),
         ("cat", "MaxLengthConstraintComponent", 1.0, None),
-        ("cat", "InConstraintComponent", None, "A,B"),
+        ("cat", "InConstraintComponent", None, '["A","B"]'),
         # name: has a null -> no NotNull; distinct(2) < nonnull(3) -> no
         # Unique; 2 distinct <= 3 -> InSet over NON-NULL values
         ("name", "MinLengthConstraintComponent", 4.0, None),
         ("name", "MaxLengthConstraintComponent", 5.0, None),
-        ("name", "InConstraintComponent", None, "alpha,beta"),
+        ("name", "InConstraintComponent", None, '["alpha","beta"]'),
     }
 
 
@@ -155,3 +155,19 @@ def test_completeness_suggestion(spark):
         for s in suggest_constraints(holey, cols=["txt"], inset_max=0)
         if s.constraint_component == "DatasetMetricConstraintComponent"
     ]
+
+
+def test_inset_values_with_commas_roundtrip(spark):
+    """InSet params are JSON — a value containing a comma must survive
+    the Suggestion -> constraint round-trip intact (a comma join split
+    it into corrupted members that flagged the trusted slice itself)."""
+    df = spark.createDataFrame(
+        [("Acme, Inc.",), ("Beta",), ("Acme, Inc.",)], "source string"
+    )
+    sugg = [
+        s for s in suggest_constraints(df)
+        if s.constraint_component == "InConstraintComponent"
+    ]
+    assert len(sugg) == 1
+    c = sugg[0].to_constraint()
+    assert set(c.values) == {"Acme, Inc.", "Beta"}

@@ -507,6 +507,14 @@ class ValidationEngine:
             structs = []
             lag_cols = {}
             proj = df
+            # "first row of the group" must be row_number()==1, NOT
+            # lag(value) IS NULL: a mid-sequence row whose PREDECESSOR
+            # holds a NULL value is not a group opener, and conflating
+            # the two made Transition's `initial` check fire mid-stream
+            # (and let DenseIndex pass a repeat that happened to equal
+            # `start` after a NULL index). Shares the same window sort.
+            proj = proj.withColumn("_seq_rn1", F.row_number().over(w) == 1)
+            is_first = F.col("_seq_rn1")
             for i, (shape, c) in enumerate(pairs):
                 lag_name = f"_prev{i}"
                 proj = proj.withColumn(lag_name, F.lag(c.column).over(w))
@@ -516,12 +524,18 @@ class ValidationEngine:
                 cur = F.col(c.column)
                 if isinstance(c, DenseIndex):
                     # gaps, repeats, NULLs, wrong first value all violate;
-                    # eqNullSafe makes a NULL index a violation (density
-                    # is a presence claim, unlike value tests).
-                    expected = F.when(prev.isNull(), F.lit(c.start)).otherwise(
+                    # a NULL index is always a violation (density is a
+                    # presence claim, unlike value tests), and the row
+                    # AFTER a NULL index has a NULL expectation, so it
+                    # violates too (the sequence is broken there) —
+                    # including when its value coincidentally equals
+                    # `start`, which the old prev-IS-NULL form passed.
+                    expected = F.when(is_first, F.lit(c.start)).otherwise(
                         prev + F.lit(c.step)
                     )
-                    violated = _target_col(shape) & ~cur.eqNullSafe(expected)
+                    violated = _target_col(shape) & (
+                        cur.isNull() | ~cur.eqNullSafe(expected)
+                    )
                     ctx = F.create_map(
                         F.lit("previous"),
                         prev.cast("string"),
@@ -540,8 +554,12 @@ class ValidationEngine:
                         prev.isNotNull() & bad_pair, F.lit(False)
                     )
                     if c.initial is not None:
-                        violated = violated | F.coalesce(
-                            prev.isNull() & ~cur.isin(*c.initial), F.lit(False)
+                        # opener = FIRST ROW of the group, not "previous
+                        # value is NULL"; a NULL opener value still
+                        # passes vacuously (documented NULL semantics)
+                        violated = violated | (
+                            is_first
+                            & F.coalesce(~cur.isin(*c.initial), F.lit(False))
                         )
                     violated = _target_col(shape) & violated
                     ctx = F.create_map(

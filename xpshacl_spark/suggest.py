@@ -40,6 +40,7 @@ sets — suggestion output is metadata-sized by construction.
 
 from __future__ import annotations
 
+import json
 import math
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -97,7 +98,10 @@ class Suggestion:
         if comp == "MaxLengthConstraintComponent":
             return MaxLength(c, int(self.param_num))
         if comp == "InConstraintComponent":
-            return InSet(c, tuple(self.param_str.split(",")))
+            # JSON, not a comma join: a value containing a comma would
+            # otherwise round-trip into a corrupted constraint that
+            # flags the trusted slice itself
+            return InSet(c, tuple(json.loads(self.param_str)))
         if comp == "DatasetMetricConstraintComponent":
             return DatasetMetric(
                 self.param_str, c, min_value=self.param_num
@@ -242,7 +246,10 @@ def suggest_constraints(
         if c in insets:
             out.append(
                 Suggestion(
-                    c, "InConstraintComponent", None, ",".join(insets[c])
+                    c,
+                    "InConstraintComponent",
+                    None,
+                    json.dumps(insets[c], separators=(",", ":")),
                 )
             )
     return out
