@@ -3913,9 +3913,11 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY metric ORDER BY run_order "
             "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
             "SELECT metric, run_order, value, baseline_mean, "
-            "(value - baseline_mean) / baseline_mean AS deviation_ratio, "
+            "CASE WHEN baseline_mean > 0 THEN "
+            "(value - baseline_mean) / baseline_mean END AS deviation_ratio, "
             "n_history FROM scored "
-            "WHERE n_history >= 3 AND baseline_mean > 0 "
-            "AND abs(value - baseline_mean) > 0.5 * baseline_mean"
+            "WHERE n_history >= 3 AND ((baseline_mean > 0 "
+            "AND abs(value - baseline_mean) > 0.5 * baseline_mean) "
+            "OR (baseline_mean = 0 AND value > 0))"
         ),
     }

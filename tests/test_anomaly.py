@@ -53,9 +53,11 @@ def test_per_metric_partitioning_and_zero_baseline(spark):
         _hist(spark, [0, 0, 0, 0, 9], metric="z")
     )
     out = metric_anomalies(two, window=4, threshold=0.5).collect()
-    # metric z's baseline mean is 0 -> excluded (no division blowup);
-    # metric m's spike flagged independently
-    assert [(r.metric, r.value) for r in out] == [("m", 50.0)]
+    # metric z's baseline mean is 0 and its value positive -> flagged
+    # with a NULL ratio (no division blowup); m's spike independently
+    got = {(r.metric, r.value): r.deviation_ratio for r in out}
+    assert set(got) == {("m", 50.0), ("z", 9.0)}
+    assert got[("z", 9.0)] is None and got[("m", 50.0)] == 9.0
 
 
 def test_param_validation(spark):
@@ -155,3 +157,19 @@ def test_zscore_param_validation(spark):
         zscore_anomalies(hist, window=1)
     with pytest.raises(ValueError):
         zscore_anomalies(hist, window=5, min_history=6)
+
+
+def test_zero_baseline_spike_is_flagged(spark):
+    """History 0,0,0 then a spike: the zero trailing mean must NOT
+    suppress the page (deviation_ratio is NULL — no finite ratio);
+    an all-zero continuation stays quiet."""
+    hist = _hist(spark, [0, 0, 0, 1_000_000, 0])
+    out = metric_anomalies(hist, window=7, threshold=0.5, min_history=3)
+    rows = sorted(out.collect(), key=lambda r: r.run_order)
+    # the spike pages (NULL ratio: zero baseline), and the drop back to
+    # 0 pages too (now baselined by the spike, ratio -1)
+    assert [(r.run_order, r.value) for r in rows] == [
+        (3.0, 1_000_000.0), (4.0, 0.0),
+    ]
+    assert rows[0].deviation_ratio is None
+    assert rows[1].deviation_ratio == -1.0

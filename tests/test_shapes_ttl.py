@@ -888,3 +888,52 @@ def test_owlrl_unmapped_subproperty_is_skip_reported(spark):
     assert any(
         "subproperty not target-mapped" in r for _, _, r in imp.skipped
     )
+
+
+def test_target_union_across_kinds():
+    """SHACL focus nodes are the UNION of all target declarations:
+    sh:targetClass + sh:targetNode on one shape OR together; an
+    unmappable ADDITIONAL kind is skip-reported instead of silently
+    dropped (silent drop = under-validation reported as conformance)."""
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:targetNode ex:bob ;
+  sh:property [ sh:path ex:age ; sh:minCount 1 ] .
+"""
+    imp = import_ttl(ttl, target_map={"bob": "name = 'bob'"})
+    (s,) = imp.shapes
+    assert "rdf_type = 'Person'" in s.target and "name = 'bob'" in s.target
+    assert " OR " in s.target
+
+    # unmappable additional target: shape still imports on the class
+    # target, and the drop is REPORTED
+    imp2 = import_ttl(ttl)
+    (s2,) = imp2.shapes
+    assert s2.target == "rdf_type = 'Person'"
+    assert any(
+        "additional target kind not mapped" in r for _, _, r in imp2.skipped
+    )
+
+
+def test_mincount_ge2_weakening_is_reported():
+    """sh:minCount 2 on a flat column imports the satisfiable presence
+    part (NotNull) AND reports the weakening — never silently."""
+    from xpshacl_spark.shapes_ttl import import_ttl
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:phone ; sh:minCount 2 ] .
+"""
+    imp = import_ttl(ttl)
+    (s,) = imp.shapes
+    comps = [type(c).__name__ for c in s.constraints]
+    assert "NotNull" in comps
+    assert any("unsatisfiable on a flat" in r for _, _, r in imp.skipped)

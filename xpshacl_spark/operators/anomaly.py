@@ -13,7 +13,11 @@ Semantics: history is a long relation (metric, order, value). Per
 metric, in order, the baseline is the mean of up to ``window``
 IMMEDIATELY PRECEDING values (the current value never baselines
 itself); a row is anomalous when ``|value - mean| > threshold * mean``
-(relative deviation) and at least ``min_history`` prior points exist.
+(relative deviation), OR when the baseline is exactly 0 and the value
+is positive — the healthy-pipeline-then-first-failure case (history
+0,0,0 then 1M violations) that a bare relative-deviation rule would
+silently suppress; its deviation_ratio is NULL (no finite ratio
+exists). At least ``min_history`` prior points must exist either way.
 Only anomalous rows are returned — like report_diff, the EMPTY relation
 is the all-clear assertion.
 
@@ -65,7 +69,10 @@ def metric_anomalies(
     v = F.col(value_col).cast("double")
     mean = F.avg(v).over(w)
     n_hist = F.count(v).over(w)
-    dev = (F.col("value") - F.col("baseline_mean")) / F.col("baseline_mean")
+    dev = F.when(
+        F.col("baseline_mean") > 0,
+        (F.col("value") - F.col("baseline_mean")) / F.col("baseline_mean"),
+    )
     return (
         history.select(
             F.col(metric_col).alias("metric"),
@@ -77,10 +84,18 @@ def metric_anomalies(
         .withColumn("deviation_ratio", dev)
         .where(
             (F.col("n_history") >= min_history)
-            & (F.col("baseline_mean") > 0)
             & (
-                F.abs(F.col("value") - F.col("baseline_mean"))
-                > F.lit(threshold) * F.col("baseline_mean")
+                (
+                    (F.col("baseline_mean") > 0)
+                    & (
+                        F.abs(F.col("value") - F.col("baseline_mean"))
+                        > F.lit(threshold) * F.col("baseline_mean")
+                    )
+                )
+                | (
+                    (F.col("baseline_mean") == 0)
+                    & (F.col("value") > 0)
+                )
             )
         )
         .select(

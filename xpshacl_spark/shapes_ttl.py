@@ -533,8 +533,27 @@ def _block_constraints(
                     skipped.append((shape_id, pred, "no importable inner shape"))
                 continue
             if pred == SH + "minCount":
-                if int(_py_value(obj)) >= 1:
+                n_min = int(_py_value(obj))
+                if n_min >= 1:
                     out.append(S.NotNull(col))
+                if n_min >= 2:
+                    # a flat column holds <= 1 value per row, so
+                    # minCount N>=2 can never be satisfied; pyshacl
+                    # would flag every focus node. Import the
+                    # satisfiable part (presence) and REPORT the
+                    # weakening — silently narrowing to NotNull hid an
+                    # under-validation (use ArrayMinCount on an array
+                    # column for true multi-valued cardinality).
+                    skipped.append(
+                        (
+                            shape_id,
+                            pred,
+                            f"minCount {n_min} > 1 unsatisfiable on a flat "
+                            "column; weakened to NotNull (map the property "
+                            "to an array column + ArrayMinCount for "
+                            "multi-valued cardinality)",
+                        )
+                    )
             elif pred == SH + "maxCount":
                 # a flat column holds <= 1 value per row: vacuous
                 skipped.append((shape_id, pred, "maxCount vacuous on flat column"))
@@ -736,11 +755,24 @@ def import_ttl(
                 for col in sorted(cols):
                     target = f"({target}) OR ({col} IS NOT NULL)"
         unmapped_target = None
+        # SHACL focus nodes are the UNION of ALL target declarations:
+        # a second target kind present alongside targetClass must be
+        # OR-ed into the filter, not silently dropped (silent drop =
+        # under-validation reported as conformance). An unmappable
+        # ADDITIONAL kind is skip-reported; only a shape with no
+        # mappable target at all is skipped outright.
+        extra_tc = [t for t in blank.objects(SH + "targetClass")][1:]
+        if extra_tc:
+            skipped.append(
+                (subj, SH + "targetClass",
+                 "additional sh:targetClass values not imported — only "
+                 "the first is; focus-set union incomplete")
+            )
         for pred in ("targetNode", "targetSubjectsOf", "targetObjectsOf"):
             tn = blank.first(SH + pred)
             if tn is None:
                 continue
-            if target is None:
+            if True:
                 parent = target_map.get(
                     str(tn), target_map.get(local_name(str(tn)))
                 )
@@ -749,7 +781,15 @@ def import_ttl(
                     # OR-ing only mapped subproperties would silently
                     # validate a subset of the entailed target and
                     # report full coverage
-                    unmapped_target = SH + pred
+                    if target is None:
+                        unmapped_target = SH + pred
+                    else:
+                        skipped.append(
+                            (subj, SH + pred,
+                             "additional target kind not mapped (pass "
+                             "target_map=) — NOT OR-ed into the focus "
+                             "set; union incomplete")
+                        )
                 else:
                     filters = [parent]
                     if pred != "targetNode" and subprops:
@@ -775,10 +815,16 @@ def import_ttl(
                                      "mapped — its rows not OR-ed "
                                      "into the target")
                                 )
-                    if len(filters) == 1:
-                        target = filters[0]
-                    else:
-                        target = " OR ".join(f"({f})" for f in filters)
+                    kind_filter = (
+                        filters[0]
+                        if len(filters) == 1
+                        else " OR ".join(f"({f})" for f in filters)
+                    )
+                    target = (
+                        kind_filter
+                        if target is None
+                        else f"({target}) OR ({kind_filter})"
+                    )
         if unmapped_target and target is None:
             # a targeted shape without a row mapping must NOT silently
             # validate every row — skip it and say so
