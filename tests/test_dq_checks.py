@@ -106,7 +106,9 @@ def test_fd_flags_conflicting_group(spark, turns):
     )
     rows = rep.violations.collect()
     assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [(1, None)]
-    assert rows[0]["context"] == {"dependent": "model", "nDistinct": "2"}
+    assert rows[0]["context"] == {
+        "dependent": "model", "nDistinct": "2", "det:conv_id": "1",
+    }
     assert rows[0]["violation_type"] == "dependency"
 
 
@@ -360,3 +362,28 @@ def test_dense_index_repeat_of_start_after_null_violates(spark):
     rep = ValidationEngine(spark).validate(df, [shape], key_cols=["conv_id", "ord"])
     v = {r.ord for r in rep.violations.collect()}
     assert v == {1, 2}  # the NULL itself and its successor
+
+
+def test_fd_context_carries_determinant_values(spark):
+    """When the FD determinant is not among key_cols, the violating
+    determinant VALUES must survive in context (the aligned keys are
+    NULL, so without them distinct violating groups are
+    indistinguishable)."""
+    rows = [
+        ("k1", 1, "cust_a", "east"), ("k2", 2, "cust_a", "west"),
+        ("k3", 3, "cust_b", "east"), ("k4", 4, "cust_b", "east"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, customer string, region string"
+    )
+    shape = Shape(
+        "fd", (FunctionalDependency(("customer",), "region"),)
+    )
+    rep = ValidationEngine(spark).validate(
+        df, [shape], key_cols=["conv_id", "turn_idx"]
+    )
+    v = rep.violations.collect()
+    assert len(v) == 1
+    ctx = dict(v[0].context)
+    assert ctx["det:customer"] == "cust_a"
+    assert ctx["nDistinct"] == "2"

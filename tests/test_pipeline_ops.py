@@ -1342,3 +1342,39 @@ def test_conversation_null_role_keeps_turn(spark):
         df, ["conv_id"], ["turn_idx"], "role", "text").collect()}
     assert out["a"].transcript == "u: x\n: secret"
     assert out["a"].transcript_md5 != out["b"].transcript_md5
+
+
+def test_asof_join_null_value_in_matched_row_surfaces(spark):
+    """DuckDB/ANSI ASOF parity: the MATCHED row's value is returned
+    even when it is NULL — a stale older non-null reading must not be
+    resurrected over a fresher NULL."""
+    from xpshacl_spark.operators.sessions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2025-01-01 00:00:03")], "pid long, k string, ts_s string"
+    ).select("pid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2025-01-01 00:00:01", 5.0),
+         ("u", "2025-01-01 00:00:02", None)],
+        "k string, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, ["k"], "ts", "ts", "v", alias="av").collect()
+    assert out[0].av is None  # matched t=2 row, value NULL
+
+
+def test_incremental_dedup_null_rows_bypass_window(spark):
+    """NULL-content rows must not enter the min-window's shuffle (a
+    many-NULL batch would hotspot one reducer): they route around it
+    and are ALL kept."""
+    from xpshacl_spark.operators.dedup import incremental_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    kept, delta = incremental_exact_dedup(df, "doc_id", "text")
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4}
+    assert {r.keep_id for r in delta.collect()} == {1}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the window branch filters NULL keys BEFORE its exchange
+    assert "Union" in plan

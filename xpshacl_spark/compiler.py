@@ -694,11 +694,22 @@ class ValidationEngine:
             for i, (shape, c) in enumerate(pairs):
                 n = F.col(f"_nd{i}")
                 violated = n > 1
+                # carry the violating determinant VALUES in context:
+                # when the determinant is not part of key_cols,
+                # _align_keys NULLs the keys and distinct violating
+                # groups would otherwise collapse into
+                # indistinguishable rows (untriageable, and
+                # report_diff would treat them as one violation)
+                det_entries = []
+                for d in det:
+                    det_entries.append(F.lit(f"det:{d}"))
+                    det_entries.append(F.col(d).cast("string"))
                 ctx = F.create_map(
                     F.lit("dependent"),
                     F.lit(c.dependent),
                     F.lit("nDistinct"),
                     n.cast("string"),
+                    *det_entries,
                 )
                 structs.append(
                     F.when(violated, _violation_struct(shape, c, n, ctx))

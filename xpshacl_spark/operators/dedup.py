@@ -886,17 +886,20 @@ def incremental_exact_dedup(
         )
     # NULL content key = UNKNOWN content, not identical content: such
     # rows are all kept (never collapsed into one survivor) and never
-    # enter the index (a NULL key could never match a probe anyway)
+    # enter the index (a NULL key could never match a probe anyway).
+    # They are SPLIT OFF before the window, not guarded inside it: a
+    # when(isNull, 1) projection guard still shuffles every NULL-key
+    # row into the single NULL partition of the window — a one-reducer
+    # hotspot on a batch with many NULL texts — while the split routes
+    # them around the shuffle entirely (their answer is the constant 1).
+    null_rows = keyed.where(F.col("_ck").isNull())
     w = Window.partitionBy("_ck").orderBy(F.col(id_col))
     kept = (
-        keyed.withColumn(
-            "_rn",
-            F.when(F.col("_ck").isNull(), F.lit(1)).otherwise(
-                F.row_number().over(w)
-            ),
-        )
+        keyed.where(F.col("_ck").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .unionByName(null_rows)
     )
     delta = kept.where(F.col("_ck").isNotNull()).select(
         F.col("_ck").alias("content_key"), F.col(id_col).alias("keep_id")

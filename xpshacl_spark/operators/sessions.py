@@ -80,25 +80,31 @@ def asof_join(
 
     No range join, no per-key cross join: union-tag both sides, sort by
     (key, ts, side) with right rows ordered BEFORE left rows at equal
-    ts (inclusive), and carry the last non-null right value forward —
-    one shuffle+sort over |left| + |right| rows total.
+    ts (inclusive), and carry the last matched right ROW forward (as a
+    struct, so a NULL value in the matched row surfaces as NULL —
+    ANSI/DuckDB ASOF semantics — instead of being skipped in favor of
+    an older non-null reading) — one shuffle+sort over
+    |left| + |right| rows total.
 
     The right side must be unique per (key, ts) — pre-aggregate
     otherwise — or the carried value at a tied ts is nondeterministic.
     """
     keys = list(key_cols)
+    rv_struct = f"struct<v:{right.schema[value_col].dataType.simpleString()}>"
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
+        F.lit(None).cast(rv_struct).alias("_rv"),
         F.struct(*left.columns).alias("_lrow"),
     )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(value_col).alias("_rv"),
+        # struct wrapper: non-null for EVERY matched right row, so
+        # ignorenulls tracks row presence, not value non-nullness
+        F.struct(F.col(value_col).alias("v")).alias("_rv"),
         F.lit(None)
         .cast(l_tag.schema["_lrow"].dataType)
         .alias("_lrow"),
@@ -109,11 +115,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(
-        alias, F.last(F.col("_rv"), ignorenulls=True).over(w)
+        "_last", F.last(F.col("_rv"), ignorenulls=True).over(w)
     )
     return (
         merged.where(F.col("_side") == 1)
-        .select("_lrow.*", alias)
+        .select("_lrow.*", F.col("_last.v").alias(alias))
     )
 
 
