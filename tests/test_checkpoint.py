@@ -280,3 +280,56 @@ def test_runner_cli_incremental(spark, tmp_path):
     assert rc2 == 3
     rec = json.load(open(f"{out}/manifest/r.json"))
     assert len(rec["deltas"]) == 2 and rec["deltas"][-1]["n_files"] == 1
+
+
+def test_token_collision_distinct_buckets():
+    from xpshacl_spark.checkpoint import _token
+
+    assert _token("a b") != _token("a/b")
+    assert _token("plain_id-1.x") == "plain_id-1.x"  # safe ids unchanged
+
+
+def test_run_raises_on_stale_lineage(spark, tmp_path):
+    """Resuming against CHANGED input must not silently serve the old
+    run's violations: same shape_id + different file lineage raises."""
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, Shape
+
+    p1, p2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame([(1, -5)], "id long, v long").write.parquet(p1)
+    spark.createDataFrame([(1, -5), (2, 3)], "id long, v long").write.parquet(p2)
+    shape = Shape("s", (MinInclusive("v", 0),))
+    runner = CheckpointedRunner(
+        ValidationEngine(spark), str(tmp_path / "out"), run_id="r1"
+    )
+    runner.run(spark.read.parquet(p1), [shape], key_cols=["id"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="different input lineage"):
+        runner.run(spark.read.parquet(p2), [shape], key_cols=["id"])
+    # identical lineage still resumes (skip) cleanly
+    rep = runner.run(spark.read.parquet(p1), [shape], key_cols=["id"])
+    assert rep.violations.count() == 1
+
+
+def test_incremental_refuses_unknown_lineage(spark, tmp_path):
+    """A full run whose input had no file lineage (in-memory df) must
+    not be silently re-covered by run_incremental (it would re-validate
+    and double-count everything)."""
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, Shape
+
+    shape = Shape("s", (MinInclusive("v", 0),))
+    runner = CheckpointedRunner(
+        ValidationEngine(spark), str(tmp_path / "out2"), run_id="r1"
+    )
+    mem_df = spark.createDataFrame([(1, -5)], "id long, v long")
+    runner.run(mem_df, [shape], key_cols=["id"])
+    p = str(tmp_path / "in3")
+    mem_df.write.parquet(p)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="without input-file lineage"):
+        runner.run_incremental(p, [shape], key_cols=["id"])

@@ -531,3 +531,51 @@ def test_runner_expect_schema_gate(spark, tmp_path, capsys):
         capsys.readouterr()
         assert exc.value.code == 2
         assert not os.path.exists(out2)
+
+
+def test_windowed_drift_null_tail_advances_watermark(spark, tmp_path):
+    """A heartbeat tail of NULL-valued events must still advance the
+    watermark (closing earlier windows) WITHOUT contributing to any
+    bin, and an all-null window must not emit. A pre-agg .where() on
+    the value column cannot guarantee this — Catalyst pushes it below
+    EventTimeWatermark — so nulls are excluded inside the agg."""
+    import datetime as dt
+
+    from xpshacl_spark.streaming import windowed_drift
+
+    day1 = dt.datetime(2024, 1, 1)
+    day3 = dt.datetime(2024, 1, 3)
+    rows = [(day1, 5.0), (day1, 15.0)] + [
+        (day3 + dt.timedelta(hours=h), None) for h in range(26)
+    ]
+    p = str(tmp_path / "drift_null_tail")
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(p)
+    v = windowed_drift(
+        _stream_from_parquet(spark, p), "value", [1, 1, 1],
+        lo=0.0, width=10.0, window_duration="1 day", watermark="1 hour",
+    )
+    got = {r.window_start: r.n_rows for r in _run_to_memory(v, "dnt").collect()}
+    # day1's window closed (watermark advanced by the null tail) and
+    # emitted; the all-null day3 windows never emit
+    assert got == {day1: 2}
+
+
+def test_windowed_counts_respect_shape_target(spark):
+    """Batch/stream parity: windowed_min_count must count only rows
+    matching shape.target (the batch compiler gates with target AND
+    where) — a window full of out-of-target rows is a violation."""
+    import datetime as dt
+
+    from xpshacl_spark.shapes import GroupMinCount
+    from xpshacl_spark.streaming import _windowed_counts
+
+    day1 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", day1, "user"), ("c1", day1, "user")],
+        "conv_id string, ts timestamp, role string",
+    )
+    counts = _windowed_counts(
+        df, ["conv_id"], "ts", "1 day", "0 seconds", None,
+        target="role = 'assistant'",
+    ).collect()
+    assert counts[0]["_n"] == 0  # no assistant rows counted

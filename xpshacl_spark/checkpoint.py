@@ -18,6 +18,7 @@ keeping the same guarantee at batch granularity.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -32,7 +33,15 @@ from xpshacl_spark.shapes import Shape
 
 
 def _token(shape_id: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.\-]+", "_", shape_id)
+    """Filesystem-safe token, COLLISION-FREE across distinct shape_ids:
+    when sanitization had to rewrite anything, an md5 suffix of the raw
+    id disambiguates ('a b' and 'a/b' must not share one manifest file
+    and clobber each other's violations bucket). Ids that are already
+    safe keep their plain token (existing checkpoints stay valid)."""
+    safe = re.sub(r"[^A-Za-z0-9_.\-]+", "_", shape_id)
+    if safe != shape_id:
+        safe = f"{safe}_{hashlib.md5(shape_id.encode()).hexdigest()[:8]}"
+    return safe
 
 
 class CheckpointedRunner:
@@ -106,14 +115,30 @@ class CheckpointedRunner:
         """
         done = self.completed()
         try:
-            lineage = sorted(df.inputFiles())
+            # None (JSON null), not []: "lineage unavailable" must stay
+            # distinguishable from "no files" — run_incremental refuses
+            # to delta against an unknown-lineage checkpoint instead of
+            # treating every current file as new (double-counting)
+            lineage = sorted(df.inputFiles()) or None
         except Exception:
-            lineage = []
+            lineage = None
         n_input_parts = df.rdd.getNumPartitions()
         completed_now = 0
 
         for shape in shapes:
-            if shape.shape_id in done:
+            rec = done.get(shape.shape_id)
+            if rec is not None:
+                recorded = rec.get("input_files")
+                if recorded and lineage and sorted(recorded) != lineage:
+                    # skipping here would serve the OLD run's violations
+                    # as if they covered the new input
+                    raise ValueError(
+                        f"shape {shape.shape_id!r} is checkpointed against "
+                        f"different input lineage ({len(recorded)} recorded "
+                        f"vs {len(lineage)} current files); use "
+                        "run_incremental() for appended files, or a fresh "
+                        "output_dir for a changed input"
+                    )
                 continue
             t0 = time.monotonic()
             rep = self.engine.validate(df, [shape], key_cols=key_cols)
@@ -175,15 +200,10 @@ class CheckpointedRunner:
         either no trace or a complete manifest entry, never a
         double-counted file.
         """
-        from xpshacl_spark.shapes import ForeignKey, RowConstraint
+        from xpshacl_spark.shapes import non_streamable_constraints
 
         if not force:
-            bad = [
-                (s.shape_id, type(c).__name__)
-                for s in shapes
-                for c in s.constraints
-                if not isinstance(c, (RowConstraint, ForeignKey))
-            ]
+            bad = non_streamable_constraints(shapes)
             if bad:
                 raise ValueError(
                     "constraints not delta-safe (groups may span old and "
@@ -197,6 +217,14 @@ class CheckpointedRunner:
         done = self.completed()
         for shape in shapes:
             rec = done.get(shape.shape_id)
+            if rec is not None and not rec.get("input_files"):
+                raise ValueError(
+                    f"shape {shape.shape_id!r} was checkpointed without "
+                    "input-file lineage (non-file source); a delta cannot "
+                    "determine which files are new and would re-validate "
+                    "(and double-count) everything — rerun run() on a "
+                    "file-backed input or use a fresh output_dir"
+                )
             seen = set(rec.get("input_files", [])) if rec else set()
             new = [f for f in current if f not in seen]
             if not new:

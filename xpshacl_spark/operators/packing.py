@@ -110,12 +110,22 @@ def pack_sequences(
     cum_before: Column = (
         F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_part_off")
     )
+    # exact LONG arithmetic for both outputs: `/` on longs is DOUBLE
+    # division in Spark, and beyond ~2^53 cumulative tokens its rounded
+    # floor can disagree with the exact `%` — SQL `div` is integral
+    # division on longs, keeping pack_id*budget + pack_offset == offset
+    # at any corpus size
     return (
         ranged.join(off_df, "_pid")
         .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            cum_before.alias("_cumb"),
+        )
+        .select(
             id_col,
             "n_tokens",
-            F.floor(cum_before / F.lit(budget)).alias("pack_id"),
-            (cum_before % F.lit(budget)).alias("pack_offset"),
+            F.expr(f"_cumb div {int(budget)}").alias("pack_id"),
+            (F.col("_cumb") % F.lit(budget)).alias("pack_offset"),
         )
     )

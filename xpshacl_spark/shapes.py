@@ -1352,3 +1352,19 @@ class Shape:
         if self.message:
             return self.message
         return f"Value does not conform to {c.component()}"
+
+
+def non_streamable_constraints(shapes) -> list[tuple[str, str]]:
+    """(shape_id, constraint type) pairs for every constraint that is
+    neither row-level nor referential — exactly the set that cannot
+    stream (needs retractions / whole-group visibility) and cannot
+    delta-validate (a group may span old and new files). ONE definition
+    shared by streaming.validate_stream and
+    checkpoint.run_incremental, so the two gates cannot drift when a
+    new constraint class is added."""
+    return [
+        (s.shape_id, type(c).__name__)
+        for s in shapes
+        for c in s.constraints
+        if not isinstance(c, (RowConstraint, ForeignKey))
+    ]

@@ -34,11 +34,10 @@ from pyspark.sql import functions as F
 
 from xpshacl_spark.compiler import ValidationEngine, _violation_struct
 from xpshacl_spark.shapes import (
-    ForeignKey,
     GroupMaxCount,
     GroupMinCount,
-    RowConstraint,
     Shape,
+    non_streamable_constraints,
 )
 
 
@@ -56,12 +55,7 @@ def validate_stream(
     a constraint whose semantics do not stream."""
     if not stream_df.isStreaming:
         raise ValueError("validate_stream expects a streaming DataFrame")
-    bad = [
-        (s.shape_id, type(c).__name__)
-        for s in shapes
-        for c in s.constraints
-        if not isinstance(c, (RowConstraint, ForeignKey))
-    ]
+    bad = non_streamable_constraints(shapes)
     if bad:
         raise ValueError(
             f"constraints not streamable (use the batch engine or "
@@ -87,17 +81,21 @@ def _windowed_counts(
     window_duration: str,
     watermark: str,
     where: Optional[str],
+    target: Optional[str] = None,
 ) -> DataFrame:
+    # batch parity (compiler._compile_group_checks): the counted
+    # condition is shape.target AND constraint.where — dropping the
+    # target here made streaming counts include out-of-target rows
+    exprs = [F.expr(e) for e in (target, where) if e]
     cond = (
-        F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
+        F.coalesce(reduce(lambda a, b: a & b, exprs), F.lit(False))
+        if exprs
+        else F.lit(True)
     )
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("_w"), *group_by)
-        .agg(
-            F.count(F.when(cond, 1)).alias("_n"),
-            F.count(F.lit(1)).alias("_total"),
-        )
+        .agg(F.count(F.when(cond, 1)).alias("_n"))
     )
 
 
@@ -258,7 +256,8 @@ def windowed_min_count(
         raise ValueError("shape must carry exactly one GroupMinCount")
     c = cs[0]
     counts = _windowed_counts(
-        stream_df, c.group_by, ts_col, window_duration, watermark, c.where
+        stream_df, c.group_by, ts_col, window_duration, watermark, c.where,
+        target=shape.target,
     )
     return _windowed_violations(
         counts, shape, c, F.col("_n") < F.lit(c.min_count), c.group_by,
@@ -312,7 +311,8 @@ def windowed_max_count(
         raise ValueError("shape must carry exactly one GroupMaxCount")
     c = cs[0]
     counts = _windowed_counts(
-        stream_df, c.group_by, ts_col, window_duration, watermark, c.where
+        stream_df, c.group_by, ts_col, window_duration, watermark, c.where,
+        target=shape.target,
     )
     return _windowed_violations(
         counts, shape, c, F.col("_n") > F.lit(c.max_count), c.group_by,
@@ -357,20 +357,31 @@ def windowed_drift(
         raise ValueError("need at least 2 bins")
     v = F.col(value_col)
     idx = bin_index(v, lo, width, nb)
-    # watermark BEFORE the null filter: null-valued events must still
+    # NO pre-aggregation null filter: null-valued events must still
     # advance event time (a heartbeat tail of nulls would otherwise
-    # stall the watermark and never close the last windows)
+    # stall the watermark and never close the last windows), and a
+    # .where() between withWatermark and the agg does NOT guarantee
+    # that — Catalyst's PushPredicateThroughNonJoin pushes a
+    # deterministic predicate that doesn't reference the event-time
+    # column BELOW EventTimeWatermark. Nulls are excluded inside the
+    # aggregation instead (count(v) and NULL bin indexes contribute
+    # nothing), and all-null windows are dropped AFTER the agg, where
+    # the predicate cannot be pushed past the stateful operator.
     agg = (
         stream_df.withWatermark(ts_col, watermark)
-        .where(v.isNotNull())
         .groupBy(F.window(ts_col, window_duration).alias("_w"))
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.count(v).alias("n_rows"),
             *[
-                F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"_c{i}")
+                # explicit isNotNull: bin_index's greatest/least clamp
+                # SKIPS nulls, so a NULL value would land in bin 0
+                F.sum(
+                    F.when(v.isNotNull() & (idx == i), 1).otherwise(0)
+                ).alias(f"_c{i}")
                 for i in range(nb)
             ],
         )
+        .where(F.col("n_rows") > 0)
     )
     btot = float(sum(baseline_counts)) or 1.0
     qs = [max(c / btot, eps) for c in baseline_counts]
