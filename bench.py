@@ -127,6 +127,46 @@ def bench_stream_startup(spark: SparkSession, reps: int = 2) -> float:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _drift_check(timings: dict) -> dict:
+    """Per-query drift vs the latest recorded BENCH_r{N}.json,
+    normalized by the MEDIAN ratio across shared queries. Host-phase
+    noise moves every query together (the documented 1.3-1.7x swings),
+    so the median ratio of the mostly-unchanged plans IS the phase
+    factor; a genuine plan regression moves one query against that
+    tide. Queries whose phase-normalized ratio exceeds 1.5x are named
+    in `drift_outliers` — so phase noise vs plan regression stops
+    needing manual forensics every round."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prev_files:
+        return {}
+    try:
+        with open(prev_files[-1]) as f:
+            prev = json.load(f).get("queries", {})
+    except Exception:
+        return {}
+    shared = {
+        k: timings[k] / prev[k]
+        for k in timings
+        if k in prev and prev[k] > 0 and timings[k] > 0
+    }
+    if len(shared) < 5:
+        return {}
+    ratios = sorted(shared.values())
+    med = ratios[len(ratios) // 2]
+    if med <= 0:
+        return {}
+    return {
+        "drift_baseline": os.path.basename(prev_files[-1]),
+        "drift_median_ratio": round(med, 4),
+        "drift_outliers": {
+            k: round(r / med, 3) for k, r in sorted(shared.items()) if r / med > 1.5
+        },
+    }
+
+
 def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # default 16, not 32: the guest advertises 32 vCPUs but the host
@@ -199,6 +239,9 @@ def run_default() -> None:
         "transcript_violations": tr["n_violations"],
         "turns_per_sec": round(tr["turns_per_sec"], 1),
         "shapes_per_sec": round(tr["shapes_per_sec"], 1),
+        # phase-normalized per-query drift vs the previous round's
+        # recorded bench (see _drift_check)
+        **_drift_check(timings),
     }
     print(json.dumps(out))
     spark.stop()

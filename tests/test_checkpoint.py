@@ -333,3 +333,67 @@ def test_incremental_refuses_unknown_lineage(spark, tmp_path):
 
     with _pt.raises(ValueError, match="without input-file lineage"):
         runner.run_incremental(p, [shape], key_cols=["id"])
+
+
+def test_legacy_token_checkpoint_resumes_in_place(spark, tmp_path):
+    """A checkpoint written BEFORE _token gained its md5 suffix (unsafe
+    shape_id stored under the plain sanitized token) must be extended in
+    place on resume — not forked into a second manifest + bucket pair."""
+    from xpshacl_spark.checkpoint import CheckpointedRunner, _sanitize, _token
+    from xpshacl_spark.compiler import ValidationEngine
+    from xpshacl_spark.shapes import MinInclusive, Shape
+
+    sid = "range check v/1"  # needs sanitization -> md5-suffixed today
+    assert _token(sid) != _sanitize(sid)
+    p = str(tmp_path / "in")
+    spark.createDataFrame([(1, -5), (2, 3)], "id long, v long").write.parquet(p)
+    df = spark.read.parquet(p)
+    shape = Shape(sid, (MinInclusive("v", 0),))
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(ValidationEngine(spark), out, run_id="r1")
+    runner.run(df, [shape], key_cols=["id"])
+
+    # rewrite the checkpoint to the legacy layout: plain-token manifest
+    # + plain-token violations bucket, as the pre-suffix code wrote it
+    legacy, new = _sanitize(sid), _token(sid)
+    man_dir = os.path.join(out, "manifest")
+    vio_dir = os.path.join(out, "violations")
+    with open(os.path.join(man_dir, f"{new}.json")) as f:
+        rec = json.load(f)
+    rec["output_path"] = os.path.join(vio_dir, f"shape_bucket={legacy}")
+    os.rename(
+        os.path.join(vio_dir, f"shape_bucket={new}"), rec["output_path"]
+    )
+    os.remove(os.path.join(man_dir, f"{new}.json"))
+    with open(os.path.join(man_dir, f"{legacy}.json"), "w") as f:
+        json.dump(rec, f)
+
+    resumed = CheckpointedRunner(ValidationEngine(spark), out, run_id="r2")
+    # full-run resume skips via shape_id and reads the legacy bucket
+    rep = resumed.run(df, [shape], key_cols=["id"])
+    assert rep.violations.count() == 1
+    # incremental delta extends the LEGACY manifest/bucket, no fork
+    p2 = str(tmp_path / "in" )
+    spark.createDataFrame([(9, -7)], "id long, v long").write.mode(
+        "append"
+    ).parquet(p2)
+    rep2 = resumed.run_incremental(p2, [shape], key_cols=["id"])
+    assert rep2.violations.count() == 2
+    manifests = [f for f in os.listdir(man_dir) if f.endswith(".json")]
+    assert manifests == [f"{legacy}.json"]
+    assert not os.path.isdir(os.path.join(vio_dir, f"shape_bucket={new}"))
+
+
+def test_completed_raises_on_duplicate_shape_id(spark, tmp_path):
+    """Two manifests claiming one shape_id = two buckets, and report()
+    would silently read only one — completed() must fail loudly."""
+    from xpshacl_spark.checkpoint import CheckpointedRunner
+    from xpshacl_spark.compiler import ValidationEngine
+
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(ValidationEngine(spark), out, run_id="r1")
+    for fn in ("a.json", "b.json"):
+        with open(os.path.join(out, "manifest", fn), "w") as f:
+            json.dump({"shape_id": "s", "output_path": "x"}, f)
+    with pytest.raises(RuntimeError, match="duplicate checkpoint manifests"):
+        runner.completed()

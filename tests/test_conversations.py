@@ -91,3 +91,32 @@ def test_duplicates_single_assembly_pass(spark):
     )
     assert plan.count("collect_list") <= 2, plan  # one partial + one final
     assert "Join" not in plan, plan
+
+
+def test_null_order_cols_sort_last_matching_sql(spark):
+    """NULL order-col values must sort LAST (SQL NULLS LAST), not first
+    as bare Spark struct ordering would — otherwise the same data
+    renders two different transcripts/md5s across engines."""
+    rows = [
+        ("c1", None, "system", "late-null"),
+        ("c1", 1, "user", "first"),
+        ("c1", 2, "assistant", "second"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = assemble_conversations(
+        df, ["conv_id"], ["turn_idx"], "role", "text"
+    ).collect()[0]
+    assert out.transcript == "user: first\nassistant: second\nsystem: late-null"
+    # cross-engine check: DuckDB's default ORDER BY (NULLS LAST) over
+    # the same rows renders the identical transcript
+    import duckdb
+
+    sql = (
+        "SELECT string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) "
+        "FROM (VALUES ('c1', NULL, 'system', 'late-null'),"
+        "('c1', 1, 'user', 'first'),('c1', 2, 'assistant', 'second'))"
+        " t(conv_id, turn_idx, role, text) GROUP BY conv_id"
+    )
+    assert duckdb.sql(sql).fetchone()[0] == out.transcript

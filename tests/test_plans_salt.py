@@ -542,3 +542,85 @@ def test_shingles_rebalances_narrow_input_only(spark):
     plan_wide = _plan(shingles(wide, "doc_id", "text"))
     # exactly the one repartition WE added upstream; shingles adds none
     assert plan_wide.count("ROUND_ROBIN") + plan_wide.count("RoundRobin") <= 1
+
+
+def test_nb_production_shape_single_corpus_explode(spark, tmp_path):
+    """q_nb_quality's production shape: the distinct-(doc, word)
+    relation is materialized once (that write is the ONLY corpus-text
+    explode); the scoring plan over the read-back table must contain NO
+    Generate at all — versus the convenience form, whose one lazy plan
+    explodes the corpus text twice."""
+    from xpshacl_spark.operators.text import (
+        nb_quality_scores,
+        nb_quality_scores_from_words,
+        nb_words,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i % 3} common text", i % 2 == 0) for i in range(20)],
+        "doc_id long, text string, is_ref boolean",
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+
+    convenience = _plan(nb_quality_scores(d, "doc_id", "text", "is_ref"))
+    assert convenience.count("Generate") == 2  # the two-explode bound
+
+    words = nb_words(d, "doc_id", "text", "is_ref")
+    assert _plan(words).count("Generate") == 1  # the single explode
+    spark.sql("DROP TABLE IF EXISTS nb_words_pin")
+    words.write.mode("overwrite").saveAsTable("nb_words_pin")
+    prod = _plan(
+        nb_quality_scores_from_words(
+            d, spark.table("nb_words_pin"), "doc_id", "is_ref"
+        )
+    )
+    assert "Generate" not in prod, prod
+    spark.sql("DROP TABLE IF EXISTS nb_words_pin")
+
+
+def test_rebalance_noop_on_wide_bare_scan(spark, tmp_path):
+    """rebalance_if_narrow must be a STRUCTURAL no-op on a bare scan
+    that already has >= shuffle.partitions splits (the cluster-scale
+    case): no extra Exchange may appear — else the guard would silently
+    tax every 100-TB scan with a full round-robin shuffle."""
+    from xpshacl_spark.operators.text import rebalance_if_narrow
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = str(tmp_path / "wide.parquet")
+    (
+        spark.range(target * 4)
+        .selectExpr("id as doc_id", "'a b c' as text")
+        .repartition(target * 2)
+        .write.parquet(p)
+    )
+    # tiny files get bin-packed into few scan splits by default; force
+    # one-file-per-split so the scan arrives cluster-wide WITHOUT any
+    # upstream Exchange (the case the probe must leave untouched)
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    saved_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        wide = spark.read.parquet(p)
+        assert wide.rdd.getNumPartitions() >= target  # bare scan, no Exchange
+        out = rebalance_if_narrow(wide)
+        assert out is wide  # identity, not just exchange-free
+        assert "Exchange" not in _plan(out)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+        spark.conf.set("spark.sql.files.openCostInBytes", saved_open)
+
+
+def test_rebalance_degrades_to_noop_on_non_numeric_conf(spark, monkeypatch):
+    """Platforms running AQE auto-tuning set shuffle.partitions to a
+    non-numeric value ("auto"); the rebalance guard must return the
+    input unchanged there, not raise ValueError. (Local Spark refuses
+    conf.set("...", "auto"), so the conf getter is patched instead.)"""
+    from xpshacl_spark.operators.text import rebalance_if_narrow
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    monkeypatch.setattr(
+        type(spark.conf), "get", lambda self, key, default=None: "auto"
+    )
+    assert rebalance_if_narrow(df) is df

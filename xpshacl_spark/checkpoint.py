@@ -32,13 +32,23 @@ from xpshacl_spark.compiler import ValidationEngine, ValidationReport
 from xpshacl_spark.shapes import Shape
 
 
+def _sanitize(shape_id: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.\-]+", "_", shape_id)
+
+
 def _token(shape_id: str) -> str:
     """Filesystem-safe token, COLLISION-FREE across distinct shape_ids:
     when sanitization had to rewrite anything, an md5 suffix of the raw
     id disambiguates ('a b' and 'a/b' must not share one manifest file
     and clobber each other's violations bucket). Ids that are already
-    safe keep their plain token (existing checkpoints stay valid)."""
-    safe = re.sub(r"[^A-Za-z0-9_.\-]+", "_", shape_id)
+    safe keep their plain token (existing checkpoints stay valid).
+
+    Checkpoints written BEFORE the md5 suffix existed used the plain
+    sanitized token for unsafe ids too; `CheckpointedRunner._resolve_token`
+    detects such a legacy manifest for the same shape_id and keeps using
+    its token, so a resume extends the original manifest + violations
+    bucket instead of forking a second pair under the new token."""
+    safe = _sanitize(shape_id)
     if safe != shape_id:
         safe = f"{safe}_{hashlib.md5(shape_id.encode()).hexdigest()[:8]}"
     return safe
@@ -64,13 +74,44 @@ class CheckpointedRunner:
     # -- manifest ---------------------------------------------------------
 
     def completed(self) -> dict[str, dict]:
-        out = {}
-        for fn in os.listdir(self.manifest_dir):
+        out: dict[str, dict] = {}
+        owner: dict[str, str] = {}
+        for fn in sorted(os.listdir(self.manifest_dir)):
             if fn.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, fn)) as f:
                     rec = json.load(f)
-                out[rec["shape_id"]] = rec
+                sid = rec["shape_id"]
+                if sid in out:
+                    # one shape_id owning two manifests means two
+                    # violations buckets exist and report() would read
+                    # only one of them — fail loudly instead of letting
+                    # listdir order pick a winner
+                    raise RuntimeError(
+                        f"duplicate checkpoint manifests for shape_id "
+                        f"{sid!r}: {owner[sid]} and {fn}; delete the "
+                        "stale one (and its violations bucket) or use a "
+                        "fresh output_dir"
+                    )
+                out[sid] = rec
+                owner[sid] = fn
         return out
+
+    def _resolve_token(self, shape_id: str) -> str:
+        """Canonical token for this shape_id, honoring a pre-existing
+        legacy-token checkpoint (written before _token gained the md5
+        suffix): if `<sanitized>.json` exists and records THIS shape_id,
+        keep using that token so resume extends the original manifest +
+        bucket instead of creating a duplicate pair under the new token."""
+        token = _token(shape_id)
+        legacy = _sanitize(shape_id)
+        if legacy != token:
+            legacy_manifest = os.path.join(self.manifest_dir, f"{legacy}.json")
+            if os.path.exists(legacy_manifest):
+                with open(legacy_manifest) as f:
+                    rec = json.load(f)
+                if rec.get("shape_id") == shape_id:
+                    return legacy
+        return token
 
     def _prune_orphan_deltas(self, token: str, recorded: set[str]) -> None:
         """Delete delta_* subdirs of a shape bucket that the manifest
@@ -92,8 +133,9 @@ class CheckpointedRunner:
             ):
                 shutil.rmtree(path)
 
-    def _write_manifest(self, rec: dict) -> None:
-        path = os.path.join(self.manifest_dir, f"{_token(rec['shape_id'])}.json")
+    def _write_manifest(self, rec: dict, token: Optional[str] = None) -> None:
+        token = token if token is not None else self._resolve_token(rec["shape_id"])
+        path = os.path.join(self.manifest_dir, f"{token}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f, indent=2, sort_keys=True)
@@ -142,7 +184,7 @@ class CheckpointedRunner:
                 continue
             t0 = time.monotonic()
             rep = self.engine.validate(df, [shape], key_cols=key_cols)
-            token = _token(shape.shape_id)
+            token = self._resolve_token(shape.shape_id)
             out_path = os.path.join(self.violations_dir, f"shape_bucket={token}")
             # the write is the checkpoint: resume-level determinism is at
             # the RELATION level (same rows), not file bytes — asserted by
@@ -160,7 +202,8 @@ class CheckpointedRunner:
                     "wall_sec": round(time.monotonic() - t0, 3),
                     "output_path": out_path,
                     "finished_unix": time.time(),
-                }
+                },
+                token=token,
             )
             completed_now += 1
             if fail_after is not None and completed_now >= fail_after:
@@ -229,7 +272,7 @@ class CheckpointedRunner:
             new = [f for f in current if f not in seen]
             if not new:
                 continue
-            token = _token(shape.shape_id)
+            token = self._resolve_token(shape.shape_id)
             self._prune_orphan_deltas(
                 token, {d["delta_id"] for d in (rec or {}).get("deltas", [])}
             )
@@ -277,7 +320,8 @@ class CheckpointedRunner:
                         self.violations_dir, f"shape_bucket={token}"
                     ),
                     "finished_unix": time.time(),
-                }
+                },
+                token=token,
             )
         return self.report(key_cols)
 

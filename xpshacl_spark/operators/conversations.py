@@ -57,7 +57,17 @@ def assemble_conversations(
     on it (or feed the transcript to the dedup operators) for
     conversation-level dedup. With ``ts_col``, duration_us is the
     exact integer microsecond span between the first and last turn
-    (min/max in the same agg; no second pass)."""
+    (min/max in the same agg; no second pass).
+
+    Turn ordering: NULL order-col values sort LAST (each sort key
+    carries an explicit isNull flag — bare Spark struct ordering would
+    put NULL first while SQL engines default to NULLS LAST, so the
+    same data would render two different transcripts/md5s across
+    engines). Ties on (order_cols...) are broken by the rendered line
+    content, which keeps the transcript deterministic within Spark but
+    is NOT mirrored by a plain SQL ORDER BY — for cross-engine md5
+    parity, order_cols should be unique per conversation (e.g. a
+    turn_idx), as they are for any well-formed transcript table."""
     conv_cols = list(conv_cols)
     order_cols = list(order_cols)
     line = F.concat(
@@ -71,7 +81,18 @@ def assemble_conversations(
             [F.col(ts_col).alias("_ts")] if ts_col else []
         ),
         F.struct(
-            *[F.col(c) for c in order_cols], line.alias("_line")
+            # (isNull, value) per order col: false < true puts non-NULL
+            # first, i.e. SQL's NULLS LAST — bare struct ordering would
+            # sort NULL first and diverge from every SQL oracle
+            *[
+                part
+                for c in order_cols
+                for part in (
+                    F.col(c).isNull().alias(f"_n_{c}"),
+                    F.col(c).alias(c),
+                )
+            ],
+            line.alias("_line"),
         ).alias("_turn"),
     )
     aggs = [

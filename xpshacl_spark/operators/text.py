@@ -136,8 +136,11 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     would execute its stages under AQE at plan-construction time)."""
     if df.isStreaming:
         return df
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     try:
+        # inside the try: platforms running AQE auto-tuning set
+        # shuffle.partitions to a non-numeric value (e.g. "auto"), and
+        # this guard must degrade to a no-op there, not raise
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return df
@@ -602,15 +605,43 @@ def nb_quality_scores(
     hot words. Rounding to 6 decimals absorbs the sub-ulp double drift
     of ln and of partition-order float summation (same convention as
     unigram_logprob)."""
+    W = nb_words(df, id_col, text_col, label_col)
+    return _nb_scores_from_words(df, W, id_col, label_col)
+
+
+def nb_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_ref",
+) -> DataFrame:
+    """The distinct-(doc_id, _ref, word) relation both NB stages
+    consume — exposed so callers can materialize it ONCE (persist, or
+    a managed table for cross-run reuse) and feed
+    :func:`nb_quality_scores_from_words`, paying a single corpus
+    explode instead of the two the convenience form plans."""
     words_arr = F.array_distinct(
         F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
     )
-    W = df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("boolean").alias("_ref"),
         F.explode(words_arr).alias("word"),
     )
-    return _nb_scores_from_words(df, W, id_col, label_col)
+
+
+def nb_quality_scores_from_words(
+    df: DataFrame,
+    words: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "is_ref",
+) -> DataFrame:
+    """Score against an already-materialized :func:`nb_words` relation
+    (persisted handle or table read-back) — the production shape: the
+    corpus text is exploded exactly once, when ``words`` was built;
+    this plan touches only the compact words relation plus a 1-row
+    class-totals agg over ``df``."""
+    return _nb_scores_from_words(df, words, id_col, label_col)
 
 
 def nb_quality_scores_with_words(
@@ -626,14 +657,9 @@ def nb_quality_scores_with_words(
     scores are materialized."""
     from pyspark import StorageLevel
 
-    words_arr = F.array_distinct(
-        F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
+    W = nb_words(df, id_col, text_col, label_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    W = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).cast("boolean").alias("_ref"),
-        F.explode(words_arr).alias("word"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     return _nb_scores_from_words(df, W, id_col, label_col), W
 
 

@@ -249,7 +249,12 @@ def suggest_constraints(
                     c,
                     "InConstraintComponent",
                     None,
-                    json.dumps(insets[c], separators=(",", ":")),
+                    # ensure_ascii=False: DuckDB's to_json emits raw
+                    # UTF-8, so \uXXXX escaping would break byte parity
+                    # for non-ASCII categorical values
+                    json.dumps(
+                        insets[c], separators=(",", ":"), ensure_ascii=False
+                    ),
                 )
             )
     return out
