@@ -870,15 +870,38 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(deduped, "doc_id", "n_toks", budget=512)
 
 
+#: Turtle source for q_violation_summary's shapes — the full
+#: TTL -> shapes -> validate path (shapes_ttl parser + constraint
+#: mapping) runs under the driver's correctness gate, not just pytest.
+#: Relative subject IRIs keep shape_id = 'li_qty' etc. so the oracle's
+#: literal ids are byte-identical; sh:path local names are the columns.
+_SUMMARY_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+<li_qty> a sh:NodeShape ;
+    sh:property [ sh:path <l_quantity> ; sh:maxInclusive 30 ] .
+
+<li_disc> a sh:NodeShape ;
+    sh:property [ sh:path <l_discount> ; sh:maxInclusive 0.08 ] .
+
+<li_tax> a sh:NodeShape ;
+    sh:property [ sh:path <l_tax> ; sh:minInclusive 0.02 ] .
+"""
+
+
 def q_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of per-shape plans + group-by-signature counting
-    (SURVEY.md §2C union + dedup)."""
+    (SURVEY.md §2C union + dedup). The shapes are INGESTED FROM TURTLE
+    (shapes_ttl.import_ttl — the reference's shapes-graph source format,
+    §2D) rather than constructed in Python, so the TTL front end sits
+    under a green driver-gate row; the parsed shapes are value-identical
+    to Shape("li_qty", (MaxInclusive("l_quantity", 30),)) etc., and the
+    compiled plan is unchanged."""
+    from xpshacl_spark.shapes_ttl import shapes_from_ttl
+
     li = _load(spark, sf_dir, "lineitem")
-    shapes = [
-        Shape("li_qty", (MaxInclusive("l_quantity", 30),)),
-        Shape("li_disc", (MaxInclusive("l_discount", 0.08),)),
-        Shape("li_tax", (MinInclusive("l_tax", 0.02),)),
-    ]
+    shapes = shapes_from_ttl(_SUMMARY_SHAPES_TTL)
+    assert sorted(s.shape_id for s in shapes) == ["li_disc", "li_qty", "li_tax"]
     engine = ValidationEngine(spark)
     rep = engine.validate(li, shapes, key_cols=["l_orderkey", "l_linenumber"])
     return rep.counts()

@@ -397,3 +397,83 @@ def test_completed_raises_on_duplicate_shape_id(spark, tmp_path):
             json.dump({"shape_id": "s", "output_path": "x"}, f)
     with pytest.raises(RuntimeError, match="duplicate checkpoint manifests"):
         runner.completed()
+
+
+def test_hard_kill_resume_end_to_end(spark, tmp_path):
+    """The north rule's resumability criterion, end to end over the
+    full transcript suite with a REAL kill: a separate runner process
+    is SIGKILLed mid-suite (after >= 3 of the shapes checkpoint), a
+    second process resumes from the manifest, and the assembled
+    violations relation is identical to an uninterrupted run's."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    inp = str(tmp_path / "in.parquet")
+    transcripts(spark, n_convs=150, seed=23).write.parquet(inp)
+    killed_out = str(tmp_path / "killed")
+    clean_out = str(tmp_path / "clean")
+    env = dict(os.environ, PYTHONPATH=repo)
+
+    def _launch(out_dir):
+        return subprocess.Popen(
+            [
+                sys.executable, "-m", "xpshacl_spark.runner",
+                "--input", inp, "--output", out_dir, "--master", "local[4]",
+            ],
+            cwd=repo, env=env, start_new_session=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    # run 1: SIGKILL the whole process group once >= 3 shapes checkpoint
+    proc = _launch(killed_out)
+    man = os.path.join(killed_out, "manifest")
+    deadline = _time.monotonic() + 420
+    try:
+        while _time.monotonic() < deadline:
+            n = len(
+                [f for f in os.listdir(man)] if os.path.isdir(man) else []
+            )
+            if n >= 3:
+                os.killpg(proc.pid, signal.SIGKILL)
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "runner finished before the kill could land — "
+                    "input too small for this e2e"
+                )
+            _time.sleep(0.2)
+        else:
+            raise AssertionError("runner never checkpointed 3 shapes")
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+    n_killed = len([f for f in os.listdir(man) if f.endswith(".json")])
+    assert 3 <= n_killed < 11, n_killed  # died mid-suite, not at the end
+
+    # run 2: resume in a fresh process; must complete cleanly
+    proc2 = _launch(killed_out)
+    out2, _ = proc2.communicate(timeout=600)
+    # exit 3 = completed, violations found (expected on this data)
+    assert proc2.returncode in (0, 3), out2
+    resumed_summary = json.loads(out2.strip().splitlines()[-1])
+
+    # reference: one uninterrupted run in another fresh process
+    proc3 = _launch(clean_out)
+    out3, _ = proc3.communicate(timeout=600)
+    assert proc3.returncode == proc2.returncode, out3
+    clean_summary = json.loads(out3.strip().splitlines()[-1])
+
+    assert resumed_summary["by_shape"] == clean_summary["by_shape"]
+    assert resumed_summary["n_violations"] == clean_summary["n_violations"]
+
+    def _all_rows(out_dir):
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(out_dir, "violations")
+        ).drop("context")
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    assert _all_rows(killed_out) == _all_rows(clean_out)
