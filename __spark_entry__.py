@@ -2202,7 +2202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # added in r05 (new work extends operators behind existing queries
     # or carries mirror-only pytest proof), so CORRECTNESS_r04 ∪ r05
     # gives every one of the 100 queries a driver-green row within
-    # the last two rounds.
+    # the last two rounds. Two queries were REROUTED in r05 with
+    # value-identical results: q_violation_summary (in-window) now
+    # ingests its shapes from Turtle, putting the TTL front end under a
+    # driver row; q_nb_quality (tail, r04-green) moved to the one-
+    # corpus-explode production shape — plan-pinned + mirror-proven at
+    # two SFs (tests/test_plans_salt.py, tests/test_entry_oracle.py).
     return {
         # -- r05 head: the 50 queries absent from CORRECTNESS_r04 --
         "q_interval_join_events": q_interval_join_events,

@@ -139,14 +139,42 @@ def _drift_check(timings: dict) -> dict:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prev_files:
-        return {}
-    try:
-        with open(prev_files[-1]) as f:
-            prev = json.load(f).get("queries", {})
-    except Exception:
-        return {}
+    prev, baseline_name = {}, None
+    # preferred baseline: our own last full line (BENCH_LOCAL.jsonl,
+    # appended by every run_default) — the driver's BENCH_r{N}.json
+    # capture can truncate the line (r04's has parsed: null)
+    local = os.path.join(here, "BENCH_LOCAL.jsonl")
+    if os.path.exists(local):
+        try:
+            with open(local) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            if lines:
+                prev = json.loads(lines[-1]).get("queries", {})
+                baseline_name = "BENCH_LOCAL.jsonl:last"
+        except Exception:
+            prev = {}
+    if not prev:
+        prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if not prev_files:
+            return {}
+        baseline_name = os.path.basename(prev_files[-1])
+        try:
+            with open(prev_files[-1]) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            prev = parsed.get("queries") or rec.get("queries") or {}
+            if not prev and rec.get("tail"):
+                # recover what survives of a truncated capture; a key
+                # cut mid-name simply drops out of the comparison
+                import re
+
+                for k, v in re.findall(
+                    r'\\?"(q_\w+|transcript_validation)\\?": ([0-9.]+)',
+                    rec["tail"],
+                ):
+                    prev.setdefault(k, float(v))
+        except Exception:
+            return {}
     shared = {
         k: timings[k] / prev[k]
         for k in timings
@@ -159,7 +187,7 @@ def _drift_check(timings: dict) -> dict:
     if med <= 0:
         return {}
     return {
-        "drift_baseline": os.path.basename(prev_files[-1]),
+        "drift_baseline": baseline_name,
         "drift_median_ratio": round(med, 4),
         "drift_outliers": {
             k: round(r / med, 3) for k, r in sorted(shared.items()) if r / med > 1.5
@@ -244,6 +272,14 @@ def run_default() -> None:
         **_drift_check(timings),
     }
     print(json.dumps(out))
+    # full-line local record: next round's drift baseline (the driver's
+    # BENCH_r{N}.json capture can truncate long lines)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 
@@ -318,10 +354,21 @@ def _scaling_shards(n_convs: int, n_shards: int) -> list:
 
 
 def _spawn_worker(input_path: str):
+    # Each worker JVM declares a 2-core budget (ActiveProcessorCount via
+    # session.get_spark's SPARK_GRAFT_PROC_CPUS): a real cluster
+    # executor JVM knows the cores it owns and sizes GC/JIT/common
+    # pools to them. Without this, every local[1] worker sizes ~23 GC
+    # threads to the 32 visible vCPUs, and at the 4-concurrent level
+    # the four JVMs' service-thread storms collide on the
+    # oversubscribed guest (measured: plain 4-process CPU burn scales
+    # at 0.90 in the same phase where un-capped 4-JVM runs scored
+    # 0.57-0.61). Both levels get the SAME budget, so the ratio stays
+    # honest.
+    env = dict(os.environ, SPARK_GRAFT_PROC_CPUS="2")
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--_scaling-worker",
          "1", input_path],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
 
 

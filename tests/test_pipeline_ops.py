@@ -1378,3 +1378,84 @@ def test_incremental_dedup_null_rows_bypass_window(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     # the window branch filters NULL keys BEFORE its exchange
     assert "Union" in plan
+
+
+def test_semantic_dedup_keeps_min_id_per_neighborhood(spark):
+    """Identical vectors share a cell by construction (same centroid
+    scores); only the min id survives. A vector with no near neighbor
+    keeps regardless of cell."""
+    from xpshacl_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),       # exact dup of 1
+        (3, [0.999, 0.01, 0.0, 0.0]),    # near-dup of 1/2
+        (4, [0.0, 0.0, 0.0, 1.0]),       # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, n_cells=2, dim=4
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True}
+    # every input vector is present exactly once
+    assert len(out) == 4
+
+
+def test_semantic_dedup_matches_duckdb_oracle(spark):
+    """Mirror-only proof (zero-slack r05 gate: no new driver entries):
+    full (vec_id, cell, keep) relation vs DuckDB replicating the hash
+    centroids, first-occurrence argmax cell, in-cell pairwise cosine
+    (rounded to 6), and the smaller-id-neighbor loser rule."""
+    import math
+
+    import duckdb
+
+    from xpshacl_spark.operators.dedup import semantic_dedup
+    from xpshacl_spark.operators.similarity import ivf_centroids
+
+    sf_dir = os.environ.get("XPSHACL_TEST_SF_DIR", "/root/testdata/sf0.001")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant exact duplicates (max natural pairwise cos here is ~0.48):
+    # copies share the cell by construction and must lose to the original
+    from pyspark.sql import functions as F  # noqa: N812
+
+    emb = base.unionByName(
+        base.where(F.col("vec_id") < 40).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    got = sorted(
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.8, n_cells=4, dim=64
+        ).collect()
+    )
+    losers = {v for v, _, k in got if not k}
+    assert losers == {10000 + i for i in range(40)}  # every copy loses
+
+    scores = []
+    for cent in ivf_centroids(4, 64):
+        lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+        norm = math.sqrt(math.fsum(x * x for x in cent))
+        scores.append(f"list_inner_product(v, {lit}) / {norm!r}")
+    sql = (
+        "WITH raw AS (SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')), "
+        "e0 AS (SELECT vec_id, embedding FROM raw UNION ALL "
+        "SELECT vec_id + 10000, embedding FROM raw WHERE vec_id < 40), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e0), "
+        f"s AS (SELECT vec_id, v, list_value({', '.join(scores)}) AS sl FROM e), "
+        "a AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS n, "
+        "CAST(list_position(sl, list_max(sl)) AS INT) AS cell FROM s), "
+        "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM a x JOIN a y "
+        "ON x.cell = y.cell AND x.vec_id < y.vec_id "
+        "WHERE round(list_inner_product(x.v, y.v) / (x.n * y.n), 6) >= 0.8), "
+        "l AS (SELECT DISTINCT id_b FROM p) "
+        "SELECT vec_id, cell, (id_b IS NULL) AS keep "
+        "FROM a LEFT JOIN l ON a.vec_id = l.id_b ORDER BY vec_id"
+    )
+    want = [(r[0], r[1], r[2]) for r in duckdb.sql(sql).fetchall()]
+    assert got == want

@@ -799,6 +799,60 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 4,
+    dim: int = 64,
+    seed: str = "ivf",
+    centroids: "Optional[list[list[float]]]" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then within each cluster drop every vector that has a
+    semantically-near neighbor with a smaller id. Returns
+    (vec_id, cell, keep) for EVERY input vector.
+
+    Survivor rule (deterministic, declarative): keep iff the vector has
+    NO same-cell neighbor with cosine >= threshold and a smaller
+    vec_id. This is the order-free analog of the paper's greedy
+    keep-first sweep — for the tight near-duplicate neighborhoods the
+    threshold targets (cos >= ~0.95) the similarity relation is
+    effectively cliqueish and the rule keeps exactly the min-id
+    representative; for sparser graphs it may keep more than one per
+    connected component (never zero: the min id of any component has no
+    smaller neighbor), which errs toward keeping data.
+
+    100-TB shape: cell assignment is a zero-shuffle scan
+    (similarity.ivf_assign — at scale the corpus is WRITTEN partitioned
+    by cell); the pairwise stage is embedding_near_dup_pairs with the
+    cell as the MANDATORY block column, so the quadratic cost is
+    bounded per cell and never global (pass train_ivf_centroids output
+    with n_cells sized so cells fit executor memory). The losers list
+    is distinct ids out of the pair relation — metadata-sized."""
+    from xpshacl_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb, id_col, vec_col, n_cells=n_cells, dim=dim, seed=seed,
+        centroids=centroids,
+    )
+    pairs = embedding_near_dup_pairs(
+        assigned, "vec_id", "embedding", threshold=threshold,
+        block_col="cell", dim=dim,
+    )
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.join(losers.withColumn("_lose", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str,

@@ -54,6 +54,21 @@ def get_spark(
         # clobber each other's files
         .config("spark.sql.warehouse.dir", f"/tmp/xpshacl_warehouse_{os.getpid()}")
     )
+    # Executor-fidelity knob: SPARK_GRAFT_PROC_CPUS=<k> declares the
+    # JVM's core budget (-XX:ActiveProcessorCount), sizing GC/JIT/common
+    # pools to k instead of the machine's visible CPU count. A real
+    # cluster executor JVM is launched knowing the cores it owns; a
+    # local[1] "executor analog" that silently sizes ~23 GC threads to
+    # 32 visible CPUs is NOT one executor — with several such JVMs
+    # concurrent, their service-thread storms collide (measured in
+    # BENCH.md's process-protocol runs). Opt-in via env so normal
+    # local[N] sessions are unaffected.
+    proc_cpus = os.environ.get("SPARK_GRAFT_PROC_CPUS")
+    if proc_cpus:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={int(proc_cpus)}",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
