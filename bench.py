@@ -127,7 +127,7 @@ def bench_stream_startup(spark: SparkSession, reps: int = 2) -> float:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _drift_check(timings: dict) -> dict:
+def _drift_check(timings: dict, sf=None, cpus=None) -> dict:
     """Per-query drift vs the latest recorded BENCH_r{N}.json,
     normalized by the MEDIAN ratio across shared queries. Host-phase
     noise moves every query together (the documented 1.3-1.7x swings),
@@ -148,9 +148,17 @@ def _drift_check(timings: dict) -> dict:
         try:
             with open(local) as f:
                 lines = [ln for ln in f.read().splitlines() if ln.strip()]
-            if lines:
-                prev = json.loads(lines[-1]).get("queries", {})
-                baseline_name = "BENCH_LOCAL.jsonl:last"
+            # newest line at the SAME scale/parallelism: queries do not
+            # scale uniformly with SF (quadratic pair joins vs linear
+            # scans), so a cross-scale ratio is not drift
+            for ln in reversed(lines):
+                rec = json.loads(ln)
+                if (sf is None or rec.get("sf") == sf) and (
+                    cpus is None or rec.get("cpus") == cpus
+                ):
+                    prev = rec.get("queries", {})
+                    baseline_name = "BENCH_LOCAL.jsonl:last-matching"
+                    break
         except Exception:
             prev = {}
     if not prev:
@@ -161,6 +169,8 @@ def _drift_check(timings: dict) -> dict:
         try:
             with open(prev_files[-1]) as f:
                 rec = json.load(f)
+            if sf is not None and rec.get("sf") not in (None, sf):
+                return {}  # driver record is at another scale — no drift read
             parsed = rec.get("parsed") or {}
             prev = parsed.get("queries") or rec.get("queries") or {}
             if not prev and rec.get("tail"):
@@ -269,7 +279,7 @@ def run_default() -> None:
         "shapes_per_sec": round(tr["shapes_per_sec"], 1),
         # phase-normalized per-query drift vs the previous round's
         # recorded bench (see _drift_check)
-        **_drift_check(timings),
+        **_drift_check(timings, sf=sf, cpus=cpus),
     }
     print(json.dumps(out))
     # full-line local record: next round's drift baseline (the driver's

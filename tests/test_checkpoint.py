@@ -433,8 +433,12 @@ def test_hard_kill_resume_end_to_end(spark, tmp_path):
     deadline = _time.monotonic() + 420
     try:
         while _time.monotonic() < deadline:
+            # count only PUBLISHED manifests (.json): an in-flight
+            # .json.tmp would otherwise trip the kill one shape early
             n = len(
-                [f for f in os.listdir(man)] if os.path.isdir(man) else []
+                [f for f in os.listdir(man) if f.endswith(".json")]
+                if os.path.isdir(man)
+                else []
             )
             if n >= 3:
                 os.killpg(proc.pid, signal.SIGKILL)

@@ -1459,3 +1459,26 @@ def test_semantic_dedup_matches_duckdb_oracle(spark):
     )
     want = [(r[0], r[1], r[2]) for r in duckdb.sql(sql).fetchall()]
     assert got == want
+
+
+def test_semantic_dedup_zero_norm_vector_survives(spark):
+    """All-zero embeddings (empty docs) must neither crash the job
+    (ANSI DIVIDE_BY_ZERO) nor NaN-poison the threshold (ANSI off:
+    0/0 = NaN and Spark orders NaN above every number, which would
+    mark every same-cell partner as a dup). NULL cos pairs with
+    nothing: the zero vector keeps, and real dups still lose."""
+    from xpshacl_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+        (3, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.9, n_cells=2, dim=4
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: False}

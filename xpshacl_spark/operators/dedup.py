@@ -791,7 +791,15 @@ def embedding_near_dup_pairs(
         F.col("_n").alias("_nb"),
     )
     joined = a.join(b, join_keys) if join_keys else a.crossJoin(b)
-    cos = _dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))
+    # nullif guards zero-norm vectors (all-zero embeddings of empty
+    # docs): a bare division raises DIVIDE_BY_ZERO under ANSI mode, and
+    # with ANSI off 0/0 = NaN, which Spark orders ABOVE every number —
+    # NaN >= threshold would silently mark every same-block partner of
+    # a zero vector as a near-dup. NULL cos drops out of the >= filter,
+    # matching SQL-engine NULL semantics: zero vectors pair with nothing.
+    cos = _dot(F.col("_va"), F.col("_vb"), dim) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
