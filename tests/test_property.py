@@ -445,3 +445,67 @@ def test_ngram_repetition_matches_python_oracle(spark, docs):
             )
             assert got[(i, n)] == (top, top_frac, dup), (i, n, ws)
     assert len(got) == 2 * len(docs)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3).map(float),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=16,
+    ),
+    thr=st.sampled_from([0.7, 0.9, 0.99]),
+)
+@SLOW
+def test_semantic_dedup_invariants(spark, vecs, thr):
+    """Against a Python re-implementation: (a) keep/lose matches the
+    smaller-id-in-cell-neighbor rule exactly, (b) the min id of every
+    in-cell similarity component always keeps, (c) zero vectors never
+    crash and never lose. Integer-grid vectors keep cosine exact enough
+    that round-6 can't straddle the threshold ambiguously across
+    engines."""
+    import math
+
+    from xpshacl_spark.operators.dedup import semantic_dedup
+    from xpshacl_spark.operators.similarity import ivf_centroids
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=thr, n_cells=2, dim=4
+        ).collect()
+    }
+    assert set(got) == {i for i, _ in rows}  # total: one row per vector
+
+    # python oracle: same centroids, first-occurrence argmax, fold dots
+    cents = ivf_centroids(2, 4)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cell_of(v):
+        scores = [dot(v, c) / math.sqrt(math.fsum(x * x for x in c)) for c in cents]
+        return scores.index(max(scores)) + 1
+
+    cells = {i: cell_of(v) for i, v in rows}
+    norms = {i: math.sqrt(dot(v, v)) for i, v in rows}
+    vec = dict(rows)
+
+    def similar(i, j):
+        if norms[i] == 0.0 or norms[j] == 0.0:
+            return False  # NULL cos: zero vectors pair with nothing
+        return round(dot(vec[i], vec[j]) / (norms[i] * norms[j]), 6) >= thr
+
+    for i, _ in rows:
+        want_lose = any(
+            j < i and cells[j] == cells[i] and similar(j, i) for j, _ in rows
+        )
+        assert got[i] == (cells[i], not want_lose), (i, got[i], want_lose)
+        if norms[i] == 0.0:
+            assert got[i][1]  # zero vector always keeps
