@@ -1482,3 +1482,58 @@ def test_semantic_dedup_zero_norm_vector_survives(spark):
         ).collect()
     }
     assert out == {1: True, 2: True, 3: False}
+
+
+def test_incremental_minhash_dedup_cross_run_and_batch(spark):
+    """The LSH analog of incremental exact dedup: batch docs near-dup
+    of the persisted index lose; in-batch bucket-mates keep only the
+    min id; docs too short to shingle (no signature) always pass and
+    never enter the index; the returned delta covers exactly the kept
+    banded docs."""
+    from xpshacl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "entirely different reference text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    index = lsh_bands(minhash_signatures(corpus, "doc_id", "text"), 8, 4)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # hits index
+            (12, "fresh unseen content words alpha beta gamma"),
+            (13, "fresh unseen content words alpha beta gamma"),  # dup of 12
+            (14, "another novel document nothing shares these shingles"),
+            (15, "tiny"),                                         # < n words
+            (16, None),                                           # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    kept, delta = incremental_minhash_dedup(
+        batch, "doc_id", "text", band_index=index
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [12, 14, 15, 16]
+    delta_ids = {r.doc_id for r in delta.collect()}
+    assert delta_ids == {12, 14}  # unbanded 15/16 never indexed
+
+    # second run against index + delta: re-sending a kept doc now loses
+    batch2 = spark.createDataFrame(
+        [(20, "fresh unseen content words alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    kept2, _ = incremental_minhash_dedup(
+        batch2, "doc_id", "text", band_index=index.unionByName(delta)
+    )
+    assert kept2.count() == 0
+
+    # no index (bootstrap run): pure in-batch near-dedup
+    kept0, delta0 = incremental_minhash_dedup(batch, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept0.collect()) == [10, 12, 14, 15, 16]
+    assert {r.doc_id for r in delta0.collect()} == {10, 12, 14}

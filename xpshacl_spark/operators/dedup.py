@@ -969,6 +969,78 @@ def incremental_exact_dedup(
     return kept.drop("_ck"), delta
 
 
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_index: Optional[DataFrame] = None,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup dedup for INCREMENTAL ingestion — the LSH analog of
+    :func:`incremental_exact_dedup`, completing the continuous-corpus
+    story: drop new docs whose MinHash LSH band buckets collide with
+    the persisted index (near-dup of something already kept in a prior
+    run), then near-dedup within the batch itself. Returns
+    ``(kept_rows, band_index_delta)`` — append the delta (the kept
+    docs' ``(band_idx, band_key)`` rows) to the index for the next run.
+
+    In-batch survivor rule (same order-free rule as
+    :func:`semantic_dedup`): a doc loses iff ANY smaller-id batch doc
+    (itself not already a cross-run loser) shares a band bucket with
+    it. The min id of every bucket always survives; chains may drop
+    more than a greedy sweep would keep — LSH is a candidate filter,
+    so erring toward dropping borderline near-dups is the standard
+    trade (verify survivors with jaccard_pairs where recall matters).
+
+    Docs with fewer than ``n`` words produce NO shingles, hence no
+    signature and no bands: like NULL-key rows in the exact variant
+    they are always kept, never indexed, and never collapse into one
+    survivor (unknown content is not identical content).
+
+    Plan: one groupBy for the batch signatures -> band explode ->
+    left-anti probe of the (band-keyed, at scale band-bucketed) index
+    -> batch-local band self-join. Cost O(|batch| + index probe); no
+    corpus rescan, no corpus-wide pair join."""
+    sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+    bd = lsh_bands(sig, num_hashes, bands)
+    if band_index is not None:
+        # a doc is a cross-run loser if ANY of its bands hits the index
+        cross_losers = (
+            bd.join(
+                band_index.select("band_idx", "band_key").dropDuplicates(),
+                ["band_idx", "band_key"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        bd = bd.join(cross_losers, "doc_id", "left_anti")
+    a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    batch_losers = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept_ids = bd.select("doc_id").distinct().join(
+        batch_losers, "doc_id", "left_anti"
+    )
+    kept = new_df.join(
+        # losers = banded docs minus surviving banded docs; unbanded
+        # (short/NULL) docs appear in neither set and pass through
+        sig.select("doc_id")
+        .join(kept_ids, "doc_id", "left_anti")
+        .withColumnRenamed("doc_id", id_col),
+        id_col,
+        "left_anti",
+    )
+    delta = bd.join(kept_ids, "doc_id", "left_semi")
+    return kept, delta
+
+
 # ---------------------------------------------------------------------------
 # exact-substring duplicate spans (suffix-array-style, word granularity)
 # ---------------------------------------------------------------------------
