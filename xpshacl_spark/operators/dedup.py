@@ -1000,15 +1000,46 @@ def incremental_minhash_dedup(
     survivor (unknown content is not identical content).
 
     Plan: one groupBy for the batch signatures -> band explode ->
-    left-anti probe of the (band-keyed, at scale band-bucketed) index
+    left-semi probe of the (band-keyed, at scale band-bucketed) index
     -> batch-local band self-join. Cost O(|batch| + index probe); no
-    corpus rescan, no corpus-wide pair join."""
-    sig = minhash_signatures(new_df, id_col, text_col, n, num_hashes)
-    bd = lsh_bands(sig, num_hashes, bands)
+    corpus rescan, no corpus-wide pair join. The batch bands relation
+    is PERSISTED (five consumers — probe, both self-join sides,
+    survivor sets, delta — would each re-shingle and re-agg the batch
+    text otherwise); in a long-lived session use
+    :func:`incremental_minhash_dedup_with_bands` and unpersist the
+    returned handle once kept/delta are materialized (same convention
+    as simhash_pairs_with_fingerprints)."""
+    kept, delta, _bd = incremental_minhash_dedup_with_bands(
+        new_df, id_col, text_col, band_index, n, num_hashes, bands
+    )
+    return kept, delta
+
+
+def incremental_minhash_dedup_with_bands(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_index: Optional[DataFrame] = None,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`incremental_minhash_dedup` plus the persisted batch bands
+    relation — ``(kept, band_index_delta, bands_handle)``. The caller
+    owns the cache handle: ``bands_handle.unpersist()`` after
+    materializing kept and delta."""
+    from pyspark import StorageLevel
+
+    bd0 = lsh_bands(
+        minhash_signatures(new_df, id_col, text_col, n, num_hashes),
+        num_hashes,
+        bands,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bd = bd0
     if band_index is not None:
         # a doc is a cross-run loser if ANY of its bands hits the index
         cross_losers = (
-            bd.join(
+            bd0.join(
                 band_index.select("band_idx", "band_key").dropDuplicates(),
                 ["band_idx", "band_key"],
                 "left_semi",
@@ -1016,7 +1047,7 @@ def incremental_minhash_dedup(
             .select("doc_id")
             .distinct()
         )
-        bd = bd.join(cross_losers, "doc_id", "left_anti")
+        bd = bd0.join(cross_losers, "doc_id", "left_anti")
     a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
     b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
     batch_losers = (
@@ -1031,14 +1062,15 @@ def incremental_minhash_dedup(
     kept = new_df.join(
         # losers = banded docs minus surviving banded docs; unbanded
         # (short/NULL) docs appear in neither set and pass through
-        sig.select("doc_id")
+        bd0.select("doc_id")
+        .distinct()
         .join(kept_ids, "doc_id", "left_anti")
         .withColumnRenamed("doc_id", id_col),
         id_col,
         "left_anti",
     )
     delta = bd.join(kept_ids, "doc_id", "left_semi")
-    return kept, delta
+    return kept, delta, bd0
 
 
 # ---------------------------------------------------------------------------
