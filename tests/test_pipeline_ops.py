@@ -1520,18 +1520,29 @@ def test_incremental_minhash_dedup_cross_run_and_batch(spark):
         batch, "doc_id", "text", band_index=index
     )
     assert sorted(r.doc_id for r in kept.collect()) == [12, 14, 15, 16]
-    delta_ids = {r.doc_id for r in delta.collect()}
-    assert delta_ids == {12, 14}  # unbanded 15/16 never indexed
+    delta_rows = delta.collect()
+    assert {r.doc_id for r in delta_rows} == {12, 14}  # unbanded 15/16 never indexed
+    assert all(r.params == "n=3,num_hashes=8,bands=4" for r in delta_rows)
 
-    # second run against index + delta: re-sending a kept doc now loses
+    # second run against index + delta (legacy index rows lack the
+    # params stamp — allowMissingColumns is the documented append):
+    # re-sending a kept doc now loses
     batch2 = spark.createDataFrame(
         [(20, "fresh unseen content words alpha beta gamma")],
         "doc_id long, text string",
     )
+    grown = index.unionByName(delta, allowMissingColumns=True)
     kept2, _ = incremental_minhash_dedup(
-        batch2, "doc_id", "text", band_index=index.unionByName(delta)
+        batch2, "doc_id", "text", band_index=grown
     )
     assert kept2.count() == 0
+
+    # a stamped index probed with different LSH parameters can never
+    # match a band key — that must be a loud error, not silent pass-through
+    with pytest.raises(ValueError, match="different LSH parameters"):
+        incremental_minhash_dedup(
+            batch2, "doc_id", "text", band_index=grown, num_hashes=16, bands=8
+        )
 
     # no index (bootstrap run): pure in-batch near-dedup
     kept0, delta0 = incremental_minhash_dedup(batch, "doc_id", "text")

@@ -482,6 +482,22 @@ def lsh_bands(
     ).select("doc_id", "_b.band_idx", "_b.band_key")
 
 
+def _band_pairs(bd: DataFrame) -> DataFrame:
+    """Candidate pairs ``(id_a < id_b)`` sharing at least one
+    ``(band_idx, band_key)`` bucket. NOT deduplicated: a pair appears
+    once per shared bucket. Callers that materialize pairs add
+    ``.dropDuplicates()``; anti/semi-join consumers must not (duplicates
+    on a semi/anti right side are free, the distinct is a wasted
+    shuffle)."""
+    a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -496,14 +512,7 @@ def minhash_lsh_pairs(
     bd = lsh_bands(
         minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
     )
-    a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
-    b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
+    return _band_pairs(bd).dropDuplicates()
 
 
 # ---------------------------------------------------------------------------
@@ -989,10 +998,21 @@ def incremental_minhash_dedup(
     In-batch survivor rule (same order-free rule as
     :func:`semantic_dedup`): a doc loses iff ANY smaller-id batch doc
     (itself not already a cross-run loser) shares a band bucket with
-    it. The min id of every bucket always survives; chains may drop
-    more than a greedy sweep would keep — LSH is a candidate filter,
-    so erring toward dropping borderline near-dups is the standard
-    trade (verify survivors with jaccard_pairs where recall matters).
+    it. The min id of every CONNECTED COMPONENT of the bucket graph
+    always survives (a bucket's local min can still lose to a smaller
+    id it meets in another bucket); chains may drop more than a greedy
+    sweep would keep — LSH is a candidate filter, so erring toward
+    dropping borderline near-dups is the standard trade (verify
+    survivors with jaccard_pairs where recall matters).
+
+    The index contract is parameter-sensitive: band keys are md5s over
+    ``num_hashes/bands``-wide minhash slices, so probing an index built
+    with different ``(n, num_hashes, bands)`` can never match and would
+    SILENTLY disable cross-run dedup. The returned delta therefore
+    carries a ``params`` column and the probe raises ``ValueError`` on
+    a mismatch (indices from before this column are accepted as-is —
+    append deltas with ``unionByName(delta, allowMissingColumns=True)``
+    and the check engages once a stamped row exists).
 
     Docs with fewer than ``n`` words produce NO shingles, hence no
     signature and no bands: like NULL-key rows in the exact variant
@@ -1002,14 +1022,17 @@ def incremental_minhash_dedup(
     Plan: one groupBy for the batch signatures -> band explode ->
     left-semi probe of the (band-keyed, at scale band-bucketed) index
     -> batch-local band self-join. Cost O(|batch| + index probe); no
-    corpus rescan, no corpus-wide pair join. The batch bands relation
-    is PERSISTED (five consumers — probe, both self-join sides,
-    survivor sets, delta — would each re-shingle and re-agg the batch
-    text otherwise); in a long-lived session use
+    corpus rescan, no corpus-wide pair join. TWO relations are
+    PERSISTED so each expensive stage runs once regardless of how many
+    actions the caller issues: the batch bands (the shingle+minhash
+    agg, read by the probe, both self-join sides and the delta) and
+    the cross-run loser ids (the index probe — the dominant cost at
+    scale — read by the band filter and the kept anti-join). In a
+    long-lived session use
     :func:`incremental_minhash_dedup_with_bands` and unpersist the
-    returned handle once kept/delta are materialized (same convention
+    returned handles once kept/delta are materialized (same convention
     as simhash_pairs_with_fingerprints)."""
-    kept, delta, _bd = incremental_minhash_dedup_with_bands(
+    kept, delta, handles = incremental_minhash_dedup_with_bands(
         new_df, id_col, text_col, band_index, n, num_hashes, bands
     )
     return kept, delta
@@ -1023,54 +1046,68 @@ def incremental_minhash_dedup_with_bands(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """:func:`incremental_minhash_dedup` plus the persisted batch bands
-    relation — ``(kept, band_index_delta, bands_handle)``. The caller
-    owns the cache handle: ``bands_handle.unpersist()`` after
-    materializing kept and delta."""
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """:func:`incremental_minhash_dedup` plus the persisted
+    intermediates — ``(kept, band_index_delta, cache_handles)``. The
+    caller owns the handles: ``for h in cache_handles: h.unpersist()``
+    after materializing kept and delta."""
     from pyspark import StorageLevel
 
+    params = f"n={n},num_hashes={num_hashes},bands={bands}"
     bd0 = lsh_bands(
         minhash_signatures(new_df, id_col, text_col, n, num_hashes),
         num_hashes,
         bands,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    handles = [bd0]
     bd = bd0
+    cross_losers = None
     if band_index is not None:
-        # a doc is a cross-run loser if ANY of its bands hits the index
+        if "params" in band_index.columns:
+            # 1-row probe (same convention as the compiler's skew
+            # probe): a mismatched index can never match any band key,
+            # which would silently disable cross-run dedup.
+            stamped = (
+                band_index.where(F.col("params").isNotNull())
+                .select("params")
+                .first()
+            )
+            if stamped is not None and stamped["params"] != params:
+                raise ValueError(
+                    "band_index was built with different LSH parameters "
+                    f"({stamped['params']}) than this call ({params}); "
+                    "its keys can never match — rebuild the index or "
+                    "pass the original n/num_hashes/bands"
+                )
+        # a doc is a cross-run loser if ANY of its bands hits the
+        # index. left_semi ignores right-side duplicates, so the index
+        # is probed as-is — no distinct over the (large) index side.
         cross_losers = (
             bd0.join(
-                band_index.select("band_idx", "band_key").dropDuplicates(),
+                band_index.select("band_idx", "band_key"),
                 ["band_idx", "band_key"],
                 "left_semi",
             )
             .select("doc_id")
-            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        handles.append(cross_losers)
         bd = bd0.join(cross_losers, "doc_id", "left_anti")
-    a = bd.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
-    b = bd.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
-    batch_losers = (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+    # anti/semi right sides tolerate duplicates, so no distinct anywhere
+    batch_losers = _band_pairs(bd).select(F.col("id_b").alias("doc_id"))
+    losers = (
+        batch_losers
+        if cross_losers is None
+        else cross_losers.unionByName(batch_losers)
     )
-    kept_ids = bd.select("doc_id").distinct().join(
-        batch_losers, "doc_id", "left_anti"
-    )
+    # unbanded (short/NULL-text) docs appear in no loser set: always kept
     kept = new_df.join(
-        # losers = banded docs minus surviving banded docs; unbanded
-        # (short/NULL) docs appear in neither set and pass through
-        bd0.select("doc_id")
-        .distinct()
-        .join(kept_ids, "doc_id", "left_anti")
-        .withColumnRenamed("doc_id", id_col),
-        id_col,
-        "left_anti",
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
-    delta = bd.join(kept_ids, "doc_id", "left_semi")
-    return kept, delta, bd0
+    delta = bd.join(batch_losers, "doc_id", "left_anti").withColumn(
+        "params", F.lit(params)
+    )
+    return kept, delta, handles
 
 
 # ---------------------------------------------------------------------------
