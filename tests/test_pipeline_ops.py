@@ -1548,3 +1548,56 @@ def test_incremental_minhash_dedup_cross_run_and_batch(spark):
     kept0, delta0 = incremental_minhash_dedup(batch, "doc_id", "text")
     assert sorted(r.doc_id for r in kept0.collect()) == [10, 12, 14, 15, 16]
     assert {r.doc_id for r in delta0.collect()} == {10, 12, 14}
+
+
+def test_dedup_lines_in_doc_signals_and_rewrite(spark):
+    """Intra-doc line dedup keeps first occurrences in order; the
+    duplicate-line fraction matches; NULL text propagates."""
+    from xpshacl_spark.operators.dedup import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "solo line"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_in_doc(df, "doc_id", "text").collect()}
+    assert out[1].dedup_text == "alpha\nbeta\ngamma"
+    assert out[1].n_lines == 5 and out[1].dup_line_fraction == 0.4
+    assert out[2].dedup_text == "solo line" and out[2].dup_line_fraction == 0.0
+    # empty text splits to one empty line: nothing to drop
+    assert out[3].dedup_text == "" and out[3].n_lines == 1
+    assert out[4].dedup_text is None and out[4].dup_line_fraction is None
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Corpus-wide paragraph dedup: min (doc_id, pos) occurrence
+    survives, repeats elsewhere (and later in the SAME doc) are
+    stripped; blank paragraphs are kept as structure and never counted;
+    NULL text and fully-stripped docs follow the documented shape."""
+    from xpshacl_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\n\nunique alpha\n\ncookie banner"),
+            (2, "cookie banner\n\nunique beta"),
+            (3, "\n\nunique alpha"),  # leading blank para; alpha loses to doc 1
+            (4, None),
+            (5, "cookie banner"),  # every content para stripped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1].dedup_text == "cookie banner\n\nunique alpha"
+    assert (out[1].n_paras, out[1].n_kept_paras) == (3, 2)
+    assert out[2].dedup_text == "unique beta"
+    assert (out[2].n_paras, out[2].n_kept_paras) == (2, 1)
+    # the leading blank para (pos 0) survives as structure; alpha is
+    # stripped, leaving just the one-element blank skeleton
+    assert out[3].dedup_text == "" and out[3].n_paras == 1
+    assert out[3].n_kept_paras == 0
+    assert out[4].dedup_text is None and out[4].n_paras == 0
+    assert out[5].dedup_text == "" and (out[5].n_paras, out[5].n_kept_paras) == (1, 0)

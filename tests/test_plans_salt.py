@@ -624,3 +624,23 @@ def test_rebalance_degrades_to_noop_on_non_numeric_conf(spark, monkeypatch):
         type(spark.conf), "get", lambda self, key, default=None: "auto"
     )
     assert rebalance_if_narrow(df) is df
+
+
+def test_dedup_lines_in_doc_is_zero_shuffle_scan(spark, tmp_path):
+    """Intra-doc line dedup is per-row expression work: one codegen'd
+    scan, no Exchange, no Generate (array_distinct does the dedup
+    in-row — an explode/re-agg shape here would be a 100-TB regression),
+    and the filter still pushes to the parquet scan."""
+    from xpshacl_spark.operators.dedup import dedup_lines_in_doc
+
+    p = str(tmp_path / "docs_lines")
+    spark.createDataFrame(
+        [(i, "a\nb\na") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(p)
+    d = spark.read.parquet(p).where("doc_id >= 2")
+
+    out = dedup_lines_in_doc(d, "doc_id", "text")
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,2" in plan

@@ -509,3 +509,55 @@ def test_semantic_dedup_invariants(spark, vecs, thr):
         assert got[i] == (cells[i], not want_lose), (i, got[i], want_lose)
         if norms[i] == 0.0:
             assert got[i][1]  # zero vector always keeps
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "", " "]),
+                max_size=6,
+            ).map(lambda ps: "\n\n".join(ps)),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SLOW
+def test_dedup_paragraphs_matches_python_oracle(spark, docs):
+    """Against a row-at-a-time oracle: a content paragraph survives iff
+    its (doc_id, pos) is the corpus-wide minimum for that exact string;
+    whitespace-only paragraphs always survive and are never counted;
+    NULL text yields NULL dedup_text and zero counts. The tiny
+    paragraph alphabet forces heavy cross-doc and intra-doc collisions."""
+    from xpshacl_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dedup_text, r.n_paras, r.n_kept_paras)
+        for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+
+    first_at = {}  # paragraph string -> min (doc_id, pos)
+    for i, t in rows:
+        if t is None:
+            continue
+        for p, para in enumerate(t.split("\n\n")):
+            if para.strip() and (i, p) < first_at.get(para, (1 << 60, 0)):
+                first_at[para] = (i, p)
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, 0, 0), (i, got[i])
+            continue
+        paras = t.split("\n\n")
+        kept = [
+            p
+            for pos, p in enumerate(paras)
+            if not p.strip() or first_at[p] == (i, pos)
+        ]
+        n_content = sum(1 for p in paras if p.strip())
+        n_kept = sum(1 for p in kept if p.strip())
+        assert got[i] == ("\n\n".join(kept), n_content, n_kept), (i, t, got[i])

@@ -916,6 +916,119 @@ def duplicate_span_stats(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style INTRA-document line dedup (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 'repetition removal'): rewrite each doc with
+    repeated lines dropped (first occurrence kept, order preserved) and
+    emit the duplicate-line fraction, one of the standard repetition
+    quality signals. Adds ``dedup_text``, ``n_lines``,
+    ``dup_line_fraction`` next to the input columns; NULL text
+    propagates to NULL in all three.
+
+    100-TB shape: ZERO shuffle. ``array_distinct`` preserves
+    first-occurrence order, so the rewrite and both signals are plain
+    per-row expressions inside one codegen'd scan — no explode, no
+    window, no re-agg (contrast :func:`dedup_paragraphs`, whose
+    dedup scope is the whole corpus and genuinely needs the shuffle)."""
+    parts = F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    uniq = F.array_distinct(parts)
+    n_lines = F.size(parts)
+    return df.select(
+        "*",
+        F.array_join(uniq, sep).alias("dedup_text"),
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - F.size(uniq)) / n_lines.cast("double"), 6
+        ).alias("dup_line_fraction"),
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """CCNet-style CORPUS-wide paragraph dedup (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1): an identical paragraph survives only at its
+    first occurrence — min ``(doc_id, position)`` over every doc that
+    contains it — and is stripped everywhere else. Returns the input
+    rows plus ``dedup_text`` (survivors re-joined with ``sep``, order
+    preserved), ``n_paras`` and ``n_kept_paras`` (content paragraphs
+    only). Whitespace-only paragraphs are structure, not content: they
+    are always kept in the rebuild, never counted, and never collapse
+    across docs. NULL text yields NULL ``dedup_text`` with zero counts;
+    a doc whose every content paragraph is stripped keeps its blank
+    skeleton (possibly the empty string).
+
+    100-TB shape: one posexplode scan -> ONE paragraph-md5 hash agg
+    (map-side combined; the only corpus-sized shuffle) -> equi-join
+    back on the md5 -> per-doc re-agg. No corpus window, no pairwise
+    join; a boilerplate paragraph repeated millions of times costs one
+    agg row, and the join back fans out exactly one row per occurrence
+    (AQE absorbs the residual join skew)."""
+    paras = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_para"),
+    )
+    is_blank = F.trim(F.col("_para")) == ""
+    content = paras.where(~is_blank).withColumn("_h", F.md5("_para"))
+    winners = content.groupBy("_h").agg(
+        F.min(F.struct("_did", "_pos")).alias("_w")
+    )
+    flagged = (
+        content.join(winners, "_h")
+        .select(
+            "_did",
+            "_pos",
+            "_para",
+            (
+                (F.col("_w._did") == F.col("_did"))
+                & (F.col("_w._pos") == F.col("_pos"))
+            ).alias("_keep"),
+            F.lit(True).alias("_content"),
+        )
+        .unionByName(
+            paras.where(is_blank).select(
+                "_did",
+                "_pos",
+                "_para",
+                F.lit(True).alias("_keep"),
+                F.lit(False).alias("_content"),
+            )
+        )
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("_pos", "_para", "_keep"))
+    )
+    per_doc = flagged.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s["_keep"]),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+        F.sum(F.col("_content").cast("int")).cast("int").alias("n_paras"),
+        F.sum((F.col("_content") & F.col("_keep")).cast("int"))
+        .cast("int")
+        .alias("n_kept_paras"),
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_did"], "left")
+        .select(
+            *[df[c] for c in df.columns],
+            # only NULL text produces no paragraph rows at all
+            per_doc["dedup_text"],
+            F.coalesce(per_doc["n_paras"], F.lit(0)).alias("n_paras"),
+            F.coalesce(per_doc["n_kept_paras"], F.lit(0)).alias(
+                "n_kept_paras"
+            ),
+        )
+    )
+
+
 def fingerprint_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content-fingerprint index for cross-run dedup: one row per
     distinct normalized-content hash with the owning (min) id. Persist
