@@ -1601,3 +1601,33 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[3].n_kept_paras == 0
     assert out[4].dedup_text is None and out[4].n_paras == 0
     assert out[5].dedup_text == "" and (out[5].n_paras, out[5].n_kept_paras) == (1, 0)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on its designed violator; a long natural
+    paragraph passes; NULL text yields NULL signals and NULL pass."""
+    from xpshacl_spark.operators.text import gopher_quality_flags
+
+    good = (
+        "the quick brown fox likes to jump over all of the lazy dogs and "
+        "that same fox will have done it again with style tomorrow morning "
+    ) * 3  # > 50 words, natural English
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass"),
+            (3, "#### " * 10 + good),  # symbol soup bolted onto good text
+            (4, "- one\n- two\n- three"),  # all bullet lines
+            (5, "1 2 3 4 5 " * 20),  # numeric: no alphabetic words
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "text").collect()}
+    assert out[1].gopher_pass is True
+    assert out[1].n_required_words >= 2 and out[1].frac_alpha_words == 1.0
+    assert out[2].gopher_pass is False  # word-count floor
+    assert out[3].symbol_word_ratio > 0.1 and out[3].gopher_pass is False
+    assert out[4].frac_bullet_lines == 1.0 and out[4].gopher_pass is False
+    assert out[5].frac_alpha_words == 0.0 and out[5].gopher_pass is False
+    assert out[6].n_words is None and out[6].gopher_pass is None

@@ -644,3 +644,21 @@ def test_dedup_lines_in_doc_is_zero_shuffle_scan(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,2" in plan
+
+
+def test_gopher_quality_flags_is_zero_shuffle_scan(spark, tmp_path):
+    """All seven Gopher rules are per-row higher-order expressions: one
+    scan, no Exchange, no Generate, filter pushed to parquet."""
+    from xpshacl_spark.operators.text import gopher_quality_flags
+
+    p = str(tmp_path / "docs_gopher")
+    spark.createDataFrame(
+        [(i, "the fox and that dog") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p).where("doc_id >= 3")
+
+    plan = _plan(gopher_quality_flags(d, "text"))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,3" in plan

@@ -561,3 +561,69 @@ def test_dedup_paragraphs_matches_python_oracle(spark, docs):
         n_content = sum(1 for p in paras if p.strip())
         n_kept = sum(1 for p in kept if p.strip())
         assert got[i] == ("\n\n".join(kept), n_content, n_kept), (i, t, got[i])
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(
+                    ["the", "of", "and", "fox", "42", "#", "...", "•x", "- y"]
+                ),
+                max_size=12,
+            ).map(lambda ws: "\n".join(" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3))),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_gopher_quality_flags_match_python_oracle(spark, docs):
+    """Signals match a row-at-a-time oracle on adversarial mixes of
+    required words, symbols, bullets and ellipses; NULL text yields
+    NULL signals."""
+    import re
+
+    from xpshacl_spark.operators.text import (
+        GOPHER_REQUIRED_WORDS,
+        gopher_quality_flags,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.symbol_word_ratio,
+            r.frac_bullet_lines,
+            r.frac_ellipsis_lines,
+            r.frac_alpha_words,
+            r.n_required_words,
+        )
+        for r in gopher_quality_flags(df, "text").collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, None, None, None, None, None)
+            continue
+        ws = [w for w in re.split(r"\s+", t.strip()) if w != ""] if t.strip() else []
+        nw = len(ws)
+        lines = t.split("\n")
+        syms = len(re.findall(r"#|\.{3}|…", t))
+        alpha = sum(1 for w in ws if re.search(r"[A-Za-z]", w))
+        bullet = sum(1 for l in lines if re.match(r"^[•\-\*]", l.strip()))
+        ell = sum(1 for l in lines if re.search(r"(\.{3}|…)$", l.strip()))
+        req = sum(1 for w in GOPHER_REQUIRED_WORDS if w in {x.lower() for x in ws})
+
+        def frac(n, d):
+            return 0.0 if d == 0 else round(n / d, 6)
+
+        assert got[i] == (
+            nw,
+            frac(syms, nw),
+            frac(bullet, len(lines)),
+            frac(ell, len(lines)),
+            frac(alpha, nw),
+            req,
+        ), (i, repr(t), got[i])

@@ -299,6 +299,85 @@ def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("any_pii", any_pii)
 
 
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The full Gopher/MassiveText document-filter rule set (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) as one fused scan: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    bullet-started and ellipsis-ended line fractions, alphabetic-word
+    fraction, and the required-stopword rule (>= ``min_required_words``
+    of the/be/to/of/and/that/have/with). Adds the seven signal columns
+    plus a combined ``gopher_pass`` boolean next to the input columns;
+    NULL text propagates to NULL signals and NULL pass.
+
+    Complements :func:`quality_score` (a soft composite for ranking)
+    with the published HARD filter — the two are used together in
+    practice: hard gate first, score survivors.
+
+    100-TB shape: ZERO shuffle — every rule is a per-row higher-order
+    expression over the word/line arrays inside one codegen'd scan
+    (same plan class as pii_flags; plan-pinned no-Exchange)."""
+    c = F.col(text_col)
+    ws = words(c)
+    n_words = token_count(c)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    lws = F.transform(ws, lambda w: F.lower(w))
+
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit("#|\\.{3}|…"), F.lit(0)))
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[•\\-\\*]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("(\\.{3}|…)$"))
+    )
+    n_required = None
+    for w in GOPHER_REQUIRED_WORDS:
+        t = F.array_contains(lws, w).cast("int")
+        n_required = t if n_required is None else (n_required + t)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num / den.cast("double"), 6)
+        )
+
+    out = df.select(
+        *df.columns,
+        n_words.alias("n_words"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        _frac(n_symbols, n_words).alias("symbol_word_ratio"),
+        _frac(n_bullet, n_lines).alias("frac_bullet_lines"),
+        _frac(n_ellipsis, n_lines).alias("frac_ellipsis_lines"),
+        _frac(n_alpha_words, n_words).alias("frac_alpha_words"),
+        n_required.alias("n_required_words"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("frac_bullet_lines") <= max_bullet_line_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_line_frac)
+        & (F.col("frac_alpha_words") >= min_alpha_word_frac)
+        & (F.col("n_required_words") >= min_required_words),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
