@@ -1539,7 +1539,7 @@ def test_incremental_minhash_dedup_cross_run_and_batch(spark):
 
     # a stamped index probed with different LSH parameters can never
     # match a band key — that must be a loud error, not silent pass-through
-    with pytest.raises(ValueError, match="different LSH parameters"):
+    with pytest.raises(ValueError, match="incompatible with this call"):
         incremental_minhash_dedup(
             batch2, "doc_id", "text", band_index=grown, num_hashes=16, bands=8
         )
@@ -1564,7 +1564,7 @@ def test_dedup_lines_in_doc_signals_and_rewrite(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in dedup_lines_in_doc(df, "doc_id", "text").collect()}
+    out = {r.doc_id: r for r in dedup_lines_in_doc(df, "text").collect()}
     assert out[1].dedup_text == "alpha\nbeta\ngamma"
     assert out[1].n_lines == 5 and out[1].dup_line_fraction == 0.4
     assert out[2].dedup_text == "solo line" and out[2].dup_line_fraction == 0.0
@@ -1587,6 +1587,8 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
             (3, "\n\nunique alpha"),  # leading blank para; alpha loses to doc 1
             (4, None),
             (5, "cookie banner"),  # every content para stripped
+            (6, "\t\n \n\nunique gamma"),  # tab/newline-only para = structure
+            (None, "cookie banner\n\nunique alpha"),  # NULL id: pass-through
         ],
         "doc_id long, text string",
     )
@@ -1601,6 +1603,14 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[3].n_kept_paras == 0
     assert out[4].dedup_text is None and out[4].n_paras == 0
     assert out[5].dedup_text == "" and (out[5].n_paras, out[5].n_kept_paras) == (1, 0)
+    # tab/newline-only paragraph is structure (rlike \S, not ASCII trim):
+    # kept verbatim, never counted, never collapsed corpus-wide
+    assert out[6].dedup_text == "\t\n \n\nunique gamma"
+    assert (out[6].n_paras, out[6].n_kept_paras) == (1, 1)
+    # NULL-id row passes through untouched and does NOT compete: doc 1
+    # still owns "cookie banner" above
+    assert out[None].dedup_text == "cookie banner\n\nunique alpha"
+    assert (out[None].n_paras, out[None].n_kept_paras) == (2, 2)
 
 
 def test_gopher_quality_flags_rules(spark):
@@ -1627,7 +1637,7 @@ def test_gopher_quality_flags_rules(spark):
     assert out[1].gopher_pass is True
     assert out[1].n_required_words >= 2 and out[1].frac_alpha_words == 1.0
     assert out[2].gopher_pass is False  # word-count floor
-    assert out[3].symbol_word_ratio > 0.1 and out[3].gopher_pass is False
+    assert out[3].hash_word_ratio > 0.1 and out[3].gopher_pass is False
     assert out[4].frac_bullet_lines == 1.0 and out[4].gopher_pass is False
     assert out[5].frac_alpha_words == 0.0 and out[5].gopher_pass is False
     assert out[6].n_words is None and out[6].gopher_pass is None

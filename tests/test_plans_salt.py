@@ -639,7 +639,7 @@ def test_dedup_lines_in_doc_is_zero_shuffle_scan(spark, tmp_path):
     ).write.parquet(p)
     d = spark.read.parquet(p).where("doc_id >= 2")
 
-    out = dedup_lines_in_doc(d, "doc_id", "text")
+    out = dedup_lines_in_doc(d, "text")
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan

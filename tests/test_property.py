@@ -569,7 +569,8 @@ def test_dedup_paragraphs_matches_python_oracle(spark, docs):
             st.none(),
             st.lists(
                 st.sampled_from(
-                    ["the", "of", "and", "fox", "42", "#", "...", "•x", "- y"]
+                    ["the", "of", "and", "fox", "42", "#", "...", "•x",
+                     "- y", "\tz", "q\r"]
                 ),
                 max_size=12,
             ).map(lambda ws: "\n".join(" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3))),
@@ -595,7 +596,8 @@ def test_gopher_quality_flags_match_python_oracle(spark, docs):
     got = {
         r.doc_id: (
             r.n_words,
-            r.symbol_word_ratio,
+            r.hash_word_ratio,
+            r.ellipsis_word_ratio,
             r.frac_bullet_lines,
             r.frac_ellipsis_lines,
             r.frac_alpha_words,
@@ -605,12 +607,13 @@ def test_gopher_quality_flags_match_python_oracle(spark, docs):
     }
     for i, t in rows:
         if t is None:
-            assert got[i] == (None, None, None, None, None, None)
+            assert got[i] == (None,) * 7
             continue
         ws = [w for w in re.split(r"\s+", t.strip()) if w != ""] if t.strip() else []
         nw = len(ws)
         lines = t.split("\n")
-        syms = len(re.findall(r"#|\.{3}|…", t))
+        hashes = t.count("#")
+        ell_syms = len(re.findall(r"\.{3}|…", t))
         alpha = sum(1 for w in ws if re.search(r"[A-Za-z]", w))
         bullet = sum(1 for l in lines if re.match(r"^[•\-\*]", l.strip()))
         ell = sum(1 for l in lines if re.search(r"(\.{3}|…)$", l.strip()))
@@ -621,7 +624,8 @@ def test_gopher_quality_flags_match_python_oracle(spark, docs):
 
         assert got[i] == (
             nw,
-            frac(syms, nw),
+            frac(hashes, nw),
+            frac(ell_syms, nw),
             frac(bullet, len(lines)),
             frac(ell, len(lines)),
             frac(alpha, nw),

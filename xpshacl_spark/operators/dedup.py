@@ -917,7 +917,7 @@ def duplicate_span_stats(
 
 
 def dedup_lines_in_doc(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
 ) -> DataFrame:
     """Gopher-style INTRA-document line dedup (Rae et al. 2021,
     arXiv:2112.11446 §A1.1 'repetition removal'): rewrite each doc with
@@ -954,11 +954,17 @@ def dedup_paragraphs(
     contains it — and is stripped everywhere else. Returns the input
     rows plus ``dedup_text`` (survivors re-joined with ``sep``, order
     preserved), ``n_paras`` and ``n_kept_paras`` (content paragraphs
-    only). Whitespace-only paragraphs are structure, not content: they
-    are always kept in the rebuild, never counted, and never collapse
-    across docs. NULL text yields NULL ``dedup_text`` with zero counts;
-    a doc whose every content paragraph is stripped keeps its blank
-    skeleton (possibly the empty string).
+    only). Whitespace-only paragraphs (no non-whitespace character —
+    tabs/newlines included, not just spaces) are structure, not
+    content: they are always kept in the rebuild, never counted, and
+    never collapse across docs. NULL text yields NULL ``dedup_text``
+    with zero counts; a doc whose every content paragraph is stripped
+    keeps its blank skeleton (possibly the empty string). Rows with a
+    NULL ``id_col`` pass through UNCHANGED (``dedup_text`` = text,
+    locally-computed counts, nothing stripped) and do not participate
+    in corpus-wide dedup — same policy as the incremental dedup
+    operators' NULL-key rows; letting them compete would elect an
+    unidentifiable winner and could strip a paragraph from every doc.
 
     100-TB shape: one posexplode scan -> ONE paragraph-md5 hash agg
     (map-side combined; the only corpus-sized shuffle) -> equi-join
@@ -966,13 +972,15 @@ def dedup_paragraphs(
     join; a boilerplate paragraph repeated millions of times costs one
     agg row, and the join back fans out exactly one row per occurrence
     (AQE absorbs the residual join skew)."""
-    paras = df.select(
+    pq = "\\Q" + sep + "\\E"
+    paras = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_did"),
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
-        ).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), pq)).alias("_pos", "_para"),
     )
-    is_blank = F.trim(F.col("_para")) == ""
+    # blank = no non-whitespace char (rlike, not trim: trim strips only
+    # ASCII spaces, and a tab/newline-only paragraph must not be
+    # treated as content and collapsed corpus-wide)
+    is_blank = ~F.col("_para").rlike("\\S")
     content = paras.where(~is_blank).withColumn("_h", F.md5("_para"))
     winners = content.groupBy("_h").agg(
         F.min(F.struct("_did", "_pos")).alias("_w")
@@ -1015,16 +1023,31 @@ def dedup_paragraphs(
         .cast("int")
         .alias("n_kept_paras"),
     )
+    null_id = df[id_col].isNull()
+    # local (per-row) counts for NULL-id pass-through rows
+    local_n = F.coalesce(
+        F.size(
+            F.filter(
+                F.split(df[text_col], pq), lambda p: p.rlike("\\S")
+            )
+        ),
+        F.lit(0),
+    )
     return (
         df.join(per_doc, df[id_col] == per_doc["_did"], "left")
         .select(
             *[df[c] for c in df.columns],
-            # only NULL text produces no paragraph rows at all
-            per_doc["dedup_text"],
-            F.coalesce(per_doc["n_paras"], F.lit(0)).alias("n_paras"),
-            F.coalesce(per_doc["n_kept_paras"], F.lit(0)).alias(
-                "n_kept_paras"
-            ),
+            # for non-NULL ids, only NULL text produces no paragraph
+            # rows at all; NULL-id rows pass through untouched
+            F.when(null_id, df[text_col])
+            .otherwise(per_doc["dedup_text"])
+            .alias("dedup_text"),
+            F.when(null_id, local_n)
+            .otherwise(F.coalesce(per_doc["n_paras"], F.lit(0)))
+            .alias("n_paras"),
+            F.when(null_id, local_n)
+            .otherwise(F.coalesce(per_doc["n_kept_paras"], F.lit(0)))
+            .alias("n_kept_paras"),
         )
     )
 
@@ -1140,11 +1163,14 @@ def incremental_minhash_dedup(
     actions the caller issues: the batch bands (the shingle+minhash
     agg, read by the probe, both self-join sides and the delta) and
     the cross-run loser ids (the index probe — the dominant cost at
-    scale — read by the band filter and the kept anti-join). In a
-    long-lived session use
-    :func:`incremental_minhash_dedup_with_bands` and unpersist the
-    returned handles once kept/delta are materialized (same convention
-    as simhash_pairs_with_fingerprints)."""
+    scale — read by the band filter and the kept anti-join).
+
+    CACHE LIFETIME: this convenience wrapper leaves BOTH (evictable,
+    batch-bounded) caches to Spark's LRU — in a long-lived continuous
+    ingestion loop that accumulates two CacheManager entries per batch,
+    so use :func:`incremental_minhash_dedup_with_bands` there and
+    unpersist the returned handles once kept/delta are materialized
+    (same convention as simhash_pairs_with_fingerprints)."""
     kept, delta, handles = incremental_minhash_dedup_with_bands(
         new_df, id_col, text_col, band_index, n, num_hashes, bands
     )
@@ -1177,20 +1203,26 @@ def incremental_minhash_dedup_with_bands(
     cross_losers = None
     if band_index is not None:
         if "params" in band_index.columns:
-            # 1-row probe (same convention as the compiler's skew
-            # probe): a mismatched index can never match any band key,
-            # which would silently disable cross-run dedup.
-            stamped = (
-                band_index.where(F.col("params").isNotNull())
+            # bounded probe (distinct params values — a handful of
+            # rows): a mismatched index can never match any band key,
+            # which would silently disable cross-run dedup. Collected
+            # as a SET, not .first(): on a mixed-params index a
+            # first()-based check would pass or fail depending on
+            # which partition answered first.
+            stamped = sorted(
+                r["params"]
+                for r in band_index.where(F.col("params").isNotNull())
                 .select("params")
-                .first()
+                .distinct()
+                .collect()
             )
-            if stamped is not None and stamped["params"] != params:
+            if stamped and (len(stamped) > 1 or stamped[0] != params):
                 raise ValueError(
-                    "band_index was built with different LSH parameters "
-                    f"({stamped['params']}) than this call ({params}); "
-                    "its keys can never match — rebuild the index or "
-                    "pass the original n/num_hashes/bands"
+                    "band_index carries LSH parameter stamps "
+                    f"{stamped} incompatible with this call ({params}); "
+                    "mixed or mismatched band keys can never match — "
+                    "rebuild the index or pass the original "
+                    "n/num_hashes/bands"
                 )
         # a doc is a cross-run loser if ANY of its bands hits the
         # index. left_semi ignores right-side duplicates, so the index

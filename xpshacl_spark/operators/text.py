@@ -317,12 +317,21 @@ def gopher_quality_flags(
 ) -> DataFrame:
     """The full Gopher/MassiveText document-filter rule set (Rae et al.
     2021, arXiv:2112.11446 §A1.1) as one fused scan: word-count bounds,
-    mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    mean-word-length bounds, PER-SYMBOL symbol-to-word ratios (the
+    paper applies the 0.1 threshold to the hash symbol and the ellipsis
+    SEPARATELY — a fused sum would over-filter docs at e.g. 6% + 6%),
     bullet-started and ellipsis-ended line fractions, alphabetic-word
     fraction, and the required-stopword rule (>= ``min_required_words``
-    of the/be/to/of/and/that/have/with). Adds the seven signal columns
+    of the/be/to/of/and/that/have/with). Adds the eight signal columns
     plus a combined ``gopher_pass`` boolean next to the input columns;
     NULL text propagates to NULL signals and NULL pass.
+
+    Word metrics run over a whitespace-normalized view of the text
+    (every whitespace run -> one space, then trimmed): F.trim strips
+    only ASCII spaces, so without this a tab-only document would count
+    two words; line rules tolerate leading/trailing whitespace via
+    ``\\s*`` in the anchors for the same reason (a tab-indented bullet
+    is still a bullet).
 
     Complements :func:`quality_score` (a soft composite for ranking)
     with the published HARD filter — the two are used together in
@@ -332,19 +341,23 @@ def gopher_quality_flags(
     expression over the word/line arrays inside one codegen'd scan
     (same plan class as pii_flags; plan-pinned no-Exchange)."""
     c = F.col(text_col)
-    ws = words(c)
-    n_words = token_count(c)
+    wtxt = F.trim(F.regexp_replace(c, "\\s+", " "))
+    ws = words(wtxt)
+    n_words = token_count(wtxt)
     lines = F.split(c, "\n")
     n_lines = F.size(lines)
     lws = F.transform(ws, lambda w: F.lower(w))
 
-    n_symbols = F.size(F.regexp_extract_all(c, F.lit("#|\\.{3}|…"), F.lit(0)))
+    n_hash = F.size(F.regexp_extract_all(c, F.lit("#"), F.lit(0)))
+    n_ellipsis_sym = F.size(
+        F.regexp_extract_all(c, F.lit("\\.{3}|…"), F.lit(0))
+    )
     n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
     n_bullet = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike("^[•\\-\\*]"))
+        F.filter(lines, lambda l: l.rlike("^\\s*[•\\-\\*]"))
     )
     n_ellipsis = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike("(\\.{3}|…)$"))
+        F.filter(lines, lambda l: l.rlike("(\\.{3}|…)\\s*$"))
     )
     n_required = None
     for w in GOPHER_REQUIRED_WORDS:
@@ -359,8 +372,9 @@ def gopher_quality_flags(
     out = df.select(
         *df.columns,
         n_words.alias("n_words"),
-        F.round(mean_word_len(c), 6).alias("mean_word_len"),
-        _frac(n_symbols, n_words).alias("symbol_word_ratio"),
+        F.round(mean_word_len(wtxt), 6).alias("mean_word_len"),
+        _frac(n_hash, n_words).alias("hash_word_ratio"),
+        _frac(n_ellipsis_sym, n_words).alias("ellipsis_word_ratio"),
         _frac(n_bullet, n_lines).alias("frac_bullet_lines"),
         _frac(n_ellipsis, n_lines).alias("frac_ellipsis_lines"),
         _frac(n_alpha_words, n_words).alias("frac_alpha_words"),
@@ -370,7 +384,8 @@ def gopher_quality_flags(
         "gopher_pass",
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio)
         & (F.col("frac_bullet_lines") <= max_bullet_line_frac)
         & (F.col("frac_ellipsis_lines") <= max_ellipsis_line_frac)
         & (F.col("frac_alpha_words") >= min_alpha_word_frac)
