@@ -1641,3 +1641,87 @@ def test_gopher_quality_flags_rules(spark):
     assert out[4].frac_bullet_lines == 1.0 and out[4].gopher_pass is False
     assert out[5].frac_alpha_words == 0.0 and out[5].gopher_pass is False
     assert out[6].n_words is None and out[6].gopher_pass is None
+
+
+def test_real_decode_png_all_filters_and_color_types(spark):
+    """The dependency-free PNG decoder: a test-local encoder writes
+    images whose rows cycle through ALL five PNG filters (None, Sub,
+    Up, Average, Paeth) for each supported color type (gray, RGB,
+    gray+alpha, RGBA); decoded dims and channel-byte mean must match
+    numpy exactly. Unsupported features (palette) quarantine as NULL."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from xpshacl_spark.operators.multimodal import _paeth, decode_media
+
+    def encode_png(arr, color):
+        h, w, ch = arr.shape
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        flat = arr.reshape(h, w * ch).astype(np.int32)
+        prev = np.zeros(w * ch, np.int32)
+        rows = []
+        for r in range(h):
+            ft = r % 5  # cycle every filter type
+            rec = flat[r]
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            if ft == 0:
+                f = rec
+            elif ft == 1:
+                f = (rec - left) % 256
+            elif ft == 2:
+                f = (rec - prev) % 256
+            elif ft == 3:
+                f = (rec - (left + prev) // 2) % 256
+            else:
+                pred = np.array(
+                    [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)]
+                )
+                f = (rec - pred) % 256
+            rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+            prev = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(7)
+    cases = {}  # media_id -> (w, h, expected_mean)
+    rows = []
+    for mid, (color, ch) in enumerate([(0, 1), (2, 3), (4, 2), (6, 4)], start=1):
+        arr = rng.randint(0, 256, size=(7, 5, ch), dtype=np.uint8)  # 7 rows: all filters
+        # the decode batch layer rounds mean_pixel to 6 decimals
+        cases[mid] = (5, 7, round(float(arr.sum()) / arr.size, 6))
+        rows.append((mid, "image", bytearray(encode_png(arr, color)), None))
+    # palette PNG (color type 3): recognized signature, unsupported -> NULL
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    rows.append((99, "image", bytearray(pal), None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    got = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    for mid, (w, h, mean) in cases.items():
+        assert (got[mid].format, got[mid].width, got[mid].height) == ("png", w, h), mid
+        assert abs(got[mid].mean_pixel - mean) < 1e-9, (mid, got[mid].mean_pixel, mean)
+    assert got[99].format is None and got[99].width is None

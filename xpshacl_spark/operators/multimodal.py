@@ -8,12 +8,15 @@ and tested. Two codec paths:
 * the default (`real=False`) computes deterministic fake features
   (byte length, md5 digest, metadata-derived dimensions) that an
   ANSI-SQL oracle can reproduce;
-* `real=True` runs an actual dependency-free decoder for uncompressed
-  formats this container can handle without PIL/torchaudio: 24-bit
-  BI_RGB Windows BMP and binary PPM (P6) — header parse + numpy pixel
-  statistics. It PROVES the seam: swapping in PIL later only replaces
-  the per-format byte parser; the distributed plan (mapInPandas,
-  explicit Arrow schema, partition layout) is identical.
+* `real=True` runs actual dependency-free decoders for the formats
+  this container can handle without PIL/torchaudio: PNG (RFC 2083 —
+  stdlib-zlib inflate, all five row filters, 8-bit gray/RGB/
+  gray+alpha/RGBA), 24-bit BI_RGB Windows BMP, and binary PPM (P6) —
+  header parse + pixel statistics. A COMPRESSED format is therefore
+  decoded for real, byte-level, in this sandbox; swapping in PIL later
+  only replaces the per-format byte parser and adds JPEG etc., the
+  distributed plan (mapInPandas, explicit Arrow schema, partition
+  layout) is identical.
 
 Scale notes: payloads travel Arrow-batched through mapInPandas (one
 python worker per partition, vectorized batches — never row-at-a-time);
@@ -184,7 +187,110 @@ def _decode_bmp_bytes(b: bytes):
     return w, h, float(rows.sum()) / rows.size
 
 
-_REAL_DECODERS = (("bmp", _decode_bmp_bytes), ("ppm", _decode_ppm_bytes))
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png_bytes(b: bytes):
+    """Dependency-free PNG decode (RFC 2083): 8-bit depth, color types
+    0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), non-interlaced;
+    all five row filters (None/Sub/Up/Average/Paeth) are unfiltered.
+    IDAT chunks are concatenated and zlib-inflated with the stdlib.
+    Returns (width, height, mean-over-all-channel-bytes) or None for
+    anything else (palette, 16-bit, Adam7, truncated, corrupt zlib) —
+    unrecognized payloads quarantine as NULL rows like the other
+    codecs. Dimension product is capped (2^26 samples) so a hostile
+    header cannot balloon executor memory. Parallelism at 100 TB is
+    across payload ROWS (one image per decode, Arrow-batched), never
+    intra-image, so the per-row Python unfilter loop for Average/Paeth
+    costs only on rows using those filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    i, n = 8, len(b)
+    w = h = color = None
+    idat = []
+    while i + 8 <= n:
+        (ln,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 4, 6) or comp or filt or inter:
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if not w or not h or not idat or w * h > (1 << 26):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    total = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos)
+        pos += stride
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub: per-channel-lane cumsum, uint8 wrap = mod 256
+            rec = (
+                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up: uint8 addition wraps mod 256
+            rec = row + prev
+        elif ft in (3, 4):  # Average / Paeth: sequential along the row
+            rec = np.empty(stride, dtype=np.uint8)
+            for k in range(stride):
+                a = int(rec[k - ch]) if k >= ch else 0
+                u = int(prev[k])
+                if ft == 3:
+                    rec[k] = (int(row[k]) + ((a + u) >> 1)) & 0xFF
+                else:
+                    c_ = int(prev[k - ch]) if k >= ch else 0
+                    rec[k] = (int(row[k]) + _paeth(a, u, c_)) & 0xFF
+        else:
+            return None
+        total += int(rec.sum(dtype=np.uint64))
+        prev = rec
+    return w, h, total / float(h * stride)
+
+
+_REAL_DECODERS = (
+    ("png", _decode_png_bytes),
+    ("bmp", _decode_bmp_bytes),
+    ("ppm", _decode_ppm_bytes),
+)
 
 
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
