@@ -1725,3 +1725,69 @@ def test_real_decode_png_all_filters_and_color_types(spark):
         assert (got[mid].format, got[mid].width, got[mid].height) == ("png", w, h), mid
         assert abs(got[mid].mean_pixel - mean) < 1e-9, (mid, got[mid].mean_pixel, mean)
     assert got[99].format is None and got[99].width is None
+
+
+def test_corpus_prep_v3_new_stage_composition(spark):
+    """Integration of the r05 cleanup stages as a pipeline: Gopher hard
+    gate -> corpus-wide paragraph dedup -> intra-doc line dedup ->
+    exact dedup on the rewritten text -> sequence packing. Asserts the
+    cross-stage invariants a real pipeline relies on rather than
+    re-proving each operator (each has its own oracle)."""
+    from xpshacl_spark.operators.dedup import (
+        dedup_lines_in_doc,
+        dedup_paragraphs,
+        incremental_exact_dedup,
+    )
+    from xpshacl_spark.operators.packing import pack_sequences
+    from xpshacl_spark.operators.text import gopher_quality_flags, token_count
+
+    body = (
+        "the quick brown fox likes to jump over all of the lazy dogs and "
+        "that same fox will have done it again with style tomorrow morning "
+    ) * 3
+    boiler = "subscribe to the newsletter of this site and have fun with that"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\n\n" + body + "\nrepeat line\nrepeat line"),
+            (2, boiler + "\n\n" + body + " extra tail words here"),
+            (3, "too short"),  # fails the Gopher word-count floor
+            (4, boiler + "\n\n" + body + "\nrepeat line\nrepeat line"),  # = doc 1
+        ],
+        "doc_id long, text string",
+    )
+    gated = gopher_quality_flags(docs, "text").where("gopher_pass").select(
+        "doc_id", "text"
+    )
+    assert {r.doc_id for r in gated.select("doc_id").collect()} == {1, 2, 4}
+
+    paras = dedup_paragraphs(gated, "doc_id", "text")
+    by_id = {r.doc_id: r for r in paras.collect()}
+    # boilerplate paragraph survives only in doc 1 (min id)
+    assert by_id[1].dedup_text.startswith(boiler)
+    assert not by_id[2].dedup_text.startswith(boiler)
+    # doc 4's body is identical to doc 1's: every paragraph stripped
+    assert by_id[4].n_kept_paras == 0
+
+    lines = dedup_lines_in_doc(
+        paras.select("doc_id", F.col("dedup_text").alias("text")), "text"
+    ).select("doc_id", F.col("dedup_text").alias("text"))
+    t1 = {r.doc_id: r.text for r in lines.collect()}
+    assert t1[1].count("repeat line") == 1  # intra-doc line dedup
+
+    # exact dedup on the REWRITTEN text: docs 1 and 4 no longer collide
+    # (4 was already emptied by paragraph dedup)
+    survivors, _delta = incremental_exact_dedup(lines, "doc_id", "text")
+    kept_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert 1 in kept_ids and 2 in kept_ids
+
+    packed = pack_sequences(
+        survivors.select("doc_id", token_count("text").alias("n_tokens"))
+        .where("n_tokens > 0"),
+        "doc_id",
+        "n_tokens",
+        budget=64,
+    )
+    rows = packed.collect()
+    # packing integrity: offsets within budget, ids preserved
+    assert all(0 <= r.pack_offset < 64 for r in rows)
+    assert {r.doc_id for r in rows} <= kept_ids
