@@ -1791,3 +1791,51 @@ def test_corpus_prep_v3_new_stage_composition(spark):
     # packing integrity: offsets within budget, ids preserved
     assert all(0 <= r.pack_offset < 64 for r in rows)
     assert {r.doc_id for r in rows} <= kept_ids
+
+
+def test_png_decoder_rejects_zlib_bomb_bounded():
+    """A PNG declaring tiny dims but carrying a huge highly-compressible
+    IDAT must be rejected WITHOUT inflating it: the decompress is
+    length-limited by the IHDR-derived expected size, so peak allocation
+    stays at expected+1 bytes, not the bomb's full expansion."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from xpshacl_spark.operators.multimodal import _decode_png_bytes
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+
+    def chunk(t, d):
+        import binascii
+
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)  # 256MB of zeros
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    assert _decode_png_bytes(payload) is None
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # the bomb expands to 256MB; bounded inflate must stay far below
+    assert peak < 32 * 1024 * 1024, peak
+
+    # channel-byte cap: a huge RGBA header (w*h*ch > 2^26) is rejected
+    big = struct.pack(">IIBBBBB", 1 << 13, 1 << 12, 8, 6, 0, 0, 0)  # 2^27 ch-bytes
+    payload2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", big)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png_bytes(payload2) is None

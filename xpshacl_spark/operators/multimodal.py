@@ -207,15 +207,24 @@ def _decode_png_bytes(b: bytes):
     Returns (width, height, mean-over-all-channel-bytes) or None for
     anything else (palette, 16-bit, Adam7, truncated, corrupt zlib) —
     unrecognized payloads quarantine as NULL rows like the other
-    codecs. Dimension product is capped (2^26 samples) so a hostile
-    header cannot balloon executor memory. Parallelism at 100 TB is
-    across payload ROWS (one image per decode, Arrow-batched), never
-    intra-image, so the per-row Python unfilter loop for Average/Paeth
-    costs only on rows using those filters."""
+    codecs.
+
+    Hostile-payload bounds: the CHANNEL-BYTE total w*h*ch is capped at
+    2^26 (so an RGBA header cannot quadruple the bound), and the
+    inflate is length-limited via decompressobj — the raw size is
+    known from the validated IHDR before inflating, so a zlib bomb
+    (tiny declared dims, huge compressible IDAT) is rejected after
+    producing at most expected+1 bytes, never its full expansion.
+
+    Parallelism at 100 TB is across payload ROWS (one image per
+    decode, Arrow-batched), never intra-image. Average/Paeth rows
+    unfilter in a per-byte pure-int Python loop (the recurrence is
+    sequential along the row; plain ints avoid numpy scalar boxing) —
+    correctness-first: this is the reference decoder proving the seam,
+    and a PIL/libpng swap at the call-site boundary is the production
+    path for decode-bound workloads."""
     import struct
     import zlib
-
-    import numpy as np
 
     if not b.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
@@ -241,47 +250,51 @@ def _decode_png_bytes(b: bytes):
         elif ctype == b"IEND":
             break
         i += 12 + ln
-    if not w or not h or not idat or w * h > (1 << 26):
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if not w or not h or color is None or not idat:
         return None
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if w * h * ch > (1 << 26):
+        return None
+    expected = h * (stride + 1)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        # exact-size contract: more data behind the limit, or less than
+        # declared, is a corrupt/hostile payload
+        if len(raw) != expected or d.decompress(b"", 1):
+            return None
+    except zlib.error:
         return None
     total = 0
-    prev = np.zeros(stride, dtype=np.uint8)
+    prev = bytes(stride)
     pos = 0
     for _ in range(h):
         ft = raw[pos]
         pos += 1
-        row = np.frombuffer(raw, np.uint8, stride, pos)
+        row = raw[pos : pos + stride]
         pos += stride
         if ft == 0:
-            rec = row.copy()
-        elif ft == 1:  # Sub: per-channel-lane cumsum, uint8 wrap = mod 256
-            rec = (
-                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint64)
-                .astype(np.uint8)
-                .reshape(stride)
-            )
-        elif ft == 2:  # Up: uint8 addition wraps mod 256
-            rec = row + prev
-        elif ft in (3, 4):  # Average / Paeth: sequential along the row
-            rec = np.empty(stride, dtype=np.uint8)
+            rec = row
+        elif ft in (1, 2, 3, 4):
+            # pure-int sequential recurrence (bytes in, list out):
+            # left/up/up-left neighbors of each byte, mod 256
+            out = [0] * stride
             for k in range(stride):
-                a = int(rec[k - ch]) if k >= ch else 0
-                u = int(prev[k])
-                if ft == 3:
-                    rec[k] = (int(row[k]) + ((a + u) >> 1)) & 0xFF
+                a = out[k - ch] if k >= ch else 0
+                if ft == 1:
+                    out[k] = (row[k] + a) & 0xFF
+                elif ft == 2:
+                    out[k] = (row[k] + prev[k]) & 0xFF
+                elif ft == 3:
+                    out[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
                 else:
-                    c_ = int(prev[k - ch]) if k >= ch else 0
-                    rec[k] = (int(row[k]) + _paeth(a, u, c_)) & 0xFF
+                    c_ = prev[k - ch] if k >= ch else 0
+                    out[k] = (row[k] + _paeth(a, prev[k], c_)) & 0xFF
+            rec = bytes(out)
         else:
             return None
-        total += int(rec.sum(dtype=np.uint64))
+        total += sum(rec)
         prev = rec
     return w, h, total / float(h * stride)
 
@@ -324,10 +337,11 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
 
     real=False: deterministic fake features (FEATURE_SCHEMA) an ANSI
     oracle can reproduce. real=True: actual byte-level decoding of
-    uncompressed BMP/PPM payloads (REAL_FEATURE_SCHEMA); rows whose
-    payload no built-in parser recognizes come back with NULL
-    format/dims — at scale you filter or route those to a quarantine
-    sink rather than failing the whole job."""
+    PNG (compressed — stdlib-zlib inflate, all five row filters), BMP
+    and PPM payloads (REAL_FEATURE_SCHEMA); rows whose payload no
+    built-in parser recognizes come back with NULL format/dims — at
+    scale you filter or route those to a quarantine sink rather than
+    failing the whole job."""
     if real:
 
         def gen_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
