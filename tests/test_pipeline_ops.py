@@ -1839,3 +1839,59 @@ def test_png_decoder_rejects_zlib_bomb_bounded():
         + chunk(b"IEND", b"")
     )
     assert _decode_png_bytes(payload2) is None
+
+
+def test_real_decode_wav_pcm(spark):
+    """decode_audio: real RIFF PCM WAV byte decoding through the
+    mapInPandas plan — 16-bit stereo sine (known RMS ~ 1/sqrt(2) of
+    amplitude), 8-bit mono constant (RMS 0 after midpoint shift),
+    word-aligned odd-length extra chunk skipped, garbage/NULL
+    quarantined."""
+    import math
+    import struct
+
+    from xpshacl_spark.operators.multimodal import decode_audio
+
+    def wav(rate, bits, channels, frames, extra_chunk=False):
+        data = b"".join(frames)
+        block = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block, block, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # odd-length LIST chunk: walker must pad-align
+            chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    amp = 16384  # half full-scale
+    n = 8000
+    sine = [
+        struct.pack(
+            "<hh",
+            int(amp * math.sin(2 * math.pi * 440 * t / 8000)),
+            int(amp * math.sin(2 * math.pi * 440 * t / 8000)),
+        )
+        for t in range(n)
+    ]
+    silence8 = [b"\x80"] * 4000  # 8-bit unsigned midpoint = silence
+    rows = [
+        (1, "audio", bytearray(wav(8000, 16, 2, sine, extra_chunk=True)), None),
+        (2, "audio", bytearray(wav(4000, 8, 1, silence8)), None),
+        (3, "audio", bytearray(b"RIFFxxxxNOPE"), None),
+        (4, "audio", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    got = {r.media_id: r for r in decode_audio(media).collect()}
+    assert (got[1].format, got[1].sample_rate, got[1].n_channels) == ("wav", 8000, 2)
+    assert got[1].duration_sec == 1.0
+    # RMS of a half-scale sine ~ 0.5/sqrt(2); integer quantization keeps
+    # it within a loose band
+    assert abs(got[1].rms - 0.5 / math.sqrt(2)) < 0.01
+    assert (got[2].format, got[2].sample_rate, got[2].n_channels) == ("wav", 4000, 1)
+    assert got[2].duration_sec == 1.0 and got[2].rms == 0.0
+    assert got[3].format is None
+    assert got[4].format is None

@@ -16,7 +16,10 @@ and tested. Two codec paths:
   decoded for real, byte-level, in this sandbox; swapping in PIL later
   only replaces the per-format byte parser and adds JPEG etc., the
   distributed plan (mapInPandas, explicit Arrow schema, partition
-  layout) is identical.
+  layout) is identical. The AUDIO modality gets the same treatment:
+  `decode_audio` byte-decodes RIFF PCM WAV (16-bit signed / 8-bit
+  unsigned, word-aligned chunk walk) into sample rate / channels /
+  duration / normalized RMS.
 
 Scale notes: payloads travel Arrow-batched through mapInPandas (one
 python worker per partition, vectorized batches — never row-at-a-time);
@@ -304,6 +307,115 @@ _REAL_DECODERS = (
     ("bmp", _decode_bmp_bytes),
     ("ppm", _decode_ppm_bytes),
 )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def _decode_wav_bytes(b: bytes):
+    """Dependency-free WAV decode (RIFF/WAVE, PCM format 1): chunk walk
+    over 'fmt ' + 'data', supporting 16-bit signed and 8-bit unsigned
+    PCM. Returns (sample_rate, n_channels, duration_sec,
+    rms-of-normalized-samples) or None for anything else (compressed
+    codecs, float PCM, truncated chunks) — quarantine-as-NULL like the
+    image decoders. Samples normalize to [-1, 1] before the RMS so the
+    statistic is bit-depth independent. Decode parallelism at scale is
+    across payload rows (Arrow-batched), one clip per decode."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (ln,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"fmt " and ln >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    bps = bits // 8
+    frame = n_ch * bps
+    n_frames = len(data) // frame
+    if n_frames == 0:
+        return None
+    usable = n_frames * frame
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(
+            np.float64
+        ) / 32768.0
+    else:  # 8-bit WAV PCM is unsigned, midpoint 128
+        x = (
+            np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.float64)
+            - 128.0
+        ) / 128.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    return rate, n_ch, n_frames / float(rate), rms
+
+
+def _audio_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    fmts, rates, chs, durs, rmss = [], [], [], [], []
+    for b in pdf["payload"]:
+        fmt = rate = ch = dur = rms = None
+        if b is not None:
+            got = _decode_wav_bytes(bytes(b))
+            if got is not None:
+                fmt = "wav"
+                rate, ch, dur, rms = got
+        fmts.append(fmt)
+        rates.append(rate)
+        chs.append(ch)
+        durs.append(None if dur is None else round(dur, 6))
+        rmss.append(None if rms is None else round(rms, 6))
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "format": fmts,
+            "sample_rate": pd.array(rates, dtype="Int32"),
+            "n_channels": pd.array(chs, dtype="Int32"),
+            "duration_sec": pd.array(durs, dtype="Float64"),
+            "rms": pd.array(rmss, dtype="Float64"),
+        }
+    )
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over the media table via mapInPandas —
+    the audio analog of decode_media(real=True): real byte-level RIFF
+    PCM WAV decoding (sample rate, channels, duration, normalized RMS);
+    unrecognized payloads come back as NULL rows for quarantine
+    routing. Same seam contract as the image path: swapping in
+    soundfile/torchaudio later replaces only the byte parser, never the
+    distributed plan (Arrow-batched mapInPandas, explicit schema)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _audio_decode_batch(pdf)
+
+    return media.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
 
 
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
