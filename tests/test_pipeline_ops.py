@@ -1841,6 +1841,55 @@ def test_png_decoder_rejects_zlib_bomb_bounded():
     assert _decode_png_bytes(payload2) is None
 
 
+def test_png_decoder_rejects_overlong_and_truncated_streams():
+    """The exact-size contract must hold for streams whose excess hides
+    in zlib internal state rather than emitted output: (a) a stored-
+    block (level-0) stream carrying more raw data than the IHDR
+    declares stops at the limit with eof False — the old probe
+    `d.decompress(b'', 1)` returned b'' here and ACCEPTED the payload;
+    (b) a stream cut with Z_SYNC_FLUSH emits exactly the expected bytes
+    but never reaches Z_STREAM_END (no adler32) — also previously
+    accepted. Both must quarantine as None, and a byte-identical valid
+    payload must still decode."""
+    import struct
+    import zlib
+
+    from xpshacl_spark.operators.multimodal import _decode_png_bytes
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+    raw = b"\x00\x07\x09\x00\x03\x05"  # 2 rows: filter byte + 2 px
+
+    def chunk(t, d):
+        import binascii
+
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def png(idat):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    # sanity: the honest stream decodes
+    assert _decode_png_bytes(png(zlib.compress(raw))) == (2, 2, 6.0)
+    # (a) oversized stored-block stream: declared 6 raw bytes, carries 64
+    overlong = zlib.compress(raw + b"\xAA" * 58, 0)
+    assert _decode_png_bytes(png(overlong)) is None
+    # (b) truncated: exact expected bytes out, but no stream end marker
+    c = zlib.compressobj()
+    cut = c.compress(raw) + c.flush(zlib.Z_SYNC_FLUSH)
+    assert _decode_png_bytes(png(cut)) is None
+    # (c) trailing garbage after a complete stream
+    assert _decode_png_bytes(png(zlib.compress(raw) + b"junk")) is None
+
+
 def test_real_decode_wav_pcm(spark):
     """decode_audio: real RIFF PCM WAV byte decoding through the
     mapInPandas plan — 16-bit stereo sine (known RMS ~ 1/sqrt(2) of

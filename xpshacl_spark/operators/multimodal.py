@@ -263,9 +263,12 @@ def _decode_png_bytes(b: bytes):
     try:
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), expected)
-        # exact-size contract: more data behind the limit, or less than
-        # declared, is a corrupt/hostile payload
-        if len(raw) != expected or d.decompress(b"", 1):
+        # exact-size contract: the stream must END (Z_STREAM_END seen,
+        # adler32 verified) at exactly the declared raw size. A longer
+        # stream hits the limit with eof still False (bomb/corrupt), a
+        # truncated one never reaches eof, and bytes after the stream
+        # end land in unused_data — all three are hostile payloads.
+        if len(raw) != expected or not d.eof or d.unused_data:
             return None
     except zlib.error:
         return None
@@ -322,57 +325,53 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_wav_bytes(b: bytes):
-    """Dependency-free WAV decode (RIFF/WAVE, PCM format 1): chunk walk
-    over 'fmt ' + 'data', supporting 16-bit signed and 8-bit unsigned
-    PCM. Returns (sample_rate, n_channels, duration_sec,
-    rms-of-normalized-samples) or None for anything else (compressed
-    codecs, float PCM, truncated chunks) — quarantine-as-NULL like the
-    image decoders. Samples normalize to [-1, 1] before the RMS so the
-    statistic is bit-depth independent. Decode parallelism at scale is
-    across payload rows (Arrow-batched), one clip per decode."""
-    import struct
+    """RIFF PCM WAV decode on the stdlib `wave` parser: the chunk walk,
+    word alignment, and fmt validation are stdlib code; only the
+    bit-depth normalization + RMS math is ours (mirroring how the PNG
+    path leans on stdlib zlib for the inflate). Returns (sample_rate,
+    n_channels, duration_sec, rms-of-normalized-samples) or None for
+    anything else (compressed codecs, float/24-bit PCM, truncated
+    chunks, payloads over the same 2^26-byte bound as the image path)
+    — quarantine-as-NULL like the image decoders. Samples normalize to
+    [-1, 1] so the statistic is bit-depth independent. Decode
+    parallelism at scale is across payload rows (Arrow-batched), one
+    clip per decode."""
+    import io
+    import wave
 
     import numpy as np
 
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if len(b) > (1 << 26):  # hostile-payload bound, same as the PNG cap
         return None
-    i, n = 12, len(b)
-    fmt = None
-    data = None
-    while i + 8 <= n:
-        cid = b[i : i + 4]
-        (ln,) = struct.unpack_from("<I", b, i + 4)
-        body = b[i + 8 : i + 8 + ln]
-        if len(body) < ln:
-            return None
-        if cid == b"fmt " and ln >= 16:
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-            if fmt is not None:
-                break
-        i += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            n_ch = wf.getnchannels()
+            rate = wf.getframerate()
+            bps = wf.getsampwidth()
+            data = wf.readframes(wf.getnframes())
+    except Exception:  # wave.Error / EOFError / struct.error — all
+        return None  # mean "not a PCM WAV we accept": quarantine
+    if n_ch < 1 or rate <= 0 or bps not in (1, 2):
         return None
-    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
-        return None
-    bps = bits // 8
     frame = n_ch * bps
     n_frames = len(data) // frame
     if n_frames == 0:
         return None
     usable = n_frames * frame
-    if bits == 16:
+    if bps == 2:
         x = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(
             np.float64
-        ) / 32768.0
+        )
+        scale = 32768.0
     else:  # 8-bit WAV PCM is unsigned, midpoint 128
         x = (
             np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.float64)
             - 128.0
-        ) / 128.0
-    rms = float(np.sqrt(np.mean(x * x)))
+        )
+        scale = 128.0
+    # np.dot instead of mean(x*x): no squared temp array — the one
+    # float64 copy above is the peak allocation
+    rms = float(np.sqrt(np.dot(x, x) / x.size)) / scale
     return rate, n_ch, n_frames / float(rate), rms
 
 
