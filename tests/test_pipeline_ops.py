@@ -1643,6 +1643,55 @@ def test_gopher_quality_flags_rules(spark):
     assert out[6].n_words is None and out[6].gopher_pass is None
 
 
+def test_c4_clean_rules(spark):
+    """Each C4 rule fires on its designed violator: the line filter
+    rewrites c4_text (terminal punct, >=3 words, no 'javascript'), the
+    page gate needs >=5 sentences in the RETAINED text and rejects
+    lorem ipsum / curly braces / badwords; NULL text stays NULL."""
+    from xpshacl_spark.operators.text import c4_clean
+
+    line = "The quick brown fox jumps over the lazy dog."
+    ok = "\n".join([line, line, line, "Sentence four is here. And five!"])
+    df = spark.createDataFrame(
+        [
+            (1, ok),
+            # kept line count 1 -> sentence floor fails; also exercises
+            # the word-count and punctuation line rules
+            (2, "short.\nno terminal punct here\nToo few sentences overall."),
+            (3, ok + "\nAnd Lorem Ipsum dolor sit amet."),
+            (4, ok.replace("dog.", "dog {.")),
+            (5, ok + "\nPlease enable JavaScript to view this page."),
+            (6, 'She said "It works.”\n' + ok),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(df, "text").collect()}
+    assert out[1].c4_pass is True and out[1].n_sentences == 5
+    assert out[1].c4_text == ok and out[1].n_kept_lines == 4
+    assert out[2].n_kept_lines == 1 and out[2].c4_pass is False
+    assert out[3].has_lorem_ipsum is True and out[3].c4_pass is False
+    assert out[4].has_curly_brace is True and out[4].c4_pass is False
+    # javascript is a LINE rule: the page still passes, rewritten
+    assert out[5].c4_pass is True and "JavaScript" not in out[5].c4_text
+    # closing-quote terminal punctuation keeps the line
+    assert out[6].n_kept_lines == 5 and out[6].c4_pass is True
+    assert out[7].c4_text is None and out[7].c4_pass is None
+
+    # badwords is a page gate with \b word boundaries, case-insensitive
+    gated = {
+        r.doc_id: r
+        for r in c4_clean(df, "text", badwords=("fox",)).collect()
+    }
+    assert gated[1].has_badword is True and gated[1].c4_pass is False
+    assert gated[7].has_badword is None
+    sub = {
+        r.doc_id: r
+        for r in c4_clean(df, "text", badwords=("foxtrot",)).collect()
+    }
+    assert sub[1].has_badword is False and sub[1].c4_pass is True
+
+
 def test_real_decode_png_all_filters_and_color_types(spark):
     """The dependency-free PNG decoder: a test-local encoder writes
     images whose rows cycle through ALL five PNG filters (None, Sub,

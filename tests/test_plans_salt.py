@@ -662,3 +662,21 @@ def test_gopher_quality_flags_is_zero_shuffle_scan(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,3" in plan
+
+
+def test_c4_clean_is_zero_shuffle_scan(spark, tmp_path):
+    """The C4 line rewrite + page gate are per-row higher-order
+    expressions: one scan, no Exchange, no Generate, filter pushed."""
+    from xpshacl_spark.operators.text import c4_clean
+
+    p = str(tmp_path / "docs_c4")
+    spark.createDataFrame(
+        [(i, "The fox runs fast.\nshort") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p).where("doc_id >= 3")
+
+    plan = _plan(c4_clean(d, "text", badwords=("bad",)))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,3" in plan

@@ -631,3 +631,73 @@ def test_gopher_quality_flags_match_python_oracle(spark, docs):
             frac(alpha, nw),
             req,
         ), (i, repr(t), got[i])
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.lists(
+                    st.sampled_from(
+                        ["the", "fox", "runs.", "no?", "yes!", "javascript",
+                         "lorem", "ipsum", "{x}", "”", "a.b", "...", "\tq"]
+                    ),
+                    max_size=5,
+                ).map(lambda ws: " ".join(ws)),
+                max_size=6,
+            ).map(lambda ls: "\n".join(ls)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_c4_clean_matches_python_oracle(spark, docs):
+    """c4_text rewrite, sentence count, and page-gate signals match a
+    row-at-a-time oracle on adversarial token mixes (terminal punct
+    mid-token, closing quotes, javascript lines, braces, lorem ipsum,
+    tabs); NULL text yields NULL everywhere."""
+    import re
+
+    from xpshacl_spark.operators.text import c4_clean
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.c4_text,
+            r.n_kept_lines,
+            r.n_sentences,
+            r.has_lorem_ipsum,
+            r.has_curly_brace,
+            r.c4_pass,
+        )
+        for r in c4_clean(df, "text").collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None,) * 6, (i, got[i])
+            continue
+        kept = []
+        for l in t.split("\n"):
+            wtxt = re.sub(r"\s+", " ", l).strip()
+            if (
+                re.search(r'[.!?]["”]?\s*$', l)
+                and len(wtxt.split(" ")) >= 3
+                and "javascript" not in l.lower()
+            ):
+                kept.append(l)
+        c4_text = "\n".join(kept)
+        n_sent = len(list(re.finditer(r'[.!?]["”]?(?:\s|$)', c4_text)))
+        lorem = "lorem ipsum" in t.lower()
+        brace = "{" in t
+        want_pass = n_sent >= 5 and not lorem and not brace
+        assert got[i] == (
+            c4_text,
+            len(kept),
+            n_sent,
+            lorem,
+            brace,
+            want_pass,
+        ), (i, repr(t), got[i])

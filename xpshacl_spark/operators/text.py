@@ -393,6 +393,85 @@ def gopher_quality_flags(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) as one fused scan — the line-REWRITING counterpart to
+    :func:`gopher_quality_flags` (which only gates):
+
+    * line filter -> ``c4_text``: keep lines that end in a terminal
+      punctuation mark (``. ! ?`` optionally followed by a closing
+      quote), contain at least ``min_words_per_line`` words, and do not
+      mention "javascript" (case-insensitive);
+    * page gate -> ``c4_pass``: at least ``min_sentences`` sentences in
+      the RETAINED text (sentence ~= terminal-punct run at a word
+      boundary), no "lorem ipsum", no curly brace, and no word from the
+      caller's ``badwords`` list (the paper uses the public
+      "Dirty/Naughty" list; empty default = rule off).
+
+    The paper's remaining rules map to existing operators and are NOT
+    duplicated here: its three-sentence-span corpus dedup is
+    :func:`xpshacl_spark.operators.dedup.strip_dup_spans` /
+    ``dedup_paragraphs``, and its langdetect gate composes as
+    ``.where(lang_id(...) == 'en')``.
+
+    NULL text propagates to NULL ``c4_text``/signals/pass, same policy
+    as the Gopher filter.
+
+    100-TB shape: ZERO shuffle — the line filter and every signal are
+    per-row higher-order expressions inside one codegen'd scan
+    (plan-pinned no-Exchange, no-Generate, filters still pushed)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def _keep(l: Column) -> Column:
+        wtxt = F.trim(F.regexp_replace(l, WS_RE, " "))
+        return (
+            l.rlike('[.!?]["”]?\\s*$')
+            & (F.size(F.split(wtxt, " ")) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    c4_text = F.array_join(kept, "\n")
+    # sentence ~= terminal-punct run followed by whitespace/end; counted
+    # on the retained text, after the line filter (the paper's rule
+    # order: filter lines first, then drop short pages)
+    n_sentences = F.regexp_count(c4_text, F.lit('[.!?]["”]?(\\s|$)'))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    if badwords:
+        import re as _re
+
+        pat = "(?i)\\b(?:" + "|".join(_re.escape(w) for w in badwords) + ")\\b"
+        has_bad = c.rlike(pat)
+    else:
+        # rule off, but NULL text must still yield NULL (not False)
+        has_bad = F.when(c.isNotNull(), F.lit(False))
+    out = df.select(
+        *df.columns,
+        c4_text.alias("c4_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        has_bad.alias("has_badword"),
+    )
+    return out.withColumn(
+        "c4_pass",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_badword"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
