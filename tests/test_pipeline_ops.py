@@ -1692,6 +1692,44 @@ def test_c4_clean_rules(spark):
     assert sub[1].has_badword is False and sub[1].c4_pass is True
 
 
+def test_normalize_url_and_url_dedup(spark):
+    """normalize_url canonicalizes the CCNet/RefinedWeb equivalences
+    (case, www., default ports, fragments, tracking params, trailing
+    slashes) while preserving path case and real params; dedup_by_url
+    keeps the min-id row per equivalent group and passes NULL urls
+    through untouched."""
+    from xpshacl_spark.operators.dedup import dedup_by_url, url_duplicates
+    from xpshacl_spark.operators.text import normalize_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Docs/?utm_source=x&b=2#frag"),
+        (2, "https://example.com/Docs?b=2"),
+        (3, "https://example.com/docs?b=2"),  # path case differs: distinct
+        (4, "http://example.com:80/a//"),
+        (5, "http://example.com/a"),
+        (6, "not a url"),
+        (7, None),
+        (8, None),  # two NULLs must BOTH survive
+        (9, "https://example.com/?gclid=1&fbclid=2"),  # all params stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    norm = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", normalize_url("url").alias("n")).collect()
+    }
+    assert norm[1] == "https://example.com/Docs?b=2" == norm[2]
+    assert norm[3] == "https://example.com/docs?b=2" != norm[2]
+    assert norm[4] == "http://example.com/a" == norm[5]
+    assert norm[6] == "not a url"
+    assert norm[7] is None
+    assert norm[9] == "https://example.com"
+
+    dups = {r.keep_id: r.n_dups for r in url_duplicates(df, "doc_id", "url").collect()}
+    assert dups == {1: 2, 4: 2}
+    kept = {r.doc_id for r in dedup_by_url(df, "doc_id", "url").collect()}
+    assert kept == {1, 3, 4, 6, 7, 8, 9}
+
+
 def test_real_decode_png_all_filters_and_color_types(spark):
     """The dependency-free PNG decoder: a test-local encoder writes
     images whose rows cycle through ALL five PNG filters (None, Sub,

@@ -680,3 +680,22 @@ def test_c4_clean_is_zero_shuffle_scan(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,3" in plan
+
+
+def test_dedup_by_url_is_single_shuffle_window(spark, tmp_path):
+    """dedup_by_url shuffles the corpus ONCE (window over the url key),
+    with no join and no second Exchange — the groupBy+rejoin shape it
+    documents against would shuffle twice."""
+    from xpshacl_spark.operators.dedup import dedup_by_url
+
+    p = str(tmp_path / "docs_url")
+    spark.createDataFrame(
+        [(i, f"https://example.com/{i % 3}") for i in range(12)],
+        "doc_id long, url string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p).where("doc_id >= 1")
+
+    plan = _plan(dedup_by_url(d, "doc_id", "url"))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,1" in plan

@@ -701,3 +701,56 @@ def test_c4_clean_matches_python_oracle(spark, docs):
             brace,
             want_pass,
         ), (i, repr(t), got[i])
+
+
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda sch, www, host, port, path, params, frag: (
+                sch + "://" + www + host + port + path
+                + ("?" + "&".join(params) if params else "") + frag
+            ),
+            st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+            st.sampled_from(["", "www.", "WWW."]),
+            st.sampled_from(["Example.com", "a.b.org"]),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/A", "/b/c", "/d/"]),
+            st.lists(
+                st.sampled_from(
+                    ["utm_source=1", "UTM_X=2", "gclid=x", "b=2", "C=3"]
+                ),
+                max_size=3,
+            ),
+            st.sampled_from(["", "#x", "#a/b?c"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_normalize_url_idempotent_and_clean(spark, urls):
+    """normalize_url is idempotent (its output re-normalizes to
+    itself), never emits fragments or tracking params, and never keeps
+    a default port or trailing path slash."""
+    from pyspark.sql import functions as F
+
+    from xpshacl_spark.operators.text import normalize_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    once = df.select("i", normalize_url("url").alias("n1"))
+    twice = once.select(
+        "i", "n1", normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r.n2 == r.n1, (urls[r.i], r.n1, r.n2)
+        assert "#" not in r.n1
+        assert "utm_" not in r.n1.lower()
+        assert "gclid" not in r.n1
+        assert not r.n1.endswith("/")
+        import re as _re
+
+        if r.n1.startswith("http://"):
+            assert not _re.search(r":80($|[/?])", r.n1), r.n1
+        if r.n1.startswith("https://"):
+            assert not _re.search(r":443($|[/?])", r.n1), r.n1

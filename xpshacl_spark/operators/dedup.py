@@ -69,6 +69,58 @@ def fingerprint_col(text_col: str) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+def url_duplicates(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Groups of URL-equivalent rows (CCNet/RefinedWeb URL dedup):
+    exact_duplicates' plan — one hash groupBy with map-side partial
+    agg — keyed on md5(normalize_url(url)) so tracking params, case,
+    default ports, www., fragments and trailing slashes don't split a
+    group. One row per duplicated URL key: member count + keeper
+    (min id)."""
+    from .text import normalize_url
+
+    key = F.md5(normalize_url(F.col(url_col)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), key.alias("url_key"))
+        # NULL urls never compete (same policy as dedup_by_url) — and a
+        # NULL groupBy key would otherwise collect them into one group
+        .where(F.col("url_key").isNotNull())
+        .groupBy("url_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """First-occurrence (min id) survivor per normalized-URL key,
+    returning the input rows minus the losers. NULL urls never compete
+    (pass through), same policy as the other dedup operators' NULL
+    keys.
+
+    Plan: ONE shuffle — a min-over-Window partitioned by the url key
+    (hash partition + within-partition sort on the key; no join back,
+    no second corpus pass). A groupBy+rejoin shape would shuffle the
+    corpus twice."""
+    from pyspark.sql import Window
+
+    from .text import normalize_url
+
+    key = F.md5(normalize_url(F.col(url_col)))
+    w = Window.partitionBy("_ukey")
+    return (
+        df.withColumn("_ukey", key)
+        .withColumn("_keep", F.min(id_col).over(w))
+        .where(F.col("_ukey").isNull() | (F.col(id_col) == F.col("_keep")))
+        .drop("_ukey", "_keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

@@ -393,6 +393,59 @@ def gopher_quality_flags(
     )
 
 
+#: Tracking query parameters stripped by normalize_url (prefix match
+#: for utm_*; exact for the ad-click ids). Public convention
+#: (CCNet/RefinedWeb URL-dedup preprocessing).
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for dedup keys (the CCNet/RefinedWeb URL-dedup
+    preprocessing step), as pure Column expressions:
+
+    * drop the ``#fragment``;
+    * lowercase scheme and host (path/query case is preserved —
+      paths are case-sensitive);
+    * strip a leading ``www.`` and the scheme's default port
+      (``:80`` http / ``:443`` https);
+    * drop tracking query parameters (``utm_*``, gclid, fbclid,
+      msclkid), preserving the relative order of the rest, and the
+      ``?`` itself when nothing survives;
+    * strip trailing ``/`` runs from the path.
+
+    A value with no ``scheme://`` prefix is not a URL: it comes back
+    lowercased+trimmed only, so the function is usable directly on a
+    mixed ``source`` column. NULL in, NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.trim(c), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^[^:/?]+://([^/?]*)", 1)), "^www\\.", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_replace(u, "^[^:/?]+://[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(URL_TRACKING_PARAM_RE),
+    )
+    q = F.array_join(kept, "&")
+    return F.when(scheme == "", F.lower(u)).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
