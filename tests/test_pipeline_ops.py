@@ -2031,3 +2031,79 @@ def test_real_decode_wav_pcm(spark):
     assert got[2].duration_sec == 1.0 and got[2].rms == 0.0
     assert got[3].format is None
     assert got[4].format is None
+
+
+def test_bigram_logprob_self_trained(spark):
+    """Self-trained Stupid Backoff against hand arithmetic: every
+    bigram of the corpus is seen, so every position takes the
+    n12/n1 branch."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.logprob) for r in
+           tx.bigram_logprob(df).collect()}
+    # unigrams: the=2 cat=2 sat=1 ran=1; bigrams: (the,cat)=2 (cat,sat)=1 (cat,ran)=1
+    lp1 = (math.log(2 / 2) + math.log(1 / 2)) / 2
+    assert got[1] == (2, round(lp1, 6))
+    assert got[2] == (2, round(lp1, 6))
+
+
+def test_bigram_logprob_backoff_and_oov(spark):
+    """Foreign model: an unseen bigram of two seen words backs off to
+    alpha * wn(w2)/N; an OOV second word scores alpha * oov_count/N."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id int, text string"
+    )
+    model = tx.bigram_model(train)
+    doc = spark.createDataFrame(
+        [(9, "sat the zzz")], "doc_id int, text string"
+    )
+    got = tx.bigram_logprob(doc, model=model, alpha=0.4, oov_count=0.5).collect()[0]
+    n = 6  # total train word occurrences
+    lp = (math.log(0.4 * 2 / n)      # (sat,the) unseen -> backoff wn(the)=2
+          + math.log(0.4 * 0.5 / n)  # (the,zzz): zzz OOV
+          ) / 2
+    assert got.n_bigrams == 2 and got.logprob == round(lp, 6)
+
+
+def test_bigram_logprob_keeps_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "one"), (3, "...")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.logprob) for r in
+           tx.bigram_logprob(df).collect()}
+    assert got[2] == (0, None)
+    assert got[3] == (0, None)
+    assert got[1][0] == 1
+
+
+def test_perplexity_buckets_terciles(spark):
+    """9 known scores split into exact terciles; NULL score gets a NULL
+    bucket; 3-bucket mode carries the CCNet tail/middle/head labels."""
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, logprob double")
+    got = {r.doc_id: (r.bucket, r.ppl_bucket)
+           for r in tx.perplexity_buckets(df).collect()}
+    assert got[99] == (None, None)
+    for i in range(1, 10):
+        want = 0 if i <= 3 else (1 if i <= 6 else 2)
+        label = ["tail", "middle", "head"][want]
+        assert got[i] == (want, label), (i, got[i])
+
+
+def test_perplexity_buckets_plan_has_no_global_sort(spark):
+    """The bucketing must be sketch+broadcast, never a range-shuffle
+    rank: executed plan carries no Window and no range partitioning."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).cast("double").alias("logprob")
+    )
+    out = tx.perplexity_buckets(df, buckets=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

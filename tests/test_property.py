@@ -754,3 +754,68 @@ def test_normalize_url_idempotent_and_clean(spark, urls):
             assert not _re.search(r":80($|[/?])", r.n1), r.n1
         if r.n1.startswith("https://"):
             assert not _re.search(r":443($|[/?])", r.n1), r.n1
+
+
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    score=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "zz"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SLOW
+def test_bigram_logprob_matches_python_oracle(spark, train, score):
+    """bigram_logprob (foreign model) vs a row-at-a-time Stupid-Backoff
+    oracle: seen bigrams take n12/n1, unseen back off to
+    alpha*wn(w2)/N, OOV w2 to alpha*oov/N; short docs keep NULL."""
+    import math
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from xpshacl_spark.operators.text import bigram_logprob, bigram_model
+
+    # an all-empty training corpus has no unigram total: the backoff
+    # denominator is undefined for engine and oracle alike — out of
+    # the operator's contract (a real reference corpus is never empty)
+    assume(any(ws for ws in train))
+
+    tr = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train)],
+        "doc_id long, text string",
+    )
+    sc_rows = [(i, " ".join(ws)) for i, ws in enumerate(score)]
+    sdf = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob)
+        for r in bigram_logprob(
+            sdf, model=bigram_model(tr), alpha=0.4, oov_count=0.5
+        ).collect()
+    }
+
+    uni = Counter(w for ws in train for w in ws)
+    big = Counter(
+        (ws[j], ws[j + 1]) for ws in train for j in range(len(ws) - 1)
+    )
+    n_total = sum(uni.values())
+    for i, ws in enumerate(score):
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            assert got[i] == (0, None)
+            continue
+        lps = []
+        for w1, w2 in pairs:
+            if big[(w1, w2)] > 0:
+                s = big[(w1, w2)] / uni[w1]
+            else:
+                s = 0.4 * (uni.get(w2, 0.5) or 0.5) / n_total
+            lps.append(math.log(s))
+        want = round(sum(lps) / len(lps), 6)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - want) <= 1e-6, (i, ws, got[i], want)
+    assert len(got) == len(score)

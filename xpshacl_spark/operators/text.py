@@ -655,6 +655,192 @@ def unigram_logprob(
     )
 
 
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positioned word-bigram relation (id, w1, w2), one row per
+    adjacent pair of normalized words; docs with < 2 words contribute
+    no rows (guarded — a bare sequence(1, size-1) would DESCEND on
+    empty docs, same trap as gram_array)."""
+    ws = F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
+    k = F.size(ws) - 1
+    pairs = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+
+
+def bigram_model(df: DataFrame, text_col: str = "text"):
+    """Train the Stupid-Backoff bigram model (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the backoff used
+    at web scale precisely because it needs NO discounting pass) from a
+    corpus: returns ``(bigrams, unigrams)`` where
+
+    * ``bigrams`` = (w1, w2, n12, s12) with s12 = n12 / count(w1)
+      — the conditional score is precomputed AT TRAIN TIME (one
+      vocab-sized join here) so scoring needs one fewer corpus-sized
+      join per document batch;
+    * ``unigrams`` = (word, wn) occurrence counts (the backoff term).
+
+    Both relations are vocabulary-sized — persist them once and score
+    any number of corpora against them (the CCNet production shape:
+    the LM is trained on a clean reference corpus, e.g. Wikipedia, and
+    scores the crawl)."""
+    words_rel = df.select(
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    unigrams = words_rel.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    pair_counts = (
+        _bigram_rows(df.select(F.lit(1).alias("_one"), text_col), "_one", text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    bigrams = (
+        pair_counts.join(
+            unigrams.select(F.col("word").alias("w1"), F.col("wn").alias("n1")),
+            "w1",
+        )
+        .select("w1", "w2", "n12", (F.col("n12") / F.col("n1")).alias("s12"))
+    )
+    return bigrams, unigrams
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: "tuple[DataFrame, DataFrame] | None" = None,
+    alpha: float = 0.4,
+    oov_count: float = 0.5,
+) -> DataFrame:
+    """Bigram Stupid-Backoff log-score per document — the CCNet-style
+    LM perplexity filter one order up from :func:`unigram_logprob`
+    (CCNet itself uses a 5-gram KenLM; the bigram with Stupid Backoff
+    is the largest order whose training is a single hash aggregation):
+
+        score(doc) = mean over bigram positions i = 2..n of
+                     ln S(w_i | w_{i-1}),
+        S(w2 | w1) = count(w1 w2) / count(w1)   if the bigram was seen,
+                   = alpha * count(w2) / N      otherwise (Stupid
+                     Backoff; OOV w2 scores at ``oov_count``).
+
+    Low scores = improbable word transitions (gibberish, keyword
+    stuffing, boilerplate soup); high scores = fluent text. Pair with
+    :func:`perplexity_buckets` for the CCNet head/middle/tail split.
+
+    Plan: ONE explode of the corpus into (id, w1, w2) -> left join the
+    (vocab²-sized, broadcast-eligible) bigram relation -> left join the
+    unigram relation on w2 -> broadcast the total -> one hash re-agg by
+    doc. Pass ``model`` (the persisted pair from :func:`bigram_model`)
+    for the production shape; without it the model is derived from the
+    corpus itself — oracle-exact but the text column is scanned twice
+    (fine at test scale; train-once-and-persist at 100 TB). Returns
+    (id, n_bigrams, logprob) with empty/one-word docs retained at
+    n_bigrams 0 / NULL logprob (a filter that anti-joins low scorers
+    must not pass short docs by absence)."""
+    if model is None:
+        bigrams, unigrams = bigram_model(df, text_col)
+    else:
+        bigrams, unigrams = model
+    pairs = _bigram_rows(df, id_col, text_col)
+    total = unigrams.agg(F.sum("wn").alias("t"))
+    scored = (
+        pairs.join(bigrams.select("w1", "w2", "s12"), ["w1", "w2"], "left")
+        .join(
+            unigrams.select(F.col("word").alias("w2"), F.col("wn").alias("wn2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.coalesce(
+                    F.col("s12"),
+                    F.lit(float(alpha))
+                    * F.coalesce(
+                        F.col("wn2").cast("double"), F.lit(float(oov_count))
+                    )
+                    / F.col("t"),
+                )
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "logprob",
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str = "logprob",
+    buckets: int = 3,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (head/middle/tail): assign each
+    row a quantile bucket of ``score_col`` WITHOUT a global sort — the
+    cut points come from ONE approx-percentile aggregation (GK sketch,
+    map-side partials), are crossJoin-broadcast, and the assignment is
+    a per-row expression. A window/ntile formulation would range-
+    shuffle the whole corpus and rank it; this plan touches the corpus
+    once and shuffles only sketch partials, so it survives 100 TB.
+
+    Bucket 0 = lowest scores (= highest perplexity, CCNet's "tail"),
+    bucket ``buckets-1`` = highest (CCNet's "head"); ties on a cut
+    point fall to the lower bucket; NULL scores get a NULL bucket. For
+    buckets=3 a ``ppl_bucket`` label column (tail/middle/head) is
+    added. Cut points are approximate within the sketch's rank
+    guarantee (1/accuracy); exactness at the boundaries is not the
+    contract — stable, cheap stratification is."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts = df.agg(
+        F.percentile_approx(
+            F.col(score_col), F.array(*[F.lit(f) for f in fracs]), accuracy
+        ).alias("cuts")
+    )
+    bucket = F.when(
+        F.col(score_col).isNotNull(),
+        F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col))).cast(
+            "int"
+        ),
+    )
+    out = df.crossJoin(F.broadcast(cuts)).withColumn(bucket_col, bucket).drop(
+        "cuts"
+    )
+    if buckets == 3:
+        out = out.withColumn(
+            "ppl_bucket",
+            # guard explicitly: element_at(arr, NULL) is not NULL-safe
+            # across ANSI modes, and a NULL score must not get a label
+            F.when(
+                F.col(bucket_col).isNotNull(),
+                F.element_at(
+                    F.array(F.lit("tail"), F.lit("middle"), F.lit("head")),
+                    F.col(bucket_col) + 1,
+                ),
+            ),
+        )
+    return out
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFrame:
     """Corpus vocabulary: the k most frequent normalized tokens as
     (token, n, rank), ties broken by token ascending.
