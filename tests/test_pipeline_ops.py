@@ -2107,3 +2107,85 @@ def test_perplexity_buckets_plan_has_no_global_sort(spark):
     assert "Window" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_params_math():
+    from xpshacl_spark.operators.dedup import bloom_params
+
+    m, k = bloom_params(1000, 0.01)
+    # textbook optimum: ~9.585 bits/key, k ~ 7
+    assert 9500 <= m <= 9700 and m % 8 == 0
+    assert k == 7
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_bloom_build_probe_no_false_negatives_and_modes_agree(spark):
+    """Keys that went in ALWAYS hit (the dedup-safety property), a
+    disjoint probe set stays near the designed fp rate, and the
+    broadcast and join strategies return identical flags."""
+    from xpshacl_spark.operators.dedup import (
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+    )
+
+    n = 500
+    m, k = bloom_params(n, 0.01)
+    ref = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(n)], "key string"
+    )
+    bloom = bloom_build(ref, "key", m, k)
+    probe = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(n)]          # members
+        + [(f"other-{i}",) for i in range(n)]       # disjoint
+        + [(None,)],                                # NULL key
+        "key string",
+    )
+    got_b = {r.key: r.bloom_hit
+             for r in bloom_probe(probe, "key", bloom, m, k).collect()}
+    got_j = {r.key: r.bloom_hit
+             for r in bloom_probe(probe, "key", bloom, m, k,
+                                  mode="join").collect()}
+    assert got_b == got_j
+    assert all(got_b[f"doc-{i}"] for i in range(n))          # no false negatives
+    fp = sum(bool(got_b[f"other-{i}"]) for i in range(n)) / n
+    assert fp <= 0.05, fp                                     # designed 1%
+    assert got_b[None] is None
+
+
+def test_bloom_small_filter_single_shard_and_empty_build(spark):
+    """num_bits below one shard still round-trips, and an empty build
+    yields a valid all-miss bloom (missing shards read as zero)."""
+    from xpshacl_spark.operators.dedup import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([("a",), ("b",)], "key string")
+    bloom = bloom_build(ref, "key", 1024, 3)
+    assert bloom.count() == 1  # one shard only
+    probe = spark.createDataFrame([("a",), ("b",), ("zzz",)], "key string")
+    got = {r.key: r.bloom_hit
+           for r in bloom_probe(probe, "key", bloom, 1024, 3).collect()}
+    assert got["a"] and got["b"]
+
+    empty = bloom_build(ref.where("key is null"), "key", 1024, 3)
+    miss = {r.key: r.bloom_hit
+            for r in bloom_probe(probe, "key", empty, 1024, 3,
+                                 mode="join").collect()}
+    assert miss == {"a": False, "b": False, "zzz": False}
+
+
+def test_bloom_probe_broadcast_plan_is_scan_shaped(spark):
+    """The broadcast probe must not shuffle the corpus: no Exchange on
+    the probe side beyond the bloom assembly's own collect."""
+    from xpshacl_spark.operators.dedup import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bloom = bloom_build(ref, "key", 4096, 3)
+    probe = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    out = bloom_probe(probe, "key", bloom, 4096, 3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

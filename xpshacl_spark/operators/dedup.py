@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1501,3 +1502,234 @@ def strip_dup_spans(
             "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (Dolma "BFF"-style dedup / decontamination)
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Optimal Bloom sizing for an expected key count and target
+    false-positive rate: m = ceil(-n ln p / ln²2) bits,
+    k = round(m/n · ln 2) hashes (standard formulas; this is how the
+    Dolma dedup tool sizes its filter). Returns (num_bits, num_hashes),
+    both at least 1/8-byte aligned up."""
+    import math
+
+    if n_keys < 1:
+        raise ValueError("n_keys must be >= 1")
+    if not (0.0 < fp_rate < 1.0):
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = math.ceil(-n_keys * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8  # byte-align so build/probe bitmap math is exact
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """The k bit positions of a key as array<long> — md5 of the salted
+    key, first 15 hex digits (60 bits, exact in a long) mod num_bits.
+    JVM-side expressions only; MUST stay identical between build and
+    probe (same reason the minhash `_mh` is shared)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key, F.lit(f":{j}"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_bits),
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+#: Bits per bloom shard (128 KiB bitmaps) — small enough that one
+#: shard's offsets comfortably fit one task, large enough that the
+#: shard relation stays tiny (a 2^33-bit / 1 GiB bloom is 8192 rows).
+BLOOM_SHARD_BITS = 1 << 20
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+    shard_bits: int = BLOOM_SHARD_BITS,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a SHARDED DataFrame
+    artifact: one row per shard_bits-sized bitmap slice,
+    (shard int, bits binary). Persist it (parquet) and reuse across
+    runs — the bloom analog of :func:`fingerprint_index`, with O(1)
+    probe cost and a bounded false-positive rate instead of exactness.
+
+    Plan: positions scan (k md5s per key, zero shuffle) -> explode ->
+    ONE hash agg collecting each shard's distinct offsets -> a
+    vectorized pandas UDF packs offsets into the bitmap bytes. The
+    corpus is touched once; the only shuffle carries (shard, offset)
+    pairs — at most k rows per key, map-side deduplicated by the
+    partial collect_set. No driver-side state at any size: a 10^12-key
+    bloom (~1.5 TB of bits at 1% fp) is just a bigger shard relation.
+    NULL keys are skipped (they can never match a probe).
+
+    The empty relation is a valid bloom: missing shards read as
+    all-zero at probe time, so build(empty) -> probe = all miss."""
+    if num_bits % 8 != 0:
+        raise ValueError("num_bits must be byte-aligned (use bloom_params)")
+    if shard_bits % 8 != 0:
+        raise ValueError("shard_bits must be byte-aligned")
+    from pyspark.sql.functions import pandas_udf
+
+    nbytes = min(shard_bits, num_bits) // 8
+
+    @pandas_udf("binary")
+    def _pack(offsets: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for offs in offsets:
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            o = np.asarray(offs, dtype=np.int64)
+            np.bitwise_or.at(bm, o >> 3, (1 << (o & 7)).astype(np.uint8))
+            out.append(bm.tobytes())
+        return pd.Series(out)
+
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("_p")
+        )
+        .select(
+            (F.col("_p") / shard_bits).cast("int").alias("shard"),
+            F.pmod(F.col("_p"), F.lit(shard_bits)).alias("_off"),
+        )
+    )
+    return (
+        pos.groupBy("shard")
+        .agg(F.collect_set("_off").alias("_offs"))
+        .select("shard", _pack("_offs").alias("bits"))
+    )
+
+
+def bloom_bytes(bloom: DataFrame, num_bits: int, shard_bits: int = BLOOM_SHARD_BITS):
+    """Assemble a sharded bloom into one contiguous bytes object for
+    the broadcast probe path. Collects num_bits/8 bytes to the driver —
+    the artifact's own size, nothing corpus-sized — so it is bounded by
+    what you intend to broadcast anyway. Missing shards are zero."""
+    import numpy as np
+
+    nbytes = num_bits // 8
+    buf = np.zeros(nbytes, dtype=np.uint8)
+    sb = shard_bits // 8
+    for r in bloom.collect():
+        start = r["shard"] * sb
+        chunk = np.frombuffer(r["bits"], dtype=np.uint8)
+        # the last shard's allocated bitmap may extend past num_bits;
+        # bits beyond it are never set (positions are mod num_bits)
+        end = min(start + len(chunk), nbytes)
+        buf[start:end] |= chunk[: end - start]
+    return buf.tobytes()
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    shard_bits: int = BLOOM_SHARD_BITS,
+    flag_col: str = "bloom_hit",
+    mode: str = "broadcast",
+) -> DataFrame:
+    """Flag each row with probable membership of its key in the bloom:
+    ``flag_col`` true = maybe present (false positives at the filter's
+    designed rate), false = DEFINITELY absent (no false negatives —
+    the property dedup/decontamination relies on). NULL keys get a
+    NULL flag (unknown, matching the NULL-key policy of the other
+    dedup operators).
+
+    Two physical strategies, same answer:
+
+    * ``mode="broadcast"`` (default; the Dolma-BFF shape): the
+      assembled bitmap rides an explicit broadcast variable and a
+      vectorized pandas UDF tests all k bits per row against local
+      memory — ZERO shuffle of the corpus, the plan is scan-shaped.
+      Right whenever the bloom fits executor memory (a 1% fp bloom for
+      10^9 keys is ~1.2 GiB).
+    * ``mode="join"``: positions explode -> broadcast join against the
+      sharded bloom relation on shard -> JVM-side bit test -> one
+      re-agg by key requiring all k bits. No single contiguous buffer
+      is ever materialized, so it scales to blooms bigger than
+      executor memory at the cost of one corpus-keyed re-agg."""
+    # NULL key -> NULL positions array (not an array of NULL elements),
+    # so the probe UDF sees one None instead of k of them
+    pos = F.when(
+        F.col(key_col).isNotNull(),
+        _bloom_positions(F.col(key_col), num_bits, num_hashes),
+    )
+    if mode == "broadcast":
+        from pyspark.sql.functions import pandas_udf
+
+        blob = bloom_bytes(bloom, num_bits, shard_bits)
+        bvar = df.sparkSession.sparkContext.broadcast(blob)
+
+        @pandas_udf("boolean")
+        def _hit(batch: pd.Series) -> pd.Series:
+            import numpy as np
+
+            bm = np.frombuffer(bvar.value, dtype=np.uint8)
+            out = []
+            for p in batch:
+                if p is None:
+                    out.append(None)
+                    continue
+                q = np.asarray(p, dtype=np.int64)
+                out.append(bool(((bm[q >> 3] >> (q & 7)) & 1).all()))
+            return pd.Series(out, dtype=object)
+
+        return df.withColumn(
+            flag_col,
+            F.when(F.col(key_col).isNotNull(), _hit(pos)),
+        )
+    if mode != "join":
+        raise ValueError(f"unknown bloom_probe mode: {mode!r}")
+    probes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_bk"))
+        .distinct()
+        .select(
+            "_bk",
+            F.explode(
+                _bloom_positions(F.col("_bk"), num_bits, num_hashes)
+            ).alias("_p"),
+        )
+        .select(
+            "_bk",
+            (F.col("_p") / shard_bits).cast("int").alias("shard"),
+            F.pmod(F.col("_p"), F.lit(shard_bits)).alias("_off"),
+        )
+    )
+    # missing shard (left join NULL bits) = all-zero slice = miss; the
+    # byte is extracted JVM-side (substring on binary -> hex -> conv)
+    bit = F.expr(
+        "case when bits is null then 0 else "
+        "shiftright(cast(conv(hex(substring("
+        "bits, cast(_off / 8 as int) + 1, 1)), 16, 10) as int), "
+        "cast(_off % 8 as int)) & 1 end"
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "shard", "left")
+        .select("_bk", bit.alias("_bit"))
+        .groupBy("_bk")
+        .agg((F.min("_bit") == 1).alias(flag_col))
+    )
+    return df.join(
+        hits, df[key_col] == hits["_bk"], "left"
+    ).drop("_bk")
