@@ -2189,3 +2189,32 @@ def test_bloom_probe_broadcast_plan_is_scan_shaped(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_merge_equals_joint_build(spark):
+    """Merging two batch blooms must flag exactly what one bloom built
+    over the union flags — the cross-run ingestion invariant."""
+    from xpshacl_spark.operators.dedup import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    m, k = 4096, 3
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "key string")
+    merged = bloom_merge(bloom_build(a, "key", m, k),
+                         bloom_build(b, "key", m, k))
+    joint = bloom_build(a.unionByName(b), "key", m, k)
+    probe = spark.createDataFrame(
+        [(f"a{i}",) for i in range(100)]
+        + [(f"b{i}",) for i in range(100)]
+        + [(f"c{i}",) for i in range(100)],
+        "key string",
+    )
+    got_m = {r.key: r.bloom_hit
+             for r in bloom_probe(probe, "key", merged, m, k).collect()}
+    got_j = {r.key: r.bloom_hit
+             for r in bloom_probe(probe, "key", joint, m, k).collect()}
+    assert got_m == got_j
+    assert all(got_m[f"a{i}"] and got_m[f"b{i}"] for i in range(100))

@@ -1733,3 +1733,41 @@ def bloom_probe(
     return df.join(
         hits, df[key_col] == hits["_bk"], "left"
     ).drop("_bk")
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union sharded blooms built with the SAME (num_bits, num_hashes,
+    shard_bits) into one: union -> ONE shard-keyed agg -> vectorized
+    bitwise-OR of each shard's bitmaps. This is the cross-run loop for
+    continuous ingestion (the Dolma workflow): probe the standing
+    bloom, bloom_build the kept batch, bloom_merge the delta in,
+    persist — O(batch + bloom shards) per run, never a corpus rescan.
+    Parameter mismatches are the caller's contract, as with
+    incremental_minhash_dedup's param-stamped index: ORing bitmaps of
+    different geometry would silently corrupt membership, so stamp the
+    params into the artifact's path/metadata when persisting."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bloom")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _or(chunks: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for lst in chunks:
+            acc = None
+            for b in lst:
+                a = np.frombuffer(b, dtype=np.uint8)
+                acc = a.copy() if acc is None else np.bitwise_or(acc, a)
+            out.append(acc.tobytes())
+        return pd.Series(out)
+
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    return (
+        u.groupBy("shard")
+        .agg(F.collect_list("bits").alias("_chunks"))
+        .select("shard", _or("_chunks").alias("bits"))
+    )
