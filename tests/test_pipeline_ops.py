@@ -2218,3 +2218,37 @@ def test_bloom_merge_equals_joint_build(spark):
              for r in bloom_probe(probe, "key", joint, m, k).collect()}
     assert got_m == got_j
     assert all(got_m[f"a{i}"] and got_m[f"b{i}"] for i in range(100))
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Every document contamination_pairs finds MUST be flagged by the
+    bloom path (no false negatives), clean docs with disjoint text stay
+    clean at the designed fp rate, and an empty eval set clears all."""
+    from xpshacl_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_pairs,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog at midnight tonight again"
+    train = spark.createDataFrame(
+        [
+            (1, leak + " plus some extra trailing training words here"),
+            (2, "totally unrelated content about distributed query engines "
+                "and columnar storage formats running on big clusters"),
+            (3, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           bloom_decontaminate(train, ev, "doc_id", "text", n=13).collect()}
+    exact = {r.train_id for r in
+             contamination_pairs(train, ev, "doc_id", "text", n=13).collect()}
+    assert exact == {1}
+    assert got[1].contaminated and got[1].n_hits >= 1
+    assert not got[2].contaminated
+    assert got[3] and got[3].n_shingles == 0 and not got[3].contaminated
+
+    empty_ev = ev.where("doc_id < 0")
+    clean = bloom_decontaminate(train, empty_ev, "doc_id", "text").collect()
+    assert all(not r.contaminated for r in clean) and len(clean) == 3

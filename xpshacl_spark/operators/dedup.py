@@ -1771,3 +1771,64 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
         .agg(F.collect_list("bits").alias("_chunks"))
         .select("shard", _or("_chunks").alias("bits"))
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    fp_rate: float = 0.001,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter of the evaluation
+    set's word n-grams — the shape used at GPT-3/Llama pretraining
+    scale (long n-grams, n ~ 13): instead of joining training shingles
+    against an eval inverted index (:func:`contamination_pairs`), the
+    eval shingles are folded into a bloom ONCE and the training corpus
+    probes it with ZERO data joined in — per training document, the
+    count of its distinct n-grams that (probably) occur in any eval
+    document. Returns (doc_id, n_shingles, n_hits, contaminated).
+
+    No false negatives: every truly contaminated document is flagged
+    (the guarantee hygiene filtering needs); false positives at
+    ``fp_rate`` per shingle inflate n_hits slightly, which is why the
+    eval bloom is sized at 0.1% by default and ``min_hits`` exists.
+    Unlike contamination_pairs this does NOT say WHICH eval doc
+    matched — run the exact pair op on the (tiny) flagged subset when
+    attribution matters.
+
+    Actions: one count() of the distinct eval shingle relation to size
+    the bloom (artifact construction, like train_ivf_centroids' fit) —
+    the training corpus itself stays lazy. Docs with < n words have no
+    shingles and come back n_shingles 0, uncontaminated."""
+    ev = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    n_keys = ev.count()
+    if n_keys == 0:
+        # nothing to collide with: every training doc is clean
+        return train.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).alias("n_shingles"),
+            F.lit(0).alias("n_hits"),
+            F.lit(False).alias("contaminated"),
+        )
+    m, k = bloom_params(n_keys, fp_rate)
+    bloom = bloom_build(ev, "shingle", m, k)
+    probed = bloom_probe(
+        shingles(train, id_col, text_col, n), "shingle", bloom, m, k
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("int").alias("n_hits"),
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
