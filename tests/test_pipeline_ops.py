@@ -2252,3 +2252,51 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     empty_ev = ev.where("doc_id < 0")
     clean = bloom_decontaminate(train, empty_ev, "doc_id", "text").collect()
     assert all(not r.contaminated for r in clean) and len(clean) == 3
+
+
+def test_corpus_prep_v4_bloom_and_lm_stage_composition(spark):
+    """Integration of the newest r05 stages as a pipeline tail: bloom
+    decontamination against a benchmark set -> bigram-LM scoring ->
+    perplexity bucketing -> keep clean non-tail docs. Cross-stage
+    invariants only; each operator carries its own oracle."""
+    from xpshacl_spark.operators.dedup import bloom_decontaminate
+    from xpshacl_spark.operators.text import bigram_logprob, perplexity_buckets
+
+    bench = ("what is the capital of france and when was it founded "
+             "exactly by which ruler in which century")
+    fluent = (
+        "the model reads long documents and it writes short answers about "
+        "them because the training data was filtered for quality first"
+    )
+    rows = [(1, bench + " some extra words to make this one long enough"),
+            (2, fluent),
+            (3, fluent + " with a small tail difference at the end"),
+            (4, "zz qq xx vv kk jj ww yy bb nn mm pp zz qq xx vv kk jj")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+
+    deco = bloom_decontaminate(docs, ev, "doc_id", "text", n=13)
+    clean_ids = {r.doc_id for r in deco.where("not contaminated").collect()}
+    assert 1 not in clean_ids and {2, 3, 4} <= clean_ids
+
+    clean = docs.join(
+        deco.where("not contaminated").select("doc_id"), "doc_id"
+    )
+    # production shape: the LM is trained on a clean REFERENCE corpus
+    # (self-training would reward the gibberish doc's repeated bigrams)
+    ref = spark.createDataFrame(
+        [(0, fluent), (1, "the training data was filtered and the answers "
+                          "about the documents because it reads them")],
+        "doc_id long, text string",
+    )
+    scored = bigram_logprob(
+        clean, "doc_id", "text", model=tx.bigram_model(ref)
+    )
+    buckets = perplexity_buckets(scored)
+    by_id = {r.doc_id: r for r in buckets.collect()}
+    # the gibberish doc must not outrank the fluent ones
+    assert by_id[4].logprob <= max(by_id[2].logprob, by_id[3].logprob)
+    kept = {r.doc_id for r in buckets.where("bucket >= 1").collect()}
+    assert kept <= clean_ids and 4 not in kept or by_id[4].bucket >= 1
+    # every clean doc got a bucket (no row lost across the stages)
+    assert set(by_id) == clean_ids
