@@ -2300,3 +2300,28 @@ def test_corpus_prep_v4_bloom_and_lm_stage_composition(spark):
     assert kept <= clean_ids and 4 not in kept or by_id[4].bucket >= 1
     # every clean doc got a bucket (no row lost across the stages)
     assert set(by_id) == clean_ids
+
+
+def test_dedup_keep_best_quality_survivor(spark):
+    """dedup_keep_best picks the highest-scoring member per cluster
+    (min-id tie-break), unscored members lose to scored siblings, a
+    wholly unscored cluster still yields its min id, and string ids
+    survive the struct tie-break."""
+    from xpshacl_spark.operators.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [("c1", "a"), ("c1", "b"), ("c1", "z"),
+         ("c2", "m"), ("c2", "n"),
+         ("c3", "x"), ("c3", "y")],
+        "cluster_id string, id string",
+    )
+    scores = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9),            # z unscored
+         ("m", 0.5), ("n", 0.5)],           # tie -> min id
+        "id string, score double",
+    )
+    got = {r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
+           for r in dedup_keep_best(clusters, scores).collect()}
+    assert got["c1"] == ("b", 0.9, 3)
+    assert got["c2"] == ("m", 0.5, 2)
+    assert got["c3"] == ("x", None, 2)  # unscored cluster: min id, NULL score

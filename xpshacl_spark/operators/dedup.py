@@ -416,6 +416,58 @@ def dedup_keep_ids(clusters: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor per duplicate cluster: instead of
+    :func:`dedup_keep_ids`'s min-id rule, keep the member with the
+    HIGHEST ``score_col`` (e.g. the bigram-LM logprob or a
+    quality_score), ties broken by min id so the winner stays
+    deterministic across engines and partitionings. A member missing
+    from ``scores`` competes at -inf (never beats a scored sibling;
+    still wins a wholly unscored cluster by min id). Returns
+    (cluster_id, keep_id, keep_score, n_members).
+
+    Plan: one keyed left join (clusters are pair rows — membership-
+    sized, not corpus-sized) + ONE max_by aggregation; the tie-break
+    rides inside the max_by struct, so there is no window and no second
+    shuffle."""
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_sc")
+        ),
+        "id",
+        "left",
+    ).select(
+        "cluster_id",
+        "id",
+        F.coalesce(
+            F.col("_sc").cast("double"), F.lit(float("-inf"))
+        ).alias("_sc"),
+    )
+    # min over (-score, id) structs == best score, min-id tie-break —
+    # id stays its native type (string ids work), only the score is
+    # negated, so unscored members (-inf -> +inf) sort last
+    best = F.min(
+        F.struct((-F.col("_sc")).alias("_negsc"), F.col("id").alias("_id"))
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(best.alias("_b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            F.col("_b._id").alias("keep_id"),
+            F.when(
+                F.col("_b._negsc") != float("inf"), -F.col("_b._negsc")
+            ).alias("keep_score"),
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
