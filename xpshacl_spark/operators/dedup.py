@@ -1659,7 +1659,8 @@ def bloom_build(
             ).alias("_p")
         )
         .select(
-            (F.col("_p") / shard_bits).cast("int").alias("shard"),
+            # integer div, not double /: exact for any bloom size
+            F.expr(f"cast(_p div {int(shard_bits)} as int)").alias("shard"),
             F.pmod(F.col("_p"), F.lit(shard_bits)).alias("_off"),
         )
     )
@@ -1764,7 +1765,7 @@ def bloom_probe(
         )
         .select(
             "_bk",
-            (F.col("_p") / shard_bits).cast("int").alias("shard"),
+            F.expr(f"cast(_p div {int(shard_bits)} as int)").alias("shard"),
             F.pmod(F.col("_p"), F.lit(shard_bits)).alias("_off"),
         )
     )

@@ -811,19 +811,21 @@ def perplexity_buckets(
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     fracs = [i / buckets for i in range(1, buckets)]
+    # underscore-prefixed internal alias: a user column named "cuts"
+    # must survive the crossJoin+drop round-trip
     cuts = df.agg(
         F.percentile_approx(
             F.col(score_col), F.array(*[F.lit(f) for f in fracs]), accuracy
-        ).alias("cuts")
+        ).alias("_ppl_cuts")
     )
     bucket = F.when(
         F.col(score_col).isNotNull(),
-        F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col))).cast(
-            "int"
-        ),
+        F.size(
+            F.filter(F.col("_ppl_cuts"), lambda c: c < F.col(score_col))
+        ).cast("int"),
     )
     out = df.crossJoin(F.broadcast(cuts)).withColumn(bucket_col, bucket).drop(
-        "cuts"
+        "_ppl_cuts"
     )
     if buckets == 3:
         out = out.withColumn(
