@@ -657,8 +657,11 @@ idle host** — the cleanest run, level-1 at the historical 136-138 s
 clean floor and the best shard wall recorded (41.4 s). The capped
 protocol is REPRODUCIBLE where the un-capped one swung 0.57-0.84
 across rounds. Both protocols meet the >= 0.8 criterion fresh in r5
-(threads 0.886 and 0.8587 across two phases; processes 0.8222 clean /
-~0.79 busier windows). The residual process-mode gap vs threads is
+(threads 0.886 / 0.8587 / 0.8622 across three phases; processes
+0.8743 — the best capped run recorded, quiet 2026-08-18 phase — and
+0.8222 clean / ~0.79 busier windows; the 0.8743/0.8622 pair was
+measured back-to-back in the SAME phase, the matched two-protocol
+observation the r4 verdict asked for). The residual process-mode gap vs threads is
 per-JVM fixed cost times the slowest-shard wall: 4 x 41-44 s =
 165-176 core-seconds vs 136-138 for the single JVM — each quarter-input JVM re-pays
 scan/codegen setup, and the max over four samples any given run
@@ -667,6 +670,18 @@ amortize that setup across many jobs, which is why the threads
 protocol (one long-lived JVM, zero per-level duplicate setup) is the
 closer analog for steady-state scaling and the process protocol is
 the honest lower bound.
+
+### Self-inflicted contention run (r5, 2026-08-18) — disregard
+
+BENCH_LOCAL.jsonl carries a 156.06 s suite run (flagship 55.6k
+turns/s, `transcript_validation` 18.07 s) recorded while a concurrent
+pytest session was running its own local[*] Spark JVMs on the same
+host — builder error, not a phase observation and not a regression.
+The immediately following solo rerun on the same code measured
+117.47 s with flagship 270.6k turns/s, `transcript_validation`
+3.71 s, unchanged-plan median drift 0.885 vs the previous recorded
+run and ZERO normalized outliers — the fastest full-suite r5 run
+recorded. When mining BENCH_LOCAL.jsonl, skip the 156.06 s row.
 
 ## Driver-bench wall-clock comparisons are phase-bound too (r3 analysis)
 

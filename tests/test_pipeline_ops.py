@@ -2325,3 +2325,28 @@ def test_dedup_keep_best_quality_survivor(spark):
     assert got["c1"] == ("b", 0.9, 3)
     assert got["c2"] == ("m", 0.5, 2)
     assert got["c3"] == ("x", None, 2)  # unscored cluster: min id, NULL score
+
+
+def test_unicode_normalize_multilingual_keys(spark):
+    """NFKC folds full-width/ligature/compat forms, casefold handles
+    ß/İ, whitespace collapses, NULL passes through — and the CJK text
+    that normalize_text would delete survives as a dedup key."""
+    from xpshacl_spark.operators.text import unicode_normalize
+
+    rows = [
+        (1, "Ｈｅｌｌｏ　WORLD"),  # full-width + ideographic space
+        (2, "ﬁle  straße"),                      # fi ligature + eszett
+        (3, "你好世界"),                   # CJK
+        (4, None),
+        (5, "  plain   text  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", unicode_normalize("text").alias("n")).collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "file strasse"
+    assert got[3] == "你好世界"  # survives, unlike the regex canon
+    assert got[4] is None
+    assert got[5] == "plain text"
+    with pytest.raises(ValueError):
+        unicode_normalize("text", form="NFX")

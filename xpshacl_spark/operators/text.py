@@ -13,6 +13,7 @@ usable as Shape `Expr` predicates (e.g. quality_score < t -> violation).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -187,6 +188,39 @@ def fingerprint(col: Column | str) -> Column:
     keying idea as the violation-KG signature URIs,
     /root/reference/src/violation_kg.py:88-102)."""
     return F.md5(normalize_text(col))
+
+
+def unicode_normalize(
+    col: Column | str, form: str = "NFKC", casefold: bool = True
+) -> Column:
+    """Unicode-canonical text for MULTILINGUAL dedup keys:
+    `unicodedata` normalization (NFKC by default: full-width forms,
+    ligatures, compatibility characters fold to their canonical
+    equivalents) + casefold (the unicode-correct lowercase: ß -> ss,
+    İ -> i̇) + whitespace-run collapse. :func:`normalize_text`'s
+    ``[^a-z0-9]`` canon deletes every non-Latin codepoint — fine for
+    English web text, destructive for CJK/Cyrillic/Arabic corpora —
+    so fingerprint multilingual content as
+    ``F.md5(unicode_normalize(text_col))`` instead.
+
+    Spark has no NFKC builtin, so this is the documented Arrow-batched
+    pandas-UDF path (pandas' ``.str.normalize`` — C-looped over the
+    batch, never per-row Python in the plan). NULL in, NULL out. Not
+    oracle-parity-safe: DuckDB's ``nfc_normalize`` implements NFC
+    only, which is why the mirrored operators keep the regex canon."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown unicode normalization form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        out = s.str.normalize(form)
+        if casefold:
+            out = out.str.casefold()
+        return out.str.replace(r"\s+", " ", regex=True).str.strip()
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
 
 
 def shingle_fingerprint(col: Column | str, n: int = 3) -> Column:
