@@ -1,0 +1,286 @@
+"""Image perceptual-hash dedup: dHash + Hamming-blocked pair join.
+
+Oracle strategy (mirror-only, zero-slack r05 gate): a row-at-a-time
+pure-Python dHash oracle recomputes every fingerprint from the same
+payload bytes, and the blocked pair join is checked against the
+exhaustive O(n^2) Hamming oracle — recall must be exactly 1.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from xpshacl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _block_mean,
+    _decode_gray,
+    _dhash_from_gray,
+    image_dhash,
+    image_near_dup_pairs,
+    image_near_dup_pairs_with_fingerprints,
+)
+
+
+# ---------------------------------------------------------------------------
+# payload builders (deterministic, no image libs)
+# ---------------------------------------------------------------------------
+
+
+def ppm_bytes(pix):
+    """pix: list of rows of (r, g, b)."""
+    h, w = len(pix), len(pix[0])
+    body = bytes(c for row in pix for p in row for c in p)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def png_gray_bytes(pix):
+    """8-bit grayscale PNG, filter 0 rows. pix: list of rows of ints."""
+    h, w = len(pix), len(pix[0])
+    raw = b"".join(b"\x00" + bytes(row) for row in pix)
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def gradient(w, h, tilt=0, noise=None):
+    """Horizontal luminance ramp; tilt adds a vertical component,
+    noise (a dict {(y, x): delta}) perturbs single pixels."""
+    pix = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = (x * 255) // max(w - 1, 1)
+            v = min(255, max(0, v + tilt * y + (noise or {}).get((y, x), 0)))
+            row.append((v, v, v))
+        pix.append(row)
+    return pix
+
+
+def py_dhash(gray_rows, hash_size=8):
+    """Row-at-a-time oracle: block-mean by the same floor-divided index
+    grid, then left>right bits MSB-first, signed 64-bit."""
+    h, w = len(gray_rows), len(gray_rows[0])
+    if h < hash_size or w < hash_size + 1:
+        return None
+    out_h, out_w = hash_size, hash_size + 1
+    ys = [(i * h) // out_h for i in range(out_h + 1)]
+    xs = [(i * w) // out_w for i in range(out_w + 1)]
+    small = []
+    for bi in range(out_h):
+        row = []
+        for bj in range(out_w):
+            vals = [
+                gray_rows[y][x]
+                for y in range(ys[bi], ys[bi + 1])
+                for x in range(xs[bj], xs[bj + 1])
+            ]
+            row.append(sum(vals) / len(vals))
+        small.append(row)
+    v = 0
+    for bi in range(out_h):
+        for bj in range(out_w - 1):
+            v = (v << 1) | int(small[bi][bj] > small[bi][bj + 1])
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def media_df(spark, payloads):
+    rows = [
+        (i, "image", bytearray(p) if p is not None else None, {})
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint correctness
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_matches_python_oracle_ppm_and_png(spark):
+    pixes = [
+        gradient(16, 12),
+        gradient(16, 12, tilt=3),
+        gradient(20, 16, noise={(3, 4): 90, (10, 11): -60}),
+        gradient(9, 8),  # exactly hash grid size
+    ]
+    payloads = [ppm_bytes(p) for p in pixes]
+    # the same first gradient as grayscale PNG: same gray grid -> same hash
+    payloads.append(png_gray_bytes([[p[0] for p in row] for row in pixes[0]]))
+    got = {
+        r["media_id"]: (r["format"], r["dhash"])
+        for r in image_dhash(media_df(spark, payloads)).collect()
+    }
+    for i, pix in enumerate(pixes):
+        gray = [[(r + g + b) / 3.0 for (r, g, b) in row] for row in pix]
+        assert got[i] == ("ppm", py_dhash(gray)), f"payload {i}"
+    # PNG of gradient 0 reproduces the PPM hash bit-for-bit
+    assert got[4] == ("png", got[0][1])
+
+
+def test_dhash_null_for_small_or_unrecognized(spark):
+    payloads = [
+        ppm_bytes(gradient(4, 4)),  # below the 8x9 hash grid
+        b"not an image at all",
+        None,
+    ]
+    rows = image_dhash(media_df(spark, payloads)).collect()
+    assert all(r["dhash"] is None for r in rows)
+    assert rows[0]["format"] == "ppm"  # decoded, just too small to hash
+    assert rows[1]["format"] is None
+
+
+def test_dhash_top_bit_packs_negative():
+    # descending ramp: every left > right comparison is True -> all-ones
+    # hash -> -1 as a signed long (the sign-safe blocking contract)
+    gray = [[255 - x * 25 for x in range(9)] for _ in range(8)]
+    assert _dhash_from_gray([list(map(float, r)) for r in gray] and
+                            __import__("numpy").array(gray, dtype=float)) == -1
+
+
+def test_block_mean_exact_on_divisible_grid():
+    import numpy as np
+
+    g = np.arange(36, dtype=float).reshape(6, 6)
+    got = _block_mean(g, 2, 3)
+    for bi in range(2):
+        for bj in range(3):
+            assert got[bi, bj] == pytest.approx(
+                g[bi * 3 : bi * 3 + 3, bj * 2 : bj * 2 + 2].mean()
+            )
+
+
+def test_decode_gray_bmp_topdown_matches_ppm():
+    # same image through BMP (bottom-up storage) and PPM must yield the
+    # SAME top-down gray grid, hence the same hash
+    import numpy as np
+
+    pix = gradient(10, 9, tilt=5)
+    h, w = len(pix), len(pix[0])
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    body = b""
+    for row in reversed(pix):  # bottom-up, BGR
+        rb = bytes(c for (r, g, b) in row for c in (b, g, r))
+        body += rb + b"\x00" * (stride - row_bytes)
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    got_bmp = _decode_gray(bmp)
+    got_ppm = _decode_gray(ppm_bytes(pix))
+    assert got_bmp[0] == "bmp" and got_ppm[0] == "ppm"
+    assert np.allclose(got_bmp[3], got_ppm[3])
+
+
+# ---------------------------------------------------------------------------
+# pair join: exhaustive-oracle recall, near-dup semantics
+# ---------------------------------------------------------------------------
+
+
+def test_image_near_dup_pairs_vs_exhaustive_oracle(spark):
+    # a family of gradients: exact copy, single-pixel nudges (tiny
+    # Hamming distance), tilts (drift further), plus unrelated noise
+    payloads = [
+        ppm_bytes(gradient(16, 12)),
+        ppm_bytes(gradient(16, 12)),  # byte-identical copy of 0
+        ppm_bytes(gradient(16, 12, noise={(5, 5): 70})),
+        ppm_bytes(gradient(16, 12, tilt=1)),
+        ppm_bytes(gradient(16, 12, tilt=8)),
+        ppm_bytes([[((x * 37 + y * 91) % 256,) * 3 for x in range(16)] for y in range(12)]),
+        b"junk",  # NULL fingerprint: must not appear in any pair
+    ]
+    media = media_df(spark, payloads)
+    for max_h in (0, 4, 8):
+        pairs, fps = image_near_dup_pairs_with_fingerprints(
+            media, max_hamming=max_h
+        )
+        got = {
+            (r["media_a"], r["media_b"]): r["hamming"] for r in pairs.collect()
+        }
+        hashes = {
+            r["media_id"]: r["dhash"]
+            for r in fps.collect()
+            if r["dhash"] is not None
+        }
+        fps.unpersist()
+        want = {}
+        ids = sorted(hashes)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+                    if d <= max_h:
+                        want[(i, j)] = d
+        assert got == want, f"max_hamming={max_h}"
+    # semantic smoke on the default threshold: the exact copy pairs at 0
+    got4 = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in image_near_dup_pairs(media, max_hamming=4).collect()
+    }
+    assert got4[(0, 1)] == 0
+    assert (0, 6) not in got4 and (5, 6) not in got4
+
+
+def test_fingerprint_hamming_pairs_generic_negative_longs(spark):
+    # direct generic-path check with adversarial 64-bit values around
+    # the sign boundary: recall vs the exhaustive oracle must be 1
+    from xpshacl_spark.operators.dedup import fingerprint_hamming_pairs
+
+    vals = [
+        -1,
+        -2,
+        (1 << 63) - 1,
+        -(1 << 63),
+        -(1 << 63) + 1,
+        0,
+        1,
+        (1 << 62) | 3,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, fp long"
+    )
+    for max_h in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in fingerprint_hamming_pairs(
+                df, bits=64, max_hamming=max_h, fp_col="fp"
+            ).collect()
+        }
+        want = {}
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if d <= max_h:
+                    want[(i, j)] = d
+        assert got == want, f"max_hamming={max_h}"
+
+
+def test_image_pair_join_is_blocked_not_cartesian(spark):
+    # plan pin: the pair join must be an equi-join on the segment keys,
+    # never a cartesian/broadcast-nested-loop product
+    media = media_df(
+        spark, [ppm_bytes(gradient(16, 12, tilt=t)) for t in range(4)]
+    )
+    pairs, fps = image_near_dup_pairs_with_fingerprints(media)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    fps.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "seg_idx" in plan and "seg_val" in plan

@@ -777,40 +777,78 @@ def simhash_pairs_with_fingerprints(
     sh = simhash(df, id_col, text_col, bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pairs = fingerprint_hamming_pairs(
+        sh, bits=bits, max_hamming=max_hamming, fp_col="simhash"
+    )
+    return pairs, sh
+
+
+def fingerprint_hamming_pairs(
+    fps: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """ALL (id_a, id_b, hamming) pairs whose integer fingerprints differ
+    in <= max_hamming bits — exact, never the O(n^2) cross join.
+
+    Pigeonhole blocking over ANY integer fingerprint column: split the
+    hash into max_hamming+1 disjoint bit segments; two hashes within
+    Hamming distance max_hamming must agree on at least one WHOLE
+    segment, so candidates come from an equi-join on (segment_idx,
+    segment_value) and are verified with bit_count(xor). Recall is
+    exactly 1 by construction. Works for full 64-bit fingerprints
+    (image dHash packs the top bit, so values can be NEGATIVE longs):
+    shiftright sign-extends, but every segment is masked to seg_bits,
+    and equal top segments imply equal sign bits — sign extension can
+    never split or merge buckets.
+
+    Scale: the join fan-out is bounded by per-segment bucket sizes; at
+    100 TB the fingerprint relation is metadata-sized (one long per
+    doc) and the caller persists it (both self-join sides derive from
+    it) — see simhash_pairs_with_fingerprints / image_near_dup_pairs.
+    """
+    if bits <= 0 or max_hamming < 0:
+        raise ValueError(f"need bits>0, max_hamming>=0; got {bits}, {max_hamming}")
     n_seg = max_hamming + 1
     seg_bits = -(-bits // n_seg)  # ceil
-    mask = (1 << seg_bits) - 1
+
+    def _seg_val(j: int) -> Column:
+        shifted = F.shiftright(F.col(fp_col), j * seg_bits)
+        if seg_bits >= 64:  # whole-long segment (max_hamming=0, 64-bit
+            return shifted  # fps): 2^64-1 overflows a long literal
+        return shifted.bitwiseAND(F.lit((1 << seg_bits) - 1))
+
     segs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("seg_idx"),
-                F.shiftright(F.col("simhash"), j * seg_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("seg_val"),
+                _seg_val(j).alias("seg_val"),
             )
             for j in range(n_seg)
         ]
     )
-    blocked = sh.select(
-        "doc_id", "simhash", F.explode(segs).alias("_s")
-    ).select("doc_id", "simhash", "_s.seg_idx", "_s.seg_val")
+    blocked = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"),
+        F.explode(segs).alias("_s"),
+    ).select("doc_id", "_fp", "_s.seg_idx", "_s.seg_val")
     a = blocked.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a"),
         "seg_idx", "seg_val",
     )
     b = blocked.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b"),
         "seg_idx", "seg_val",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    pairs = (
+    return (
         a.join(b, ["seg_idx", "seg_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs, sh
 
 
 # ---------------------------------------------------------------------------

@@ -119,10 +119,12 @@ REAL_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_ppm_bytes(b: bytes):
+def _decode_ppm_bytes(b: bytes, pixels: bool = False):
     """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval
     <single ws> pixel bytes (w*h*3, row-major RGB). Comments (#...)
-    allowed in the header. Returns (width, height, mean) or None."""
+    allowed in the header. Returns (width, height, mean) or None;
+    pixels=True returns (width, height, float64 grayscale h x w grid —
+    per-pixel channel mean) for the perceptual-hash path."""
     import numpy as np
 
     if not b.startswith(b"P6"):
@@ -153,13 +155,17 @@ def _decode_ppm_bytes(b: bytes):
     if maxval > 255 or w <= 0 or h <= 0 or len(b) - i < w * h * 3:
         return None
     px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    if pixels:
+        return w, h, px.reshape(h, w, 3).astype(np.float64).mean(axis=2)
     return w, h, float(px.sum()) / px.size
 
 
-def _decode_bmp_bytes(b: bytes):
+def _decode_bmp_bytes(b: bytes, pixels: bool = False):
     """Uncompressed 24-bit Windows BMP (BITMAPINFOHEADER, BI_RGB):
     14-byte file header + 40-byte DIB header; rows bottom-up, padded to
-    4 bytes. Returns (width, height, mean) or None."""
+    4 bytes. Returns (width, height, mean) or None; pixels=True returns
+    (width, height, float64 grayscale h x w grid, TOP-DOWN row order —
+    positive-height files are stored bottom-up and get flipped)."""
     import struct
 
     import numpy as np
@@ -187,6 +193,11 @@ def _decode_bmp_bytes(b: bytes):
     rows = np.frombuffer(
         b, dtype=np.uint8, count=stride * h, offset=data_offset
     ).reshape(h, stride)[:, :row_bytes]
+    if pixels:
+        gray = rows.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+        if h_signed > 0:  # bottom-up storage -> top-down grid
+            gray = gray[::-1]
+        return w, h, gray
     return w, h, float(rows.sum()) / rows.size
 
 
@@ -202,7 +213,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _decode_png_bytes(b: bytes):
+def _decode_png_bytes(b: bytes, pixels: bool = False):
     """Dependency-free PNG decode (RFC 2083): 8-bit depth, color types
     0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), non-interlaced;
     all five row filters (None/Sub/Up/Average/Paeth) are unfiltered.
@@ -273,6 +284,7 @@ def _decode_png_bytes(b: bytes):
     except zlib.error:
         return None
     total = 0
+    rec_rows = [] if pixels else None
     prev = bytes(stride)
     pos = 0
     for _ in range(h):
@@ -301,7 +313,19 @@ def _decode_png_bytes(b: bytes):
         else:
             return None
         total += sum(rec)
+        if rec_rows is not None:
+            rec_rows.append(rec)
         prev = rec
+    if pixels:
+        import numpy as np
+
+        arr = np.frombuffer(b"".join(rec_rows), dtype=np.uint8).reshape(
+            h, w, ch
+        ).astype(np.float64)
+        # grayscale = mean over COLOR channels only (alpha excluded):
+        # gray / gray+alpha -> channel 0; RGB / RGBA -> first three
+        n_color = 1 if color in (0, 4) else 3
+        return w, h, arr[:, :, :n_color].mean(axis=2)
     return w, h, total / float(h * stride)
 
 
@@ -540,3 +564,159 @@ def sample_frames(
         )
         .withColumn("ts_sec", F.round(F.col("frame_idx") / F.lit(float(fps)), 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing + image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _block_mean(gray, out_h: int, out_w: int):
+    """Exact block-mean downsample of a float64 h x w grid to
+    out_h x out_w via an integral image: block boundaries are the
+    floor-divided index grid (the same partition PIL's BOX reduce
+    uses for integer ratios), each output cell the mean of its block.
+    O(h*w) regardless of output size; requires h >= out_h, w >= out_w
+    (the dHash caller guards that)."""
+    import numpy as np
+
+    h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1))
+    integ[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    sums = (
+        integ[np.ix_(ys[1:], xs[1:])]
+        - integ[np.ix_(ys[:-1], xs[1:])]
+        - integ[np.ix_(ys[1:], xs[:-1])]
+        + integ[np.ix_(ys[:-1], xs[:-1])]
+    )
+    areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(float)
+    return sums / areas
+
+
+def _dhash_from_gray(gray, hash_size: int = 8):
+    """Difference hash (dHash, Krawetz 2013 — public domain algorithm):
+    downsample the grayscale grid to hash_size x (hash_size+1), emit
+    one bit per horizontally adjacent cell pair (left > right),
+    row-major MSB-first, packed into a SIGNED 64-bit int (two's
+    complement — the top bit participates, so values can be negative;
+    the Hamming-pair join masks per segment and is sign-safe).
+    Returns None when the image is smaller than the hash grid."""
+    h, w = gray.shape
+    if h < hash_size or w < hash_size + 1:
+        return None
+    small = _block_mean(gray, hash_size, hash_size + 1)
+    v = 0
+    for bit in (small[:, :-1] > small[:, 1:]).flatten():
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _decode_gray(b):
+    """Route a payload through the real decoders' pixel path: returns
+    (format, width, height, float64 grayscale grid) or None."""
+    if b is None:
+        return None
+    bb = bytes(b)
+    for fmt, dec in _REAL_DECODERS:
+        got = dec(bb, pixels=True)
+        if got is not None:
+            w, h, gray = got
+            return fmt, w, h, gray
+    return None
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual fingerprints for image payloads: decode (PNG/BMP/PPM
+    byte decoders — the real codec path), block-mean downsample, dHash.
+    One long per image (media_id, format, width, height, dhash);
+    unrecognized or sub-grid payloads come back with NULL dhash and are
+    filtered by the pair join — quarantine semantics, same as
+    decode_media(real=True).
+
+    Scale: Arrow-batched mapInPandas over payload rows (parallelism
+    across images, never intra-image); output is metadata-sized, so the
+    downstream Hamming self-join never touches payload bytes again.
+    hash_size=8 -> 64-bit fingerprints (the classic dHash shape)."""
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError(f"hash_size^2 must fit in 64 bits, got {hash_size}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, hashes = [], [], [], []
+            for b in pdf["payload"]:
+                got = _decode_gray(b)
+                if got is None:
+                    fmts.append(None); ws.append(None); hs.append(None)
+                    hashes.append(None)
+                    continue
+                fmt, w, h, gray = got
+                fmts.append(fmt); ws.append(w); hs.append(h)
+                hashes.append(_dhash_from_gray(gray, hash_size))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs_with_fingerprints(
+    media: DataFrame, hash_size: int = 8, max_hamming: int = 4
+) -> tuple:
+    """:func:`image_near_dup_pairs` plus the persisted fingerprint
+    relation — ``(pairs, fingerprints)``; the caller owns the cache
+    handle (``fingerprints.unpersist()`` once pairs materialize), same
+    contract as simhash_pairs_with_fingerprints."""
+    from pyspark import StorageLevel
+
+    from .dedup import fingerprint_hamming_pairs
+
+    fps = (
+        image_dhash(media, hash_size)
+        .where(F.col("dhash").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = fingerprint_hamming_pairs(
+        fps,
+        bits=hash_size * hash_size,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        fp_col="dhash",
+    ).withColumnsRenamed({"id_a": "media_a", "id_b": "media_b"})
+    return pairs, fps
+
+
+def image_near_dup_pairs(
+    media: DataFrame, hash_size: int = 8, max_hamming: int = 4
+) -> DataFrame:
+    """ALL image pairs whose dHash Hamming distance <= max_hamming —
+    the multimodal analog of simhash near-dup, sharing the exact
+    pigeonhole segment blocking (recall 1 by construction, never the
+    O(n^2) cross join): decode+hash is ONE payload scan, the self-join
+    runs on the metadata-sized (media_id, dhash) relation. Convenience
+    wrapper that leaves the evictable fingerprint cache to Spark's LRU;
+    long-lived sessions use the _with_fingerprints variant."""
+    pairs, _fps = image_near_dup_pairs_with_fingerprints(
+        media, hash_size, max_hamming
+    )
+    return pairs
