@@ -235,3 +235,160 @@ def temperature_mix(
         else:
             rates[stratum] = min(1.0, (budget * _powa(t) / s_total) / t)
     return stratified_sample(df, strata_col, rates, key_cols, default_rate, seed)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed n-gram importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feat_id(gram: Column, buckets: int) -> Column:
+    """Hashed feature id of a word n-gram: first 8 md5 hex chars as an
+    int, mod buckets. md5 (not xxhash64) so the Python test oracle and
+    an ANSI engine can recompute the identical bucket ids."""
+    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return F.pmod(h32, F.lit(buckets))
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """DSIR's feature set: lowercase word unigrams + bigrams (Xie et
+    al. 2023 §3 use hashed n-grams up to n=2), via the shared
+    gram builder so tokenization can never diverge from the other
+    text operators."""
+    from xpshacl_spark.operators.text import gram_array, words
+
+    # drop the "" pseudo-word a blank doc splits into, so empty/blank
+    # docs contribute NO features and score exactly 0
+    ws = F.filter(words(F.lower(F.col(text_col))), lambda w: w != "")
+    return F.concat(gram_array(ws, 1), gram_array(ws, 2))
+
+
+def dsir_feature_log_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 16384,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The DSIR importance model as a reusable artifact: per hashed
+    feature f, log p_target(f) - log p_raw(f) under Laplace-smoothed
+    bag-of-hashed-ngram multinomials — (feat, log_ratio), at most
+    `buckets` rows. Persist it like the vocab/fingerprint artifacts and
+    score any number of raw shards against it.
+
+    Plan: one hashed-feature count agg per corpus (map-side combine
+    absorbs the explode fan-out; the shuffle key space is capped at
+    `buckets` rows per side), a 1-row totals agg broadcast-cross-joined
+    into the ratio expression (never collected), and one buckets-sized
+    full-outer join. Nothing here scales with corpus size except the
+    two scans."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(_dsir_grams(text_col)).alias("gram"))
+            .select(_dsir_feat_id(F.col("gram"), buckets).alias("feat"))
+            .groupBy("feat")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ct, cr = counts(target, "n_t"), counts(raw, "n_r")
+    tot_t = ct.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("tot_t"))
+    tot_r = cr.agg(F.coalesce(F.sum("n_r"), F.lit(0)).alias("tot_r"))
+    joined = (
+        ct.join(cr, "feat", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+    )
+    s = F.lit(float(smoothing))
+    b = F.lit(float(buckets))
+    log_p = lambda n, tot: F.log(  # noqa: E731
+        (F.coalesce(n, F.lit(0)).cast("double") + s)
+        / (F.col(tot).cast("double") + s * b)
+    )
+    return joined.select(
+        "feat",
+        (log_p(F.col("n_t"), "tot_t") - log_p(F.col("n_r"), "tot_r")).alias(
+            "log_ratio"
+        ),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 16384,
+    smoothing: float = 1.0,
+    log_ratio: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): the
+    log importance ratio of the doc's hashed n-gram bag,
+    sum_f count(f) * (log p_target(f) - log p_raw(f)) — (id, dsir_weight),
+    one row per raw doc (empty/blank docs get weight 0.0).
+
+    Pass `log_ratio` (from :func:`dsir_feature_log_ratio`, possibly
+    persisted from an earlier run) to skip refitting; otherwise
+    `target` is required and the model is fit in the same lazy plan.
+
+    Plan: ONE raw-corpus explode -> broadcast join against the
+    buckets-sized ratio table -> per-doc re-agg (the unigram_logprob
+    shape); occurrence rows join WITHOUT a per-doc feature dedup
+    because the weight is count-weighted by definition."""
+    if log_ratio is None:
+        if target is None:
+            raise ValueError("need either target or a fitted log_ratio")
+        log_ratio = dsir_feature_log_ratio(
+            raw, target, text_col, buckets, smoothing
+        )
+    occ = raw.select(
+        F.col(id_col),
+        F.explode_outer(_dsir_grams(text_col)).alias("gram"),
+    ).select(
+        id_col, _dsir_feat_id(F.col("gram"), buckets).alias("feat")
+    )
+    return (
+        occ.join(F.broadcast(log_ratio), "feat", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("dsir_weight"))
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_weight",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Select n docs by Gumbel-top-k over the importance weights —
+    exactly DSIR's sampling-without-replacement step: adding i.i.d.
+    Gumbel noise g_i to log-weights and taking the top k draws k docs
+    without replacement with probability proportional to exp(weight)
+    (Gumbel-max trick). The noise is DETERMINISTIC per (seed, id):
+    u = (first 8 md5 hex chars of seed|id as int + 0.5) / 2^32,
+    g = -log(-log(u)) — reproducible across runs, partitionings, and
+    engines, like every sampler in this module.
+
+    Plan: orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-n + driver merge of n-row heads) — no global sort at any scale.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.col(weight_col) + (-F.log(-F.log(u)))
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(n)
+    )
