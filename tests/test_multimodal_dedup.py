@@ -367,3 +367,130 @@ def test_image_dedup_end_to_end_with_dsir_tail(spark):
         r["media_id"] for r in dsir_select(w, 2, id_col="media_id").collect()
     )
     assert picked == picked2 and set(picked) <= surv_ids
+
+
+# ---------------------------------------------------------------------------
+# audio: energy-envelope fingerprint + near-dup (third modality through
+# the same generic Hamming join)
+# ---------------------------------------------------------------------------
+
+
+def wav_bytes(rate, bits, channels, frames):
+    data = b"".join(frames)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def sine16(freqs, n=2000, amp=12000, rate=8000, noise=None):
+    """16-bit mono: concatenated tones, one per freq; optional
+    per-sample perturbation dict {idx: delta}."""
+    import math
+
+    frames = []
+    for seg, f in enumerate(freqs):
+        for t in range(n):
+            v = int(amp * math.sin(2 * math.pi * f * t / rate))
+            v += (noise or {}).get(seg * n + t, 0)
+            frames.append(struct.pack("<h", max(-32768, min(32767, v))))
+    return frames
+
+
+def py_ahash(samples, n_bits=64):
+    n = len(samples)
+    if n < n_bits + 1:
+        return None
+    bounds = [(i * n) // (n_bits + 1) for i in range(n_bits + 2)]
+    es = [
+        sum(x * x for x in samples[bounds[i] : bounds[i + 1]])
+        / (bounds[i + 1] - bounds[i])
+        for i in range(n_bits + 1)
+    ]
+    v = 0
+    for i in range(n_bits):
+        v = (v << 1) | int(es[i] > es[i + 1])
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def test_audio_fingerprint_matches_python_oracle_and_gain_invariance(spark):
+    from xpshacl_spark.operators.multimodal import audio_fingerprint
+
+    melody = sine16([440, 880, 220, 660])
+    quiet = sine16([440, 880, 220, 660], amp=3000)  # same melody, -12 dB
+    other = sine16([660, 220, 880, 440])  # reordered envelope
+    payloads = [
+        wav_bytes(8000, 16, 1, melody),
+        wav_bytes(8000, 16, 1, quiet),
+        wav_bytes(8000, 16, 1, other),
+        wav_bytes(8000, 16, 1, sine16([440], n=50)),  # < 65 frames: NULL
+        b"RIFFxxxxNOPE",
+    ]
+    got = {
+        r["media_id"]: r
+        for r in audio_fingerprint(media_df(spark, payloads)).collect()
+    }
+    # oracle parity on the decoded [-1, 1] samples
+    for i, frames in ((0, melody), (1, quiet), (2, other)):
+        samples = [
+            struct.unpack("<h", f)[0] / 32768.0 for f in frames
+        ]
+        assert got[i]["ahash"] == py_ahash(samples), f"clip {i}"
+        assert (got[i]["format"], got[i]["sample_rate"]) == ("wav", 8000)
+    # gain invariance: the -12 dB copy hashes IDENTICALLY...
+    assert got[1]["ahash"] == got[0]["ahash"]
+    # ...while the reordered melody lands far away
+    d = bin((got[0]["ahash"] ^ got[2]["ahash"]) & ((1 << 64) - 1)).count("1")
+    assert d > 8
+    assert got[3]["ahash"] is None and got[3]["format"] == "wav"
+    assert got[4]["ahash"] is None and got[4]["format"] is None
+
+
+def test_audio_near_dup_pairs_vs_exhaustive_oracle(spark):
+    from xpshacl_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        audio_near_dup_pairs_with_fingerprints,
+    )
+
+    melody = sine16([440, 880, 220, 660])
+    payloads = [
+        wav_bytes(8000, 16, 1, melody),
+        wav_bytes(8000, 16, 1, melody),  # byte-identical copy
+        wav_bytes(8000, 16, 1, sine16([440, 880, 220, 660], amp=6000)),
+        wav_bytes(8000, 16, 1,
+                  sine16([440, 880, 220, 660], noise={777: 900, 5001: -800})),
+        wav_bytes(8000, 16, 1, sine16([660, 220, 880, 440])),
+        b"junk",
+    ]
+    media = media_df(spark, payloads)
+    pairs, fps = audio_near_dup_pairs_with_fingerprints(media, max_hamming=3)
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"] for r in pairs.collect()
+    }
+    hashes = {
+        r["media_id"]: r["ahash"]
+        for r in fps.collect()
+        if r["ahash"] is not None
+    }
+    fps.unpersist()
+    want = {}
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want[(i, j)] = d
+    assert got == want
+    # semantics: the copies and the gain-scaled clip group together
+    got2 = {
+        (r["media_a"], r["media_b"]) for r in
+        audio_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in got2 and (0, 2) in got2
+    assert not any(4 in p or 5 in p for p in got2)

@@ -348,7 +348,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_wav_bytes(b: bytes):
+def _decode_wav_bytes(b: bytes, samples: bool = False):
     """RIFF PCM WAV decode on the stdlib `wave` parser: the chunk walk,
     word alignment, and fmt validation are stdlib code; only the
     bit-depth normalization + RMS math is ours (mirroring how the PNG
@@ -359,7 +359,11 @@ def _decode_wav_bytes(b: bytes):
     — quarantine-as-NULL like the image decoders. Samples normalize to
     [-1, 1] so the statistic is bit-depth independent. Decode
     parallelism at scale is across payload rows (Arrow-batched), one
-    clip per decode."""
+    clip per decode.
+
+    samples=True returns (sample_rate, n_channels, duration_sec,
+    mono float64 array — per-frame channel mean, normalized to [-1, 1])
+    for the acoustic-fingerprint path."""
     import io
     import wave
 
@@ -393,6 +397,9 @@ def _decode_wav_bytes(b: bytes):
             - 128.0
         )
         scale = 128.0
+    if samples:
+        mono = x.reshape(n_frames, n_ch).mean(axis=1) / scale
+        return rate, n_ch, n_frames / float(rate), mono
     # np.dot instead of mean(x*x): no squared temp array — the one
     # float64 copy above is the peak allocation
     rms = float(np.sqrt(np.dot(x, x) / x.size)) / scale
@@ -718,5 +725,127 @@ def image_near_dup_pairs(
     long-lived sessions use the _with_fingerprints variant."""
     pairs, _fps = image_near_dup_pairs_with_fingerprints(
         media, hash_size, max_hamming
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# acoustic fingerprinting + audio near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _ahash_from_samples(mono, n_bits: int = 64):
+    """Energy-envelope difference hash — the 1-D analog of dHash: split
+    the mono clip into n_bits+1 equal windows (floor-divided
+    boundaries, same partition rule as the image block grid), one bit
+    per adjacent-window energy comparison (earlier > later), MSB-first,
+    packed into a SIGNED 64-bit int. GAIN-INVARIANT by construction:
+    scaling the amplitude by g scales every window energy by g^2 and
+    preserves the comparisons (tested). Returns None when the clip has
+    fewer frames than windows."""
+    import numpy as np
+
+    n = mono.shape[0]
+    if n < n_bits + 1:
+        return None
+    bounds = (np.arange(n_bits + 2) * n) // (n_bits + 1)
+    sq = np.concatenate(([0.0], np.cumsum(mono * mono)))
+    energies = (sq[bounds[1:]] - sq[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
+    v = 0
+    for bit in energies[:-1] > energies[1:]:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """Acoustic fingerprints for audio payloads: real RIFF-PCM WAV byte
+    decode -> mono energy envelope -> 1-D difference hash. One long per
+    clip (media_id, format, sample_rate, duration_sec, ahash);
+    unrecognized or sub-window payloads quarantine with NULL ahash,
+    same contract as image_dhash. Arrow-batched mapInPandas, one clip
+    per decode; the downstream Hamming join never re-reads payloads."""
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, rates, durs, hashes = [], [], [], []
+            for b in pdf["payload"]:
+                got = (
+                    _decode_wav_bytes(bytes(b), samples=True)
+                    if b is not None
+                    else None
+                )
+                if got is None:
+                    fmts.append(None); rates.append(None)
+                    durs.append(None); hashes.append(None)
+                    continue
+                rate, _ch, dur, mono = got
+                fmts.append("wav"); rates.append(rate); durs.append(dur)
+                hashes.append(_ahash_from_samples(mono, n_bits))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "duration_sec": pd.array(durs, dtype="Float64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs_with_fingerprints(
+    media: DataFrame, n_bits: int = 64, max_hamming: int = 4
+) -> tuple:
+    """:func:`audio_near_dup_pairs` plus the persisted fingerprint
+    relation — ``(pairs, fingerprints)``; caller owns the cache handle,
+    same contract as the simhash/image variants."""
+    from pyspark import StorageLevel
+
+    from .dedup import fingerprint_hamming_pairs
+
+    fps = (
+        audio_fingerprint(media, n_bits)
+        .where(F.col("ahash").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = fingerprint_hamming_pairs(
+        fps,
+        bits=n_bits,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        fp_col="ahash",
+    ).withColumnsRenamed({"id_a": "media_a", "id_b": "media_b"})
+    return pairs, fps
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, n_bits: int = 64, max_hamming: int = 4
+) -> DataFrame:
+    """ALL audio pairs whose energy-envelope hash Hamming distance <=
+    max_hamming — the third modality through the SAME generic
+    pigeonhole pair join as simhash (text) and dHash (image): decode +
+    hash is ONE payload scan, the self-join runs on the metadata-sized
+    (media_id, ahash) relation, recall 1 by construction, never
+    O(n^2). Convenience wrapper leaving the evictable fingerprint
+    cache to Spark's LRU; long-lived sessions use the
+    _with_fingerprints variant."""
+    pairs, _fps = audio_near_dup_pairs_with_fingerprints(
+        media, n_bits, max_hamming
     )
     return pairs
