@@ -819,3 +819,104 @@ def test_bigram_logprob_matches_python_oracle(spark, train, score):
         assert got[i][0] == len(pairs)
         assert abs(got[i][1] - want) <= 1e-6, (i, ws, got[i], want)
     assert len(got) == len(score)
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=10,
+    ),
+    h=st.integers(min_value=0, max_value=3),
+)
+@SLOW
+def test_fingerprint_hamming_pairs_generic_recall(spark, fps, h):
+    """The generic 64-bit pair join (shared by simhash text, dHash
+    image, and energy-hash audio fingerprints) == the brute-force
+    Hamming filter for ARBITRARY signed longs — including values at
+    the sign boundary, where shiftright sign-extension must be masked
+    away, and the whole-long segment at max_hamming=0."""
+    from xpshacl_spark.operators.dedup import fingerprint_hamming_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(fps)), "doc_id long, fp long"
+    )
+    expect = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")
+            if d <= h:
+                expect[(i, j)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in fingerprint_hamming_pairs(
+            df, bits=64, max_hamming=h, fp_col="fp"
+        ).collect()
+    }
+    assert got == expect
+
+
+@given(
+    raw=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    target=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=24),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@SLOW
+def test_dsir_weights_match_python_oracle(spark, raw, target):
+    """DSIR per-doc importance weights == a row-at-a-time Python oracle
+    (same md5 feature hashing, same Laplace smoothing) for arbitrary
+    messy corpora — blank docs score exactly 0 and no raw doc loses
+    its row."""
+    import hashlib
+    import math
+    import re as _re
+
+    from xpshacl_spark.operators.sample import dsir_weights
+
+    B, S = 32, 1.0
+
+    def grams(t):
+        ws = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    def feat(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def counts(texts):
+        c = {}
+        for t in texts:
+            for g in grams(t):
+                c[feat(g)] = c.get(feat(g), 0) + 1
+        return c
+
+    ct, cr = counts(target), counts(raw)
+    tot_t, tot_r = sum(ct.values()), sum(cr.values())
+    ratio = {
+        f: math.log((ct.get(f, 0) + S) / (tot_t + S * B))
+        - math.log((cr.get(f, 0) + S) / (tot_r + S * B))
+        for f in set(ct) | set(cr)
+    }
+    raw_df = spark.createDataFrame(
+        list(enumerate(raw)), "doc_id long, text string"
+    )
+    tgt_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(
+            raw_df, tgt_df, buckets=B, smoothing=S
+        ).collect()
+    }
+    assert set(got) == set(range(len(raw)))
+    for i, t in enumerate(raw):
+        want = sum(ratio.get(feat(g), 0.0) for g in grams(t))
+        assert abs(got[i] - want) < 1e-9 + 1e-9 * abs(want), f"doc {i}"
