@@ -8,15 +8,17 @@ and tested. Two codec paths:
 * the default (`real=False`) computes deterministic fake features
   (byte length, md5 digest, metadata-derived dimensions) that an
   ANSI-SQL oracle can reproduce;
-* `real=True` runs actual dependency-free decoders for the formats
-  this container can handle without PIL/torchaudio: PNG (RFC 2083 —
-  stdlib-zlib inflate, all five row filters, 8-bit gray/RGB/
-  gray+alpha/RGBA), 24-bit BI_RGB Windows BMP, and binary PPM (P6) —
-  header parse + pixel statistics. A COMPRESSED format is therefore
-  decoded for real, byte-level, in this sandbox; swapping in PIL later
-  only replaces the per-format byte parser and adds JPEG etc., the
-  distributed plan (mapInPandas, explicit Arrow schema, partition
-  layout) is identical. The AUDIO modality gets the same treatment:
+* `real=True` runs actual dependency-free decoders, PIL/torchaudio-free:
+  baseline JPEG (ITU-T T.81 — spec-implemented Huffman entropy decode,
+  dequant, IDCT, chroma upsample, YCbCr->RGB; operators/jpeg.py), PNG
+  (RFC 2083 — stdlib-zlib inflate, all five row filters, 8-bit gray/
+  RGB/gray+alpha/RGBA), 24-bit BI_RGB Windows BMP, and binary PPM (P6)
+  — header parse + pixel statistics. BOTH mainstream compressed
+  formats are therefore decoded for real, byte-level, in this sandbox;
+  a PIL/libjpeg swap at the decoder seam remains the production path
+  for decode-bound workloads (SIMD IDCT), the distributed plan
+  (mapInPandas, explicit Arrow schema, partition layout) is identical.
+  The AUDIO modality gets the same treatment:
   `decode_audio` byte-decodes RIFF PCM WAV (16-bit signed / 8-bit
   unsigned, word-aligned chunk walk) into sample rate / channels /
   duration / normalized RMS.
@@ -329,7 +331,18 @@ def _decode_png_bytes(b: bytes, pixels: bool = False):
     return w, h, total / float(h * stride)
 
 
+def _decode_jpeg_bytes(b: bytes, pixels: bool = False):
+    """Baseline JPEG (ITU-T T.81) — full spec-implemented decoder in
+    operators/jpeg.py (Huffman entropy decode, dequant, matrix IDCT,
+    chroma upsample, YCbCr->RGB); same (w, h, mean) / pixels=True
+    contract as the other codecs."""
+    from xpshacl_spark.operators.jpeg import decode_jpeg_bytes
+
+    return decode_jpeg_bytes(b, pixels)
+
+
 _REAL_DECODERS = (
+    ("jpeg", _decode_jpeg_bytes),
     ("png", _decode_png_bytes),
     ("bmp", _decode_bmp_bytes),
     ("ppm", _decode_ppm_bytes),
