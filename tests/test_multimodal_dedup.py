@@ -494,3 +494,27 @@ def test_audio_near_dup_pairs_vs_exhaustive_oracle(spark):
     }
     assert (0, 1) in got2 and (0, 2) in got2
     assert not any(4 in p or 5 in p for p in got2)
+
+
+def test_media_near_dup_pairs_kind_dispatch(spark):
+    """One call over a mixed media table: image pairs via dHash, audio
+    pairs via the energy hash, never across kinds."""
+    from xpshacl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_dup_pairs,
+    )
+
+    melody = sine16([440, 880, 220, 660])
+    rows = [
+        (0, "image", bytearray(ppm_bytes(gradient(16, 12))), {}),
+        (1, "image", bytearray(ppm_bytes(gradient(16, 12))), {}),
+        (2, "audio", bytearray(wav_bytes(8000, 16, 1, melody)), {}),
+        (3, "audio", bytearray(wav_bytes(8000, 16, 1, melody)), {}),
+        (4, "video", bytearray(b"container"), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["kind"], r["media_a"], r["media_b"]): r["hamming"]
+        for r in media_near_dup_pairs(media).collect()
+    }
+    assert got == {("image", 0, 1): 0, ("audio", 2, 3): 0}

@@ -862,3 +862,29 @@ def audio_near_dup_pairs(
         media, n_bits, max_hamming
     )
     return pairs
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    hash_size: int = 8,
+    audio_bits: int = 64,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Kind-dispatched near-dup pairs over a mixed media table: image
+    payloads through dHash, audio payloads through the energy-envelope
+    hash, each family blocked and verified independently (hashes from
+    different modalities are never comparable, so pairs can only form
+    within a kind) — one call, one unified (kind, media_a, media_b,
+    hamming) relation.
+
+    Scale: each branch is one payload scan over its kind partition
+    (at 100 TB the media table is written partitioned by kind, so the
+    filters prune to the modality's files) + a metadata-sized blocked
+    self-join; the union is plan-level (no extra action)."""
+    img = image_near_dup_pairs(
+        media.where(F.col("kind") == "image"), hash_size, max_hamming
+    ).select(F.lit("image").alias("kind"), "media_a", "media_b", "hamming")
+    aud = audio_near_dup_pairs(
+        media.where(F.col("kind") == "audio"), audio_bits, max_hamming
+    ).select(F.lit("audio").alias("kind"), "media_a", "media_b", "hamming")
+    return img.unionByName(aud)
