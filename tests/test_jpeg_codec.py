@@ -129,16 +129,20 @@ def encode_jpeg(img, quant=1, subsample=None, restart=0):
     hf = [1] * len(comps)
     vf = [1] * len(comps)
     if subsample and color:
-        hf, vf = [2, 1, 1], [2, 1, 1]
-        # box-downsample chroma by 2x2
+        sh, sv = subsample  # (2, 2) -> 4:2:0, (2, 1) -> 4:2:2
+        hf, vf = [sh, 1, 1], [sv, 1, 1]
+        # box-downsample chroma by (sv, sh)
         for i in (1, 2):
             c = comps[i]
-            ph = (c.shape[0] + 1) // 2 * 2
-            pw = (c.shape[1] + 1) // 2 * 2
+            ph = -(-c.shape[0] // sv) * sv
+            pw = -(-c.shape[1] // sh) * sh
             p = np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])),
                        mode="edge")
-            comps[i] = (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
-                        + p[1::2, 1::2]) / 4.0
+            acc = np.zeros((ph // sv, pw // sh))
+            for dy in range(sv):
+                for dx in range(sh):
+                    acc += p[dy::sv, dx::sh]
+            comps[i] = acc / (sv * sh)
     hmax, vmax = max(hf), max(vf)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -422,3 +426,36 @@ def test_jpeg_wired_into_codec_seam_and_dhash(spark):
     # coefficients averaged over >=6-pixel blocks); 0.5 is ample margin
     assert np.abs(small[:, :-1] - small[:, 1:]).min() > 0.5
     assert hashes[0] == py_dhash([list(map(float, row)) for row in img])
+
+
+def test_color_422_roundtrip_on_chroma_constant_columns():
+    # constant color per 2-wide column pair -> the 4:2:2 horizontal
+    # downsample is lossless, isolating the 2x1 sampling-factor path
+    r = rng(8)
+    cols = np.clip(r.normal(128, 40, (24, 9, 3)), 16, 240)
+    img = np.repeat(cols, 2, axis=1)  # 24 x 18
+    got = decode_jpeg_bytes(encode_jpeg(img, subsample=(2, 1)), pixels=True)
+    assert got is not None
+    w, h, gray = got
+    assert (w, h) == (18, 24)
+    assert np.abs(gray - img.mean(axis=2)).max() < 3.5
+
+
+def test_edge_shapes_roundtrip():
+    # dimensions straddling MCU boundaries, including sub-8 sides
+    r = rng(9)
+    for shape in ((1, 1), (1, 17), (7, 8), (8, 9), (15, 15), (9, 25)):
+        img = np.clip(r.normal(128, 40, shape), 0, 255)
+        got = decode_jpeg_bytes(encode_jpeg(img), pixels=True)
+        assert got is not None, shape
+        w, h, gray = got
+        assert (w, h) == (shape[1], shape[0])
+        assert np.abs(gray - img).max() < 2.0, shape
+    # color with odd dims through 4:2:0 (padding paths on both axes)
+    img = np.clip(r.normal(128, 30, (11, 13, 3)), 16, 240)
+    got = decode_jpeg_bytes(encode_jpeg(img, subsample=(2, 2)), pixels=True)
+    assert got is not None
+    assert (got[0], got[1]) == (13, 11)
+    # chroma is lossy under subsample+odd dims; luma-dominated mean
+    # stays close
+    assert abs(got[2].mean() - img.mean(axis=2).mean()) < 4.0
