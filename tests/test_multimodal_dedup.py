@@ -518,3 +518,106 @@ def test_media_near_dup_pairs_kind_dispatch(spark):
         for r in media_near_dup_pairs(media).collect()
     }
     assert got == {("image", 0, 1): 0, ("audio", 2, 3): 0}
+
+
+# ---------------------------------------------------------------------------
+# video: real MJPEG-in-AVI parsing, frame hashes, shared-frame near-dup
+# ---------------------------------------------------------------------------
+
+
+def avi_bytes(jpeg_frames, w, h, usec_per_frame=40000):
+    def chunk(cc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(jpeg_frames), 0, 1, 0, w, h,
+    ) + b"\x00" * 16
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def saw_frame(offset, w=32, h=24):
+    """Sawtooth image with a per-frame offset: adjacent dHash block
+    means separate by >> decode noise (the tie lesson from the JPEG
+    seam test), and different offsets give different hashes."""
+    import numpy as np
+
+    return np.array(
+        [[(x * 37 + y * 11 + offset * 31) % 200 + 20.0 for x in range(w)]
+         for y in range(h)]
+    )
+
+
+def test_decode_video_and_frame_hash_oracle(spark):
+    from tests.test_jpeg_codec import encode_jpeg
+    from xpshacl_spark.operators.multimodal import (
+        decode_video,
+        video_frame_dhash,
+    )
+
+    frames = [saw_frame(k) for k in range(4)]
+    payloads = [
+        avi_bytes([encode_jpeg(f) for f in frames], 32, 24),
+        b"RIFFxxxxNOPE",
+        None,
+    ]
+    media = media_df(spark, payloads)
+    feats = {r["media_id"]: r for r in decode_video(media).collect()}
+    assert (feats[0]["format"], feats[0]["width"], feats[0]["height"]) == (
+        "avi", 32, 24,
+    )
+    assert feats[0]["n_frames"] == 4
+    assert feats[0]["fps"] == pytest.approx(25.0)
+    assert feats[1]["format"] is None and feats[2]["format"] is None
+
+    got = {
+        (r["media_id"], r["frame_idx"]): r["dhash"]
+        for r in video_frame_dhash(media).collect()
+    }
+    assert set(got) == {(0, k) for k in range(4)}
+    for k, f in enumerate(frames):
+        assert got[(0, k)] == py_dhash([list(map(float, row)) for row in f])
+    # sampling: every_n=2 decodes only frames 0 and 2
+    sampled = {
+        r["frame_idx"]
+        for r in video_frame_dhash(media, every_n=2).collect()
+    }
+    assert sampled == {0, 2}
+
+
+def test_video_near_dup_shared_frames(spark):
+    from tests.test_jpeg_codec import encode_jpeg
+    from xpshacl_spark.operators.multimodal import video_near_dup_pairs
+
+    f = {k: encode_jpeg(saw_frame(k)) for k in range(8)}
+    title = encode_jpeg(saw_frame(99))  # shared "title card"
+    payloads = [
+        avi_bytes([title, f[0], f[1], f[2], f[3]], 32, 24),  # A
+        avi_bytes([title, f[0], f[1], f[2], f[3]], 32, 24),  # copy of A
+        avi_bytes([title, f[2], f[3]], 32, 24),              # trim of A
+        avi_bytes([title, f[4], f[5], f[6]], 32, 24),        # unrelated B
+        b"junk",
+    ]
+    media = media_df(spark, payloads)
+    got = {
+        (r["media_a"], r["media_b"]): r["n_shared"]
+        for r in video_near_dup_pairs(media, min_shared=2).collect()
+    }
+    # with the title card counted, everything shares >= 1; min_shared=2
+    # keeps the real relationships (copy: 5, trim: 3) and drops B
+    assert got[(0, 1)] == 5 and got[(0, 2)] == 3 and got[(1, 2)] == 3
+    assert (0, 3) not in got and (2, 3) not in got
+    # hot-frame cap: the title card appears in all 4 videos; capping at
+    # 3 removes it, so B shares NOTHING even at min_shared=1
+    got_capped = {
+        (r["media_a"], r["media_b"]): r["n_shared"]
+        for r in video_near_dup_pairs(
+            media, min_shared=1, max_hash_freq=3
+        ).collect()
+    }
+    assert (0, 3) not in got_capped and (1, 3) not in got_capped
+    assert got_capped[(0, 1)] == 4 and got_capped[(0, 2)] == 2
