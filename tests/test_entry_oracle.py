@@ -97,3 +97,28 @@ def test_gate_contract_consistency():
     keys = re.findall(r'^        "(q_[a-z0-9_]+)": q_', src, re.M)
     assert len(keys) == len(set(keys)), "duplicate key insert shadows a query"
     assert len(keys) == len(qs)
+
+
+def test_gate_head_is_exactly_the_r04_unproven_window():
+    """Zero-slack r05 window pin: the driver's correctness gate runs
+    the FIRST 50 queries() entries, so with 100 queries and two 50-slot
+    rounds the r05 head must be EXACTLY the 50 entries absent from
+    CORRECTNESS_r04.json — then r04 ∪ r05 gives every query a
+    driver-green row within the last two rounds. Guards against any
+    late edit reordering the dict or sneaking a new gate entry in."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r04.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no r04 correctness record in this checkout")
+    r04 = set(json.load(open(path)))
+    keys = list(entrymod.queries())
+    assert len(keys) == 100
+    head, tail = set(keys[:50]), set(keys[50:])
+    unproven = set(keys) - r04
+    assert head == unproven, (
+        head - unproven, unproven - head,
+    )
+    assert tail == r04 & set(keys)
