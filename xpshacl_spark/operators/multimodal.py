@@ -12,8 +12,9 @@ and tested. Two codec paths:
   baseline JPEG (ITU-T T.81 — spec-implemented Huffman entropy decode,
   dequant, IDCT, chroma upsample, YCbCr->RGB; operators/jpeg.py), PNG
   (RFC 2083 — stdlib-zlib inflate, all five row filters, 8-bit gray/
-  RGB/gray+alpha/RGBA), 24-bit BI_RGB Windows BMP, and binary PPM (P6)
-  — header parse + pixel statistics. BOTH mainstream compressed
+  RGB/gray+alpha/RGBA), GIF87a/89a (spec-implemented LZW, palettes,
+  interlace), 24-bit BI_RGB Windows BMP, and binary PPM (P6) — header
+  parse + pixel statistics. ALL THREE mainstream compressed web-image
   formats are therefore decoded for real, byte-level, in this sandbox;
   a PIL/libjpeg swap at the decoder seam remains the production path
   for decode-bound workloads (SIMD IDCT), the distributed plan
@@ -345,9 +346,150 @@ def _decode_jpeg_bytes(b: bytes, pixels: bool = False):
     return decode_jpeg_bytes(b, pixels)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
+    """GIF-flavored LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1, CLEAR resets the table, EOI ends the
+    stream, codes packed LSB-first. Returns the pixel-index list."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out = []
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]  # KeyError on corrupt stream -> None
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("invalid LZW code")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds declared pixels")
+            if prev is not None:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out  # stream may legally end at the data's end sans EOI
+
+
+def _decode_gif_bytes(b: bytes, pixels: bool = False):
+    """Exception-quarantining wrapper over :func:`_decode_gif_inner`,
+    same contract as decode_jpeg_bytes: anything corrupt -> None."""
+    try:
+        return _decode_gif_inner(b, pixels)
+    except Exception:
+        return None
+
+
+def _decode_gif_inner(b: bytes, pixels: bool):
+    """GIF87a/89a decode (CompuServe spec, public): logical screen
+    descriptor, global/local color tables, extension-block skip, LZW
+    pixel stream, Adam-style 4-pass interlace reordering. FIRST frame
+    only (animations: remaining frames are further blocks of the same
+    grammar — a sampler would walk them like the AVI movi list); same
+    (w, h, mean) / pixels=True grayscale-grid contract as the other
+    codecs, anything corrupt quarantines as None."""
+    import struct as _struct
+
+    import numpy as np
+
+    from xpshacl_spark.operators.jpeg import _MAX_CHANNEL_BYTES
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags, _bg, _ar = _struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                return None
+            _l, _t, w, h, iflags = _struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None or w == 0 or h == 0 or w * h > _MAX_CHANNEL_BYTES:
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            try:
+                idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+            except Exception:
+                return None
+            if len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int64)
+            if arr.max() >= ct.shape[0]:
+                return None
+            px = ct[arr].reshape(h, w, 3).astype(np.float64)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(px)
+                de[order] = px
+                px = de
+            if pixels:
+                return w, h, px.mean(axis=2)
+            return w, h, float(px.mean())
+        elif blk == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
 _REAL_DECODERS = (
     ("jpeg", _decode_jpeg_bytes),
     ("png", _decode_png_bytes),
+    ("gif", _decode_gif_bytes),
     ("bmp", _decode_bmp_bytes),
     ("ppm", _decode_ppm_bytes),
 )
