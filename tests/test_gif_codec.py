@@ -10,6 +10,7 @@ cross-format parity re-decodes the same pixels through PPM.
 import struct
 
 import numpy as np
+import pytest
 
 from xpshacl_spark.operators.multimodal import (
     _decode_gif_bytes,
@@ -262,3 +263,130 @@ def test_gif_via_codec_seam_matches_ppm():
     got_ppm = _decode_gray(ppm_bytes(pix))
     assert got_gif[0] == "gif" and got_ppm[0] == "ppm"
     assert np.allclose(got_gif[3], got_ppm[3])
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: composition, disposal, video integration
+# ---------------------------------------------------------------------------
+
+
+def gif_anim_bytes(frames, palette, screen=None, delay=4,
+                   transparent=None, disposal=0, disposals=None):
+    """Multi-frame GIF89a: frames = list of (indices_2d, left, top);
+    disposals (optional) gives a per-frame disposal method."""
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    size = 1 << depth
+    gct = b"".join(
+        bytes(palette[i]) if i < n else b"\x00\x00\x00" for i in range(size)
+    )
+    if screen is None:
+        arr0 = np.asarray(frames[0][0])
+        screen = (arr0.shape[1], arr0.shape[0])
+    sw, sh = screen
+    mc = max(2, depth)
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+        + gct
+    )
+    for k, (indices, left, top) in enumerate(frames):
+        arr = np.asarray(indices)
+        h, w = arr.shape
+        d = disposals[k] if disposals is not None else disposal
+        packed = (d << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed]) + struct.pack(
+            "<H", delay
+        ) + bytes([transparent or 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        data = lzw_encode(arr.flatten().tolist(), mc)
+        out += bytes([mc])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gray_of(idx):
+    return np.array([[sum(PALETTE[v]) / 3.0 for v in row] for row in idx])
+
+
+def test_gif_anim_metadata_and_full_frames(spark):
+    from tests.test_multimodal_dedup import media_df, py_dhash
+    from xpshacl_spark.operators.multimodal import (
+        decode_video,
+        video_frame_dhash,
+    )
+
+    r = np.random.default_rng(21)
+    fr = [r.integers(0, len(PALETTE), (12, 16)) for _ in range(3)]
+    g = gif_anim_bytes([(f, 0, 0) for f in fr], PALETTE, delay=5)
+    media = media_df(spark, [g])
+    meta = decode_video(media).collect()[0]
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", 16, 12)
+    assert meta["n_frames"] == 3
+    assert meta["fps"] == pytest.approx(20.0)
+    got = {
+        r_["frame_idx"]: r_["dhash"]
+        for r_ in video_frame_dhash(media).collect()
+    }
+    # full-frame animation: each composed frame IS the frame
+    for k, f in enumerate(fr):
+        want = py_dhash([list(map(float, row)) for row in gray_of(f)])
+        assert got[k] == want, f"frame {k}"
+
+
+def test_gif_anim_composition_transparency_and_disposal():
+    from xpshacl_spark.operators.multimodal import _parse_gif_video
+
+    base = np.ones((8, 10), dtype=int)  # palette 1 everywhere
+    patch = np.full((3, 4), 2, dtype=int)
+    patch[1, 1] = 0  # transparent hole (transparent index 0)
+    dot = np.full((1, 1), 3, dtype=int)
+    g = gif_anim_bytes(
+        [(base, 0, 0), (patch, 5, 2), (dot, 0, 0)], PALETTE,
+        transparent=0, disposals=[0, 2, 0],
+    )
+    got = _parse_gif_video(g, decode=True)
+    assert got is not None
+    _fps, sw, sh, frames = got
+    assert (sw, sh) == (10, 8) and len(frames) == 3
+    # frame 0: base paints the full screen (disposal 0 keeps it)
+    assert np.allclose(frames[0], sum(PALETTE[1]) / 3.0)
+    # frame 1: patch painted at (top=2, left=5), transparent hole keeps
+    # the base color underneath
+    want = np.full((8, 10), sum(PALETTE[1]) / 3.0)
+    want[2:5, 5:9] = sum(PALETTE[2]) / 3.0
+    want[3, 6] = sum(PALETTE[1]) / 3.0
+    assert np.allclose(frames[1], want)
+    # frame 2: the patch frame carried disposal 2, so ITS rect restores
+    # to the BACKGROUND color (palette 0 — spec: background, not the
+    # prior pixels) before the dot paints at (0, 0)
+    want2 = np.full((8, 10), sum(PALETTE[1]) / 3.0)
+    want2[2:5, 5:9] = sum(PALETTE[0]) / 3.0
+    want2[0, 0] = sum(PALETTE[3]) / 3.0
+    assert np.allclose(frames[2], want2)
+
+
+def test_gif_anim_near_dup_with_trim(spark):
+    from tests.test_multimodal_dedup import media_df
+    from xpshacl_spark.operators.multimodal import video_near_dup_pairs
+
+    r = np.random.default_rng(22)
+    fr = [r.integers(0, len(PALETTE), (10, 12)) for _ in range(5)]
+    payloads = [
+        gif_anim_bytes([(f, 0, 0) for f in fr], PALETTE),
+        gif_anim_bytes([(f, 0, 0) for f in fr[2:]], PALETTE),  # trim
+        gif_anim_bytes(
+            [(r.integers(0, len(PALETTE), (10, 12)), 0, 0)
+             for _ in range(3)],
+            PALETTE,
+        ),
+    ]
+    media = media_df(spark, payloads)
+    got = {
+        (p["media_a"], p["media_b"]): p["n_shared"]
+        for p in video_near_dup_pairs(media, min_shared=2).collect()
+    }
+    assert got == {(0, 1): 3}

@@ -1106,22 +1106,34 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
 
 
 def decode_video(media: DataFrame) -> DataFrame:
-    """Container-level features for video payloads via the real AVI
-    parser — (media_id, format, width, height, fps, n_frames), NULLs
-    for unrecognized payloads. One Arrow-batched payload scan."""
+    """Container-level features for video payloads via the real
+    parsers — MJPEG-in-AVI or animated GIF — (media_id, format, width,
+    height, fps, n_frames), NULLs for unrecognized payloads. The GIF
+    branch is the cheap metadata walk (decode=False, LZW data
+    skipped). One Arrow-batched payload scan."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fmts, ws, hs, fpss, nfs = [], [], [], [], []
             for b in pdf["payload"]:
-                got = _parse_avi_bytes(bytes(b)) if b is not None else None
-                if got is None:
+                bb = bytes(b) if b is not None else None
+                fmt = None
+                if bb is not None:
+                    got = _parse_avi_bytes(bb)
+                    if got is not None:
+                        fps, w, h, frames = got
+                        fmt, nf = "avi", len(frames)
+                    else:
+                        got = _parse_gif_video(bb, decode=False)
+                        if got is not None:
+                            fps, w, h, nf = got
+                            fmt = "gif"
+                if fmt is None:
                     fmts.append(None); ws.append(None); hs.append(None)
                     fpss.append(None); nfs.append(None)
                     continue
-                fps, w, h, frames = got
-                fmts.append("avi"); ws.append(w); hs.append(h)
-                fpss.append(fps); nfs.append(len(frames))
+                fmts.append(fmt); ws.append(w); hs.append(h)
+                fpss.append(fps); nfs.append(nf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -1151,15 +1163,17 @@ def video_frame_dhash(
     max_frames: Optional[int] = None,
     hash_size: int = 8,
 ) -> DataFrame:
-    """Per-frame perceptual hashes for video payloads: parse the AVI
-    container once, decode every every_n-th JPEG frame (up to
-    max_frames) through the baseline decoder, dHash each — one row per
-    SAMPLED frame (media_id, frame_idx, dhash); frames that fail to
-    decode carry NULL dhash. Unrecognized containers emit no rows.
+    """Per-frame perceptual hashes for video payloads — MJPEG-in-AVI
+    or animated GIF: parse the container once, decode sampled frames,
+    dHash each — one row per SAMPLED frame (media_id, frame_idx,
+    dhash); frames that fail to decode carry NULL dhash. Unrecognized
+    containers emit no rows.
 
-    Scale: sampling happens BEFORE decode (the parser returns
+    Scale: for AVI, sampling happens BEFORE decode (the parser returns
     compressed frame bytes), so every_n=30 pays one JPEG decode per
-    second of 30fps footage; output is metadata-sized."""
+    second of 30fps footage; GIF frames COMPOSE, so all frames up to
+    the last sampled one decode (the parser documents the pixel
+    budget), and only the sampled composites are hashed."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     from xpshacl_spark.operators.jpeg import decode_jpeg_bytes
@@ -1168,18 +1182,37 @@ def video_frame_dhash(
         for pdf in batches:
             mids, idxs, hashes = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                got = _parse_avi_bytes(bytes(b)) if b is not None else None
-                if got is None:
+                bb = bytes(b) if b is not None else None
+                if bb is None:
                     continue
-                _fps, _w, _h, frames = got
-                picked = list(range(0, len(frames), every_n))
-                if max_frames is not None:
-                    picked = picked[:max_frames]
+                got = _parse_avi_bytes(bb)
+                if got is not None:
+                    _fps, _w, _h, frames = got
+                    picked = list(range(0, len(frames), every_n))
+                    if max_frames is not None:
+                        picked = picked[:max_frames]
+                    decoded = {
+                        fi: decode_jpeg_bytes(frames[fi], pixels=True)
+                        for fi in picked
+                    }
+                    grays = {
+                        fi: (d[2] if d is not None else None)
+                        for fi, d in decoded.items()
+                    }
+                else:
+                    gotg = _parse_gif_video(bb, decode=True)
+                    if gotg is None:
+                        continue
+                    _fps, _w, _h, gframes = gotg
+                    picked = list(range(0, len(gframes), every_n))
+                    if max_frames is not None:
+                        picked = picked[:max_frames]
+                    grays = {fi: gframes[fi] for fi in picked}
                 for fi in picked:
-                    dec = decode_jpeg_bytes(frames[fi], pixels=True)
+                    g = grays[fi]
                     hv = (
-                        _dhash_from_gray(dec[2], hash_size)
-                        if dec is not None
+                        _dhash_from_gray(g, hash_size)
+                        if g is not None
                         else None
                     )
                     mids.append(mid); idxs.append(fi); hashes.append(hv)
@@ -1233,3 +1266,131 @@ def video_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def _parse_gif_video(b: bytes, decode: bool = True):
+    """Animated-GIF frame extraction (GIF89a animation grammar): walks
+    EVERY image descriptor, composing each frame onto the logical
+    screen — graphic-control transparency (transparent-index pixels
+    leave the canvas unchanged), disposal 2 restores the frame rect to
+    the background color, disposal 3 (restore-previous, vanishingly
+    rare) is treated as keep. Returns (fps, width, height, frames)
+    with frames = list of composed float64 grayscale grids, or the
+    frame COUNT when decode=False (the cheap metadata walk skips the
+    LZW data); None for anything corrupt. fps derives from the first
+    nonzero graphic-control delay (centiseconds).
+
+    Unlike AVI (independent compressed frames, sampling before decode),
+    GIF frames COMPOSE, so extracting frame k requires decoding 0..k —
+    the total decoded-pixel budget is capped at the standard 2^26
+    bound."""
+    import struct as _struct
+
+    import numpy as np
+
+    from xpshacl_spark.operators.jpeg import _MAX_CHANNEL_BYTES
+
+    try:
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, flags, bg_idx, _ar = _struct.unpack_from("<HHBBB", b, 6)
+        if sw == 0 or sh == 0 or sw * sh > _MAX_CHANNEL_BYTES:
+            return None
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        bg_rgb = (
+            gct[bg_idx].astype(np.float64)
+            if gct is not None and bg_idx < gct.shape[0]
+            else np.zeros(3)
+        )
+        canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy() if decode else None
+        frames = []
+        n_frames = 0
+        fps = None
+        pending = None  # (delay_cs, transparent_idx, disposal)
+        budget = _MAX_CHANNEL_BYTES
+        while pos < len(b):
+            blk = b[pos]
+            pos += 1
+            if blk == 0x21:
+                label = b[pos]
+                pos += 1
+                if label == 0xF9 and pos < len(b) and b[pos] == 4:
+                    packed, delay = (
+                        b[pos + 1],
+                        _struct.unpack_from("<H", b, pos + 2)[0],
+                    )
+                    tr = b[pos + 4] if packed & 1 else None
+                    pending = (delay, tr, (packed >> 2) & 7)
+                    if fps is None and delay:
+                        fps = 100.0 / delay
+                while pos < len(b) and b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:
+                if pos + 9 > len(b):
+                    return None
+                lf, tp, w, h, iflags = _struct.unpack_from("<HHHHB", b, pos)
+                pos += 9
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 7)
+                    ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                    pos += n * 3
+                if ct is None or w == 0 or h == 0 or lf + w > sw or tp + h > sh:
+                    return None
+                pos += 1  # min code size byte (read below when decoding)
+                min_code = b[pos - 1]
+                data = bytearray()
+                while pos < len(b) and b[pos]:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                n_frames += 1
+                if not decode:
+                    pending = None
+                    continue
+                budget -= w * h
+                if budget < 0 or not 2 <= min_code <= 11:
+                    return None
+                idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+                if len(idx) < w * h:
+                    return None
+                arr = np.asarray(idx[: w * h], dtype=np.int64)
+                if arr.max() >= ct.shape[0]:
+                    return None
+                if iflags & 0x40:  # interlaced rows
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    de = np.empty(h * w, dtype=np.int64).reshape(h, w)
+                    de[order] = arr.reshape(h, w)
+                    arr = de.flatten()
+                px = ct[arr].reshape(h, w, 3).astype(np.float64)
+                tr = pending[1] if pending else None
+                region = canvas[tp : tp + h, lf : lf + w]
+                if tr is not None:
+                    mask = (arr.reshape(h, w) != tr)[:, :, None]
+                    region[:] = np.where(mask, px, region)
+                else:
+                    region[:] = px
+                frames.append(canvas.mean(axis=2).copy())
+                disposal = pending[2] if pending else 0
+                if disposal == 2:  # restore rect to background
+                    canvas[tp : tp + h, lf : lf + w] = bg_rgb
+                pending = None
+            elif blk == 0x3B:
+                break
+            else:
+                return None
+        if n_frames == 0:
+            return None
+        return fps, sw, sh, (frames if decode else n_frames)
+    except Exception:
+        return None
