@@ -1147,3 +1147,129 @@ def _nb_scores_from_words(
             F.coalesce("n_scored_words", F.lit(0)).alias("n_scored_words"),
         )
     )
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text", max_words: int = 1_000_000
+) -> DataFrame:
+    """The corpus-side half of BPE training (Sennrich et al. 2016):
+    distinct normalized words with counts — ONE corpus-sized hash agg
+    (map-side combine collapses repeats before the shuffle), capped at
+    the max_words most frequent via TakeOrderedAndProject (ties broken
+    by word ascending, so the cap is deterministic). Real tokenizer
+    trainers (subword-nmt, HF tokenizers) train on exactly this
+    relation: the iterative merge loop never needs the corpus again,
+    only the vocab-sized word-count table."""
+    w = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("word"))
+        .limit(max_words)
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_pair_count: int = 2,
+    max_words: int = 1_000_000,
+) -> list:
+    """Full BPE tokenizer training: returns the ordered merge list
+    [(left, right), ...] (highest-count pair first; ties broken by
+    (left, right) ascending — deterministic across runs and engines).
+    Words carry the classic '</w>' end-of-word marker so merges can
+    distinguish word-final units (the Sennrich formulation).
+
+    Scale split: the corpus contributes exactly ONE aggregation
+    (:func:`bpe_word_counts`); the merge loop then runs driver-side
+    over the vocab-sized word-count table — the same architecture as
+    subword-nmt/HF trainers, because pair statistics shrink with the
+    vocab, not the corpus. The driver materialization is bounded by
+    max_words (top-frequency cap), never corpus-sized."""
+    rows = bpe_word_counts(df, text_col, max_words).collect()
+    vocab = {}
+    for r in rows:
+        syms = tuple(r["word"]) + ("</w>",)
+        vocab[syms] = vocab.get(syms, 0) + int(r["n"])
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merged = a + b
+        nv = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + n
+        vocab = nv
+        merges.append((a, b))
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge list: per word, repeatedly apply
+    the LOWEST-RANK applicable merge (the standard BPE inference rule —
+    HF 'BPE' model semantics), '</w>' marking word ends. Arrow-batched
+    pandas UDF (a documented Python-path exception: merge application
+    is an in-word loop over a rank dict that Column HOFs cannot
+    express; the batch transfer is Arrow and the rank dict is built
+    once per executor via closure capture)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> list:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+            toks: list = []
+            for wd in norm.split():
+                if wd:
+                    toks.extend(encode_word(wd))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
