@@ -6,9 +6,6 @@ reconstruction property and the trained-word-collapses-to-one-token
 property.
 """
 
-import numpy as np
-import pytest
-
 from xpshacl_spark.operators.text import (
     apply_bpe,
     bpe_word_counts,
