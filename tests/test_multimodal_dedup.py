@@ -621,3 +621,86 @@ def test_video_near_dup_shared_frames(spark):
     }
     assert (0, 3) not in got_capped and (1, 3) not in got_capped
     assert got_capped[(0, 1)] == 4 and got_capped[(0, 2)] == 2
+
+
+# ---------------------------------------------------------------------------
+# spectral audio fingerprints (Haitsma-Kalker)
+# ---------------------------------------------------------------------------
+
+
+def py_hk(samples, rate=8000, frame_len=2048, hop=1024, n_bands=33):
+    """Row-at-a-time oracle for the Haitsma-Kalker sub-fingerprints."""
+    import numpy as np
+
+    n = len(samples)
+    if n < frame_len:
+        return []
+    edges_hz = 300.0 * (2000.0 / 300.0) ** (np.arange(n_bands + 1) / n_bands)
+    edges = np.unique((edges_hz * frame_len / rate).astype(int))
+    assert len(edges) == n_bands + 1
+    win = np.hanning(frame_len)
+    mono = np.asarray(samples)
+    n_frames = 1 + (n - frame_len) // hop
+    E = []
+    for i in range(n_frames):
+        p = np.abs(np.fft.rfft(mono[i * hop : i * hop + frame_len] * win)) ** 2
+        E.append([p[edges[m] : edges[m + 1]].sum() for m in range(n_bands)])
+    out = []
+    for i in range(1, n_frames):
+        v = 0
+        for m in range(n_bands - 1):
+            cur = E[i][m] - E[i][m + 1]
+            prv = E[i - 1][m] - E[i - 1][m + 1]
+            v = (v << 1) | int(cur - prv > 0)
+        if v >= 1 << 31:
+            v -= 1 << 32
+        out.append((i, v))
+    return out
+
+
+def _samples_of(frames):
+    return [struct.unpack("<h", f)[0] / 32768.0 for f in frames]
+
+
+def test_audio_subfingerprints_match_oracle_and_gain(spark):
+    from xpshacl_spark.operators.multimodal import audio_subfingerprints
+
+    melody = sine16([440, 880, 660, 220, 550], n=1500)
+    quiet = sine16([440, 880, 660, 220, 550], n=1500, amp=2500)
+    payloads = [
+        wav_bytes(8000, 16, 1, melody),
+        wav_bytes(8000, 16, 1, quiet),
+        wav_bytes(8000, 16, 1, sine16([440], n=500)),  # < one frame
+        b"junk",
+    ]
+    got = {}
+    for r in audio_subfingerprints(media_df(spark, payloads)).collect():
+        got.setdefault(r["media_id"], {})[r["frame_idx"]] = r["subfp"]
+    want = dict(py_hk(_samples_of(melody)))
+    assert got[0] == want
+    # gain invariance: -18 dB copy has IDENTICAL sub-fingerprints
+    assert got[1] == got[0]
+    assert 2 not in got and 3 not in got
+
+
+def test_audio_near_dup_spectral_shift_tolerant(spark):
+    from xpshacl_spark.operators.multimodal import audio_near_dup_spectral
+
+    melody = sine16([440, 880, 660, 220, 550, 770], n=1500)
+    shifted = melody[2048 // 2 * 2:]  # drop exactly 2 hops of samples
+    other = sine16([330, 990, 610, 240, 520, 710], n=1500)
+    payloads = [
+        wav_bytes(8000, 16, 1, melody),
+        wav_bytes(8000, 16, 1, melody),   # exact copy
+        wav_bytes(8000, 16, 1, shifted),  # overlapping suffix
+        wav_bytes(8000, 16, 1, other),
+    ]
+    media = media_df(spark, payloads)
+    got = {
+        (r["media_a"], r["media_b"]): r["n_shared"]
+        for r in audio_near_dup_spectral(media, min_shared=3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 5
+    # the shifted clip shares the overlapping frames' sub-fingerprints
+    assert (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)

@@ -1394,3 +1394,135 @@ def _parse_gif_video(b: bytes, decode: bool = True):
         return fps, sw, sh, (frames if decode else n_frames)
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# spectral audio fingerprints (Haitsma-Kalker robust hash)
+# ---------------------------------------------------------------------------
+
+
+def _hk_subfingerprints(mono, rate, frame_len=2048, hop=1024, n_bands=33,
+                        f_lo=300.0, f_hi=2000.0):
+    """Haitsma & Kalker (2002) sub-fingerprints — the published Philips
+    robust audio hash: Hann-windowed frames, power spectrum, 32
+    log-spaced band energies in [f_lo, f_hi], one bit per adjacent
+    (band, time) energy-difference sign:
+    bit(n, m) = [E(n,m)-E(n,m+1)] - [E(n-1,m)-E(n-1,m+1)] > 0.
+    Returns [(frame_idx, subfp int)] with frame_idx >= 1 (the first
+    frame has no predecessor). GAIN-INVARIANT (energies scale by g^2,
+    signs unchanged) and tolerant to whole-hop time shifts (shared
+    frames keep their sub-fingerprints). None when the band edges
+    don't resolve at this sample rate / frame length."""
+    import numpy as np
+
+    n = mono.shape[0]
+    if n < frame_len or rate <= 0:
+        return []
+    edges_hz = f_lo * (f_hi / f_lo) ** (np.arange(n_bands + 1) / n_bands)
+    edges = np.unique((edges_hz * frame_len / rate).astype(int))
+    if len(edges) != n_bands + 1 or edges[-1] > frame_len // 2:
+        return None  # rate too low for distinct log bands
+    win = np.hanning(frame_len)
+    n_frames = 1 + (n - frame_len) // hop
+    E = np.empty((n_frames, n_bands))
+    for i in range(n_frames):
+        seg = mono[i * hop : i * hop + frame_len] * win
+        p = np.abs(np.fft.rfft(seg)) ** 2
+        for m in range(n_bands):
+            E[i, m] = p[edges[m] : edges[m + 1]].sum()
+    d = E[:, :-1] - E[:, 1:]  # (n_frames, n_bands-1) band differences
+    bits = (d[1:] - d[:-1]) > 0  # (n_frames-1, 32) time differences
+    out = []
+    for i in range(bits.shape[0]):
+        v = 0
+        for bit in bits[i]:
+            v = (v << 1) | int(bit)
+        if v >= 1 << 31:
+            v -= 1 << 32
+        out.append((i + 1, v))
+    return out
+
+
+SUBFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("subfp", T.LongType(), True),
+    ]
+)
+
+
+def audio_subfingerprints(
+    media: DataFrame, frame_len: int = 2048, hop: int = 1024
+) -> DataFrame:
+    """Per-frame Haitsma-Kalker sub-fingerprints for audio payloads:
+    WAV byte decode -> mono -> spectral robust hash, one row per
+    analysis frame (media_id, frame_idx, subfp). Clips shorter than
+    one frame (or unrecognized payloads) emit no rows. Arrow-batched
+    mapInPandas; output is metadata-sized (one 32-bit value per
+    ~0.1 s of audio)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, fps_ = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                got = (
+                    _decode_wav_bytes(bytes(b), samples=True)
+                    if b is not None
+                    else None
+                )
+                if got is None:
+                    continue
+                rate, _ch, _dur, mono = got
+                subs = _hk_subfingerprints(mono, rate, frame_len, hop)
+                if not subs:
+                    continue
+                for fi, v in subs:
+                    mids.append(mid); idxs.append(fi); fps_.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "subfp": pd.array(fps_, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, SUBFP_SCHEMA)
+
+
+def audio_near_dup_spectral(
+    media: DataFrame,
+    min_shared: int = 3,
+    max_hash_freq: Optional[int] = None,
+    frame_len: int = 2048,
+    hop: int = 1024,
+) -> DataFrame:
+    """Audio pairs sharing >= min_shared identical spectral
+    sub-fingerprints — the frame-hash inverted index applied to the
+    Haitsma-Kalker hash: tolerant to gain changes AND whole-hop time
+    shifts (the envelope hash `audio_near_dup_pairs` is the cheaper
+    whole-clip variant; this one matches clips that merely OVERLAP).
+    max_hash_freq caps hot sub-fingerprints (silence frames are the
+    audio title cards). Never O(n^2): fan-out bounded per hash bucket.
+    """
+    fh = audio_subfingerprints(media, frame_len, hop).where(
+        F.col("subfp").isNotNull()
+    )
+    fh = fh.select("media_id", "subfp").distinct()
+    if max_hash_freq is not None:
+        hot = (
+            fh.groupBy("subfp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_hash_freq)
+            .select("subfp")
+        )
+        fh = fh.join(hot, "subfp", "left_anti")
+    a = fh.select(F.col("media_id").alias("media_a"), "subfp")
+    bb = fh.select(F.col("media_id").alias("media_b"), "subfp")
+    return (
+        a.join(bb, "subfp")
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
