@@ -661,7 +661,12 @@ across rounds. Both protocols meet the >= 0.8 criterion fresh in r5
 0.8743 — the best capped run recorded, quiet 2026-08-18 phase — and
 0.8222 clean / ~0.79 busier windows; the 0.8743/0.8622 pair was
 measured back-to-back in the SAME phase, the matched two-protocol
-observation the r4 verdict asked for). The residual process-mode gap vs threads is
+observation the r4 verdict asked for; a second same-phase pair
+later that day — threads 0.8674 with the fastest clean floors
+recorded, 130.2 s / 37.5 s, and capped procs 0.8027 — landed both
+protocols >= 0.8 again, and an overnight 2026-08-19 pair scored
+0.8557 / 0.7958 in a visibly non-quiet window — one 321 s outlier
+rep — disclosed in the matrix). The residual process-mode gap vs threads is
 per-JVM fixed cost times the slowest-shard wall: 4 x 41-44 s =
 165-176 core-seconds vs 136-138 for the single JVM — each quarter-input JVM re-pays
 scan/codegen setup, and the max over four samples any given run
@@ -682,6 +687,38 @@ The immediately following solo rerun on the same code measured
 3.71 s, unchanged-plan median drift 0.885 vs the previous recorded
 run and ZERO normalized outliers — the fastest full-suite r5 run
 recorded. When mining BENCH_LOCAL.jsonl, skip the 156.06 s row.
+
+## r5 new-operator timings (informational — mirror-only families)
+
+The families added at the end of r5 carry mirror-only proof (the
+zero-slack gate admits no new entries), so they are not in the driver
+bench; measured once on the quiet 2026-08-18 phase, local[16], sf0.1
+documents (5,000 docs), min-of-2 warm:
+
+| job | wall |
+|---|---|
+| image_dhash + image_near_dup_pairs over 5k synthesized PPM payloads (decode + hash + blocked self-join, max_hamming=4) | 0.78 s |
+| dsir_weights fit+score, 5k raw docs vs 500-doc target, 16,384 hashed buckets (two corpus count aggs + explode + broadcast ratio join + per-doc re-agg, one lazy plan) | 7.4 s |
+| dsir_select top-1000 over PERSISTED weights (Gumbel keys + TakeOrderedAndProject) | 0.53 s |
+| dsir_select top-1000 fused with an unpersisted fit (re-runs the whole model plan) | 15.5 s |
+
+The last two rows are the artifact lesson in numbers: the
+(feat, log_ratio) model and the weights relation are meant to be
+persisted and reused (dsir_feature_log_ratio's documented contract);
+the md5 feature hash is deliberately oracle-reproducible — a
+production deployment that doesn't need cross-engine parity can swap
+xxhash64 at the single `_dsir_feat_id` seam for a cheaper scan.
+
+### Final r5 session-end run + outlier attribution
+
+Session-end `python bench.py`: 124.0 s / 101 entries, flagship 323.7k
+turns/s, unchanged-plan median drift 1.35 vs the 89.5 s quiet-phase
+run (the HOST slowed ~35%, not the plans — no gate-query code changed
+between the runs). One normalized outlier: `q_schema_documents` 1.66x
+— 0.27 s -> 0.60 s ABSOLUTE on the metadata-only schema gate, the
+suite's shortest entry; sub-second queries are noise-dominated in a
+slowing phase (same attribution as its 5.2x flag in the discarded
+contention run). No plan audit required.
 
 ## Driver-bench wall-clock comparisons are phase-bound too (r3 analysis)
 
