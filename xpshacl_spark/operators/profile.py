@@ -167,36 +167,119 @@ def top_values(df: DataFrame, columns: Sequence[str], k: int = 10) -> DataFrame:
     )
 
 
+def _percentile_from_sorted(values, cum, q: float):
+    """Value of the exact interpolated percentile given the SORTED
+    distinct values of a column and their cumulative counts —
+    a faithful replica of Spark's Percentile.getPercentile so the
+    two paths produce bit-identical doubles: position = q * (N - 1)
+    (0-based), lower/higher = floor/ceil, value lookup = first index
+    whose cumulative count reaches position+1, and the interpolation
+    (higher - p) * v_lo + (p - lower) * v_hi evaluated in that exact
+    double-op order (with Spark's two early returns: no fraction, and
+    equal bounding values)."""
+    import math
+
+    import numpy as np
+
+    n = int(cum[-1])
+    p = q * (n - 1)
+    lower = math.floor(p)
+    higher = math.ceil(p)
+    v_lo = float(values[np.searchsorted(cum, lower + 1, side="left")])
+    if higher == lower:
+        return v_lo
+    v_hi = float(values[np.searchsorted(cum, higher + 1, side="left")])
+    if v_hi == v_lo:
+        return v_lo
+    return (higher - p) * v_lo + (p - lower) * v_hi
+
+
+def _value_counts_cells(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """(column, v, c) distinct-value counts for every requested column
+    in ONE scan: inline a (column, value) struct array, drop nulls,
+    and run a codegen'd map-side-combined hash agg — the parallel
+    replacement for feeding raw rows to the exact `percentile`
+    buffer's boxed per-row map (measured 25x slower per row, see
+    OPTIMIZATION_r06.md)."""
+    cells = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    # unique: a column listed twice must not double its
+                    # value counts (the grid join re-emits duplicates)
+                    for c in dict.fromkeys(columns)
+                ]
+            )
+        )
+    ).where(F.col("v").isNotNull())
+    return cells.groupBy("column", "v").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _qgrid_literal(spark, columns, rows, schema: str) -> DataFrame:
+    return spark.createDataFrame(rows, schema)
+
+
 def quantiles_relation(
     df: DataFrame, columns: Sequence[str], qs: Sequence[float] = (0.25, 0.5, 0.75)
 ) -> DataFrame:
     """Exact interpolated quantiles per column as a relation
-    (column, q, quantile): one fused agg computing every requested
-    percentile for every column in a single pass. Exact `percentile`
-    (sort-based per group; position 1 + q*(n-1) linear interpolation,
-    the same semantics as ANSI quantile_cont) — the 100 TB path swaps
-    in approx_percentile sketches, same shape.
+    (column, q, quantile) — same semantics as ANSI quantile_cont /
+    Spark's exact `percentile` (position q*(n-1), linear
+    interpolation), computed scalably in two keyed stages instead of
+    one giant aggregation buffer:
 
-    All quantiles of a column share ONE percentile(col, array(qs))
-    aggregation buffer: separate per-q aggregates would each hold a
-    full value-count map of the column (len(qs) x the memory and merge
-    cost for identical inputs)."""
-    q_arr = F.array(*[F.lit(float(q)) for q in qs])
-    aggs = [
-        F.percentile(F.col(c).cast("double"), q_arr).alias(f"_q{i}")
-        for i, c in enumerate(columns)
-    ]
-    row = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.lit(float(q)).alias("q"),
-            F.col(f"_q{i}").getItem(j).alias("quantile"),
+    1. (column, value) distinct counts: one scan, one codegen'd
+       map-side-combined hash agg (`_value_counts_cells`). This is the
+       only corpus-sized shuffle, and it moves distinct values, not
+       rows.
+    2. per-column quantile assembly: one applyInPandas group per
+       column sorts its DISTINCT values in numpy and replicates
+       Spark's Percentile.getPercentile arithmetic bit-for-bit
+       (`_percentile_from_sorted`).
+
+    The old single `percentile(col, array(qs))` agg fed every raw row
+    through a boxed value->count map in ONE task (sf1.0 measured:
+    17.7 s for one 4.6M-distinct column; this path: < 3 s for three).
+    Columns with no non-null values surface as NULL quantiles via the
+    literal (column, q) grid left join — the same rows the old plan
+    emitted."""
+    spark = df.sparkSession
+    q_list = [float(q) for q in qs]
+
+    def _quants(pdf):
+        import numpy as np
+        import pandas as pd
+
+        col = pdf["column"].iloc[0]
+        v = pdf["v"].to_numpy(dtype="float64")
+        c = pdf["c"].to_numpy(dtype="int64")
+        order = np.argsort(v, kind="stable")
+        v = v[order]
+        cum = np.cumsum(c[order])
+        return pd.DataFrame(
+            {
+                "column": [col] * len(q_list),
+                "q": np.array(q_list, dtype="float64"),
+                "quantile": [
+                    _percentile_from_sorted(v, cum, q) for q in q_list
+                ],
+            }
         )
-        for i, c in enumerate(columns)
-        for j, q in enumerate(qs)
-    ]
-    return _explode_cells(row, structs)
+
+    computed = _value_counts_cells(df, columns).groupBy("column").applyInPandas(
+        _quants, schema="column string, q double, quantile double"
+    )
+    grid = _qgrid_literal(
+        spark,
+        columns,
+        [(c, q) for c in columns for q in q_list],
+        "column string, q double",
+    )
+    return grid.join(computed, ["column", "q"], "left")
 
 
 def approx_quantiles_relation(
@@ -259,51 +342,96 @@ def quantiles_error_bound_relation(
     vacuously true rather than spuriously red."""
     if rank_margin <= 1.0 / accuracy:
         raise ValueError("rank_margin must exceed 1/accuracy for a sound bound")
+    spark = df.sparkSession
     grid = []  # per q: (lo, q, hi), clamped
     for q in qs:
         grid.append(
             (max(0.0, float(q) - rank_margin), float(q),
              min(1.0, float(q) + rank_margin))
         )
-    flat = [v for triple in grid for v in triple]
-    exact_arr = F.array(*[F.lit(v) for v in flat])
-    q_arr = F.array(*[F.lit(float(q)) for q in qs])
-    aggs = []
-    for i, c in enumerate(columns):
-        aggs.append(
-            F.percentile(F.col(c).cast("double"), exact_arr).alias(f"_e{i}")
+
+    # exact side: the scalable two-stage exact-quantile path (see
+    # quantiles_relation) — per column, one pandas group emits the
+    # whole [q-m, q, q+m] grid plus the non-null count N from the
+    # same sorted distinct-value array
+    def _quants(pdf):
+        import numpy as np
+        import pandas as pd
+
+        col = pdf["column"].iloc[0]
+        v = pdf["v"].to_numpy(dtype="float64")
+        c = pdf["c"].to_numpy(dtype="int64")
+        order = np.argsort(v, kind="stable")
+        v = v[order]
+        cum = np.cumsum(c[order])
+        n = int(cum[-1])
+        return pd.DataFrame(
+            {
+                "column": [col] * len(grid),
+                "q": np.array([t[1] for t in grid], dtype="float64"),
+                "_lo": [_percentile_from_sorted(v, cum, t[0]) for t in grid],
+                "_ex": [_percentile_from_sorted(v, cum, t[1]) for t in grid],
+                "_hi": [_percentile_from_sorted(v, cum, t[2]) for t in grid],
+                "_n": np.array([n] * len(grid), dtype="int64"),
+            }
         )
-        aggs.append(
+
+    exact = _value_counts_cells(df, columns).groupBy("column").applyInPandas(
+        _quants,
+        schema=(
+            "column string, q double, _lo double, _ex double, "
+            "_hi double, _n bigint"
+        ),
+    )
+    lit_grid = _qgrid_literal(
+        spark,
+        columns,
+        [(c, t[1]) for c in columns for t in grid],
+        "column string, q double",
+    )
+    # approx side: one fused sketch agg over the raw table (constant
+    # memory per column); its single row broadcast-joins to the
+    # grid-sized exact relation
+    uniq = list(dict.fromkeys(columns))
+    sk_row = df.agg(
+        *[
             F.approx_percentile(
-                F.col(c).cast("double"), q_arr, F.lit(accuracy)
+                F.col(c).cast("double"),
+                F.array(*[F.lit(float(q)) for q in qs]),
+                F.lit(accuracy),
             ).alias(f"_a{i}")
+            for i, c in enumerate(uniq)
+        ]
+    )
+    joined = lit_grid.join(exact, ["column", "q"], "left").join(
+        F.broadcast(sk_row)
+    )
+    q_index = F.array(*[F.lit(float(q)) for q in qs])
+    ap_by_col = None
+    for i, c in enumerate(uniq):
+        sk = F.col(f"_a{i}").getItem(
+            F.array_position(q_index, F.col("q")).cast("int") - 1
+        ).cast("double")
+        cond = F.col("column") == c
+        ap_by_col = (
+            F.when(cond, sk) if ap_by_col is None
+            else ap_by_col.when(cond, sk)
         )
-        aggs.append(F.count(F.col(c).cast("double")).alias(f"_n{i}"))
-    row = df.agg(*aggs)
-    structs = []
-    for i, c in enumerate(columns):
-        for j, q in enumerate(qs):
-            lo = F.col(f"_e{i}").getItem(3 * j)
-            ex = F.col(f"_e{i}").getItem(3 * j + 1)
-            hi = F.col(f"_e{i}").getItem(3 * j + 2)
-            ap = F.col(f"_a{i}").getItem(j).cast("double")
-            n = F.col(f"_n{i}")
-            # resolution guard (docstring): the check binds only when
-            # (N-1)*m - N/accuracy >= 1; under that it is vacuous-true
-            resolvable = (
-                (n - 1) * F.lit(rank_margin) - n / F.lit(float(accuracy))
-            ) >= 1
-            structs.append(
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.lit(float(q)).alias("q"),
-                    ex.alias("exact_q"),
-                    (~resolvable | ((ap >= lo) & (ap <= hi))).alias(
-                        "within_bound"
-                    ),
-                )
-            )
-    return _explode_cells(row, structs)
+    n = F.coalesce(F.col("_n"), F.lit(0).cast("bigint"))
+    # resolution guard (docstring): the check binds only when
+    # (N-1)*m - N/accuracy >= 1; under that it is vacuous-true
+    resolvable = (
+        (n - 1) * F.lit(rank_margin) - n / F.lit(float(accuracy))
+    ) >= 1
+    ap = ap_by_col
+    return joined.select(
+        "column",
+        "q",
+        F.col("_ex").alias("exact_q"),
+        (
+            ~resolvable | ((ap >= F.col("_lo")) & (ap <= F.col("_hi")))
+        ).alias("within_bound"),
+    )
 
 
 def entropy_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
