@@ -142,16 +142,24 @@ def shingles(
 
     A narrow input (fewer splits than shuffle partitions) is round-robin
     rebalanced first so the 10-100x shingle construction parallelizes —
-    see text.rebalance_if_narrow; structural no-op at cluster scale."""
+    see text.rebalance_if_narrow; structural no-op at cluster scale.
+
+    Per-doc distinctness comes from array_distinct BEFORE the explode —
+    a narrow per-row op — never from dropDuplicates after it: the grams
+    of one doc are all in one row, so deduplicating them needs no
+    corpus-wide (doc, shingle) shuffle. (r6: the dropDuplicates form
+    shuffled the widest relation of the whole dedup family once per
+    consumer; sf1.0 measured 5.4 s -> 1.3 s for the 2.6M-shingle
+    materialization.)"""
     staged = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(text_col), " ").alias("_ws"),
     )
-    return (
-        staged.select(
-            "doc_id", F.explode(gram_array(F.col("_ws"), n)).alias("shingle")
-        )
-        .dropDuplicates(["doc_id", "shingle"])
+    return staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_array(F.col("_ws"), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -213,8 +221,20 @@ def jaccard_pairs(
     pass None only when the k^2 blowup is provably absent. Pruned
     shingles also leave the per-doc set sizes (standard stop-shingle
     semantics: Jaccard is computed over the pruned universe).
+
+    The raw and pruned shingle relations are localCheckpoint'ed
+    (lazily) because the plan fans them out — raw feeds the hot-set agg
+    AND the anti-join left side, pruned feeds sizes and BOTH join
+    sides. Without the checkpoint Catalyst re-derives the whole
+    scan->normalize->explode chain once per consumer (six Generate
+    subtrees in the r5 physical plan); with it the explode runs once
+    per action. Checkpoint state is per-invocation (freed with the
+    plan), never a cross-run cache.
     """
-    sh = _maybe_prune_stop_shingles(shingles(df, id_col, text_col, n), max_doc_freq)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _maybe_prune_stop_shingles(sh, max_doc_freq)
+    if max_doc_freq is not None:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -514,8 +534,12 @@ def contamination_pairs(
     stop-shingle cap bounds hot boilerplate shingles on the TRAIN side,
     where the k^2-free cross join can still fan out k_train x k_eval.
     Filter training docs by anti-joining the returned train_ids."""
+    # raw train shingles feed the hot-set agg AND the anti-join left
+    # side — checkpoint so the train explode runs once (r6; same
+    # rationale as jaccard_pairs)
     sh_t = _maybe_prune_stop_shingles(
-        shingles(train, id_col, text_col, n), max_doc_freq
+        shingles(train, id_col, text_col, n).localCheckpoint(eager=False),
+        max_doc_freq,
     )
     sh_e = shingles(eval_df, id_col, text_col, n).withColumnRenamed(
         "doc_id", "eval_id"
@@ -1163,7 +1187,10 @@ def duplicate_span_stats(
     (id, n_spans, n_dup_spans, dup_ratio) with zero-span docs retained
     at ratio NULL.
     """
-    sh = shingles(df, id_col, text_col, n=n)
+    # the span relation feeds BOTH the doc-frequency agg and the join
+    # back — checkpoint so the explode chain runs once per action, not
+    # once per consumer (r6; same rationale as jaccard_pairs)
+    sh = shingles(df, id_col, text_col, n=n).localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(dfreq, "shingle")
@@ -1586,16 +1613,18 @@ def exact_dup_spans(
     there is none. The gram-count relation is vocabulary-sized; the
     join and window shuffle O(total duplicated occurrences). The
     positioned gram relation feeds both the count agg and the join —
-    two gram-construction passes; on a large corpus either persist the
-    INPUT df (both passes then read the cached corpus) or use
-    :func:`exact_dup_spans_with_positions` to cache the gram relation
-    itself.
+    it is localCheckpoint'ed (lazily, per invocation) so gram
+    construction runs once per action (r6); use
+    :func:`exact_dup_spans_with_positions` when the caller wants to
+    hold and explicitly release the cached gram relation.
 
     The reference engine has no substring-level dedup at all (its
     dedup is violation-signature md5, violation_kg.py:88-102); this is
     the training-pipeline operator its users need at corpus scale.
     """
-    ps = positioned_shingles(df, id_col, text_col, n=n)
+    ps = positioned_shingles(df, id_col, text_col, n=n).localCheckpoint(
+        eager=False
+    )
     return _spans_from_positions(ps, n, min_count)
 
 

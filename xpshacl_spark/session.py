@@ -48,6 +48,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Scan-split size (guide §6): the local bench tables are SINGLE
+        # parquet files (lineitem sf1.0: one 126 MB file, six ~21 MB
+        # row groups), so Spark's 128 MB default yields a ONE-TASK scan
+        # and every map-side aggregation over lineitem runs
+        # single-threaded. 16 MB splits let each row group decode in
+        # its own task (measured: the fused lineitem agg queries drop
+        # ~2-4x; see OPTIMIZATION_r06.md). Scale-dependent and
+        # parameterised: a production 100 TB table is thousands of
+        # row-group-sized files where larger splits (128 MB - 1 GB)
+        # cut scheduling overhead — set SPARK_GRAFT_MAX_PARTITION_BYTES
+        # there; AQE still coalesces small shuffle partitions either
+        # way.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # keep catalog-table data out of the launch directory (bucketed
         # tables pass explicit external paths; this covers any default),
         # per-process so concurrent sessions' managed tables never
