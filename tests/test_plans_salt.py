@@ -508,9 +508,9 @@ def test_exact_dup_spans_keyed_never_pairwise(spark):
 
 def test_ngram_repetition_single_scan_no_join(spark):
     """ngram_repetition_stats computes every n in ONE pass: one text
-    scan, two keyed hash aggregates, and NO join (empty docs survive
-    via explode_outer, not a spine join) — the shuffle carries distinct
-    grams per doc, never occurrence-sized rows or pairs."""
+    scan into one Arrow-batched mapInPandas stage (r6 shape — JVM
+    normalization, Python tuple-gram Counter, Spark-side rounding),
+    with NO join, NO window, and NO occurrence-sized gram shuffle."""
     from xpshacl_spark.operators.text import ngram_repetition_stats
 
     df = spark.createDataFrame(
@@ -520,6 +520,10 @@ def test_ngram_repetition_single_scan_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan, plan
+    # the only aggregate-free exchange allowed is the narrow-input
+    # rebalance; no (doc, n, gram) count aggregation remains
+    assert "HashAggregate" not in plan, plan
 
 
 def test_shingles_rebalances_narrow_input_only(spark):

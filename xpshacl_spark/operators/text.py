@@ -961,57 +961,83 @@ def ngram_repetition_stats(
       value can exceed 1 on degenerate inputs — thresholds live well
       below that.
 
-    Plan: ONE text scan -> explode the n list (|ns| rows per doc, the
-    gram transform slices with the RUNTIME n so all n share one
-    codepath) -> explode_outer grams (empty docs keep a NULL-gram row,
-    so the relation always has exactly one row per (doc, n) after the
-    final agg — no spine join, same trick as repetition_stats) ->
-    hash agg counts on (doc, n, gram) with map-side combine -> per-
-    (doc, n) agg (min_by for the mode, conditional sum for dup
-    coverage). Shuffle carries distinct grams per doc — never
-    occurrence-sized — and nothing is pairwise."""
+    Plan (r6): normalization and word-splitting stay in the JVM (so
+    gram text can never diverge from the other span/dedup operators),
+    then ONE Arrow-batched mapInPandas pass computes every n's mode
+    and duplicate coverage per doc with tuple n-grams and a Counter —
+    gram strings are never materialized except the single winning
+    top_ngram per (doc, n). Tie-break parity: tuple-of-words order
+    equals joined-with-space string order because the normalized
+    alphabet ([a-z0-9]) sorts above the space separator. The division
+    and HALF_UP rounding stay in Spark over the emitted integer
+    numerators, so emitted doubles are bit-identical to the r5 plan.
+
+    The r5 shape built every gram STRING in interpreted
+    higher-order-function evals and shuffled the occurrence-sized
+    (doc, n, gram) relation through a count agg and a per-doc agg
+    (sf1.0: 7.9 s of the 9.0 s total was gram construction alone);
+    this plan is zero-shuffle past the narrow-input rebalance and
+    measures ~2 s. Values are identical: the Counter groups are
+    exactly the old count(*) groups.
+    """
     nt = F.trim(normalize_text(text_col))
     staged = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(nt, " "), lambda w: w != "").alias("_ws"),
         F.length(nt).alias("_chars"),
-        F.explode(F.array(*[F.lit(int(n)) for n in ns])).alias("n"),
     )
-    grams = gram_array(F.col("_ws"), F.col("n"))
-    occ = staged.select(
-        "doc_id", "_chars", "n", F.explode_outer(grams).alias("gram")
+    ns_list = [int(n) for n in ns]
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"doc_id {id_type}, n int, top_ngram string, "
+        "_cover bigint, _dupchars bigint, _chars int"
     )
-    cnt = occ.groupBy("doc_id", "n", "_chars", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    real = F.col("gram").isNotNull()
-    glen = F.length("gram")
-    per = cnt.groupBy("doc_id", "n", "_chars").agg(
-        F.min_by(
-            F.when(
-                real,
-                F.struct(
-                    F.col("gram").alias("g"), (F.col("c") * glen).alias("cover")
-                ),
-            ),
-            # non-null grams first, then count desc, then gram asc
-            F.struct(
-                F.col("gram").isNull().alias("z"),
-                (-F.col("c")).alias("a"),
-                F.col("gram").alias("b"),
-            ),
-        ).alias("_top"),
-        F.sum(
-            F.when(real & (F.col("c") >= 2), F.col("c") * glen).otherwise(0)
-        ).alias("_dupchars"),
-    )
+
+    def _stats(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n", "top_ngram", "_cover", "_dupchars", "_chars"
+            )}
+            for doc, ws, chars in zip(
+                pdf["doc_id"], pdf["_ws"], pdf["_chars"]
+            ):
+                chars_out = None if pd.isna(chars) else int(chars)
+                words = None if ws is None else list(ws)
+                for n in ns_list:
+                    top, cover, dup = None, 0, 0
+                    if words and len(words) >= n:
+                        grams = list(zip(*(words[i:] for i in range(n))))
+                        cnt = Counter(grams)
+                        best_g, best_c = min(
+                            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                        )
+                        top = " ".join(best_g)
+                        cover = best_c * (len(top))
+                        dup = sum(
+                            c * (sum(map(len, g)) + n - 1)
+                            for g, c in cnt.items()
+                            if c >= 2
+                        )
+                    out["doc_id"].append(doc)
+                    out["n"].append(n)
+                    out["top_ngram"].append(top)
+                    out["_cover"].append(cover)
+                    out["_dupchars"].append(dup)
+                    out["_chars"].append(chars_out)
+            yield pd.DataFrame(out)
+
+    per = staged.mapInPandas(_stats, schema=out_schema)
     chars = F.col("_chars").cast("double")
-    has = (F.col("_chars") > 0) & F.col("_top").isNotNull()
+    has = (F.col("_chars") > 0) & F.col("top_ngram").isNotNull()
     return per.select(
         "doc_id",
         "n",
-        F.col("_top.g").alias("top_ngram"),
-        F.when(has, F.round(F.col("_top.cover") / chars, 6))
+        "top_ngram",
+        F.when(has, F.round(F.col("_cover") / chars, 6))
         .otherwise(F.lit(0.0))
         .alias("top_char_frac"),
         F.when(has, F.round(F.col("_dupchars") / chars, 6))
