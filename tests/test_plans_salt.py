@@ -112,8 +112,10 @@ def test_sample_is_zero_shuffle_scan(spark, tmp_path):
 
 
 def test_text_analyze_single_scan_no_shuffle(spark, tmp_path):
-    """The fused text profile is one parquet scan, zero exchanges, and
-    tokenizes once: exactly one split(... \\s+ ...) in the plan."""
+    """The fused text profile is one parquet scan that tokenizes once
+    (exactly one split(... \\s+ ...) in the plan). The only exchange
+    allowed is the narrow-input round-robin rebalance (r6) — never a
+    keyed shuffle."""
     from xpshacl_spark.operators.text import analyze
 
     p = str(tmp_path / "d.parquet")
@@ -123,7 +125,8 @@ def test_text_analyze_single_scan_no_shuffle(spark, tmp_path):
     ).write.parquet(p)
     out = analyze(spark.read.parquet(p), "text")
     plan = _plan(out)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the narrow-input rebalance only
     assert plan.count("FileScan parquet") == 1
     # one tokenization per row: the whitespace split appears once
     assert plan.count("split(trim(text") == 1

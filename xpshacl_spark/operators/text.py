@@ -253,7 +253,14 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     once per row; everything downstream references cheap attributes.
     Values are bit-identical to the composable forms (same expressions,
     same fold order) — the DuckDB oracle is unchanged.
+
+    Narrow inputs are rebalanced first (r6): the fused scan's per-row
+    expression work (tokenize + 4 stopword filters + regex ratios) is
+    the whole cost of the operator, and on a single-row-group local
+    file it would otherwise run on 1-2 cores (sf1.0: 4.6 s -> 2.9 s).
+    Structural no-op at cluster scale — see rebalance_if_narrow.
     """
+    df = rebalance_if_narrow(df)
     c = F.col(text_col)
     base_cols = list(df.columns)
     staged = df.withColumn("_xw", F.transform(words(c), F.lower))
@@ -319,7 +326,10 @@ def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII indicator counts (emails, IPv4s, phone-like
     numbers) + an `any_pii` gate column — the scrubbing/filter primitive
     of a training-data pipeline. One fused zero-shuffle scan; counting
-    is non-overlapping leftmost matching in both Spark and the oracle."""
+    is non-overlapping leftmost matching in both Spark and the oracle.
+    Narrow inputs are rebalanced first (r6): three regexp_extract_all
+    passes per doc are the whole cost; no-op at cluster scale."""
+    df = rebalance_if_narrow(df)
     c = F.col(text_col)
     counts = [
         F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).alias(f"n_{name}")
@@ -580,7 +590,9 @@ def repetition_stats(
     the agg is the plan that survives 10k-word web documents. Ties
     break to the lexicographically smallest word via min_by on a
     (-count, word) key; the NULL-word sentinel sorts last so it is
-    only chosen when the document has no words at all."""
+    only chosen when the document has no words at all.
+    Narrow inputs are rebalanced first (r6; no-op at cluster scale)."""
+    df = rebalance_if_narrow(df)
     ws = F.split(normalize_text(text_col), " ")
     per_word = (
         df.select(
@@ -892,7 +904,9 @@ def vocabulary(df: DataFrame, text_col: str = "text", k: int = 1000) -> DataFram
     size. This is the tokenizer-training / vocab-pruning primitive at
     100 TB scale: a web corpus has billions of distinct tokens, and a
     global rank window over them would be a one-task straggler —
-    guarded against in tests/test_plans_salt.py."""
+    guarded against in tests/test_plans_salt.py.
+    Narrow inputs are rebalanced first (r6; no-op at cluster scale)."""
+    df = rebalance_if_narrow(df)
     toks = (
         df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("token"))
         .where(F.col("token") != "")
@@ -922,7 +936,12 @@ def bpe_merge_candidates(
     pair stream to at most |alphabet|^2 rows per partition before the
     shuffle (normalized text means <= 36^2 distinct pairs — the
     shuffle is constant-size regardless of corpus size) ->
-    orderBy+limit, planned as TakeOrderedAndProject."""
+    orderBy+limit, planned as TakeOrderedAndProject.
+
+    Narrow inputs are rebalanced first (r6): the token/bigram explode
+    is the operator's whole cost and must not run on a 1-2 split local
+    file; structural no-op at cluster scale."""
+    df = rebalance_if_narrow(df)
     toks = df.select(
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     ).where(F.length("tok") >= 2)
