@@ -126,10 +126,11 @@ def test_drift_ks_variant(spark):
 def test_approx_quantiles_relation_shape_and_bound(spark):
     """approx_quantiles_relation matches quantiles_relation's relation
     shape, its values are actual data values within the sketch's rank
-    bound, and the error-bound variant keeps the r6 split shape: the
-    exact side runs on DISTINCT value counts through the vectorized
-    per-column pandas stage (never Spark's raw-row exact `percentile`
-    buffer), while the approx side stays one fused sketch agg."""
+    bound, and the error-bound variant keeps the r6 shape: the exact
+    side is the distributed histogram rank selection (never Spark's
+    raw-row exact `percentile` buffer, and no single-task per-column
+    pandas stage), while the approx sketch rides the same fused
+    bounds agg."""
     from xpshacl_spark.operators.profile import (
         approx_quantiles_relation,
         quantiles_error_bound_relation,
@@ -155,17 +156,67 @@ def test_approx_quantiles_relation_shape_and_bound(spark):
     assert all(r.within_bound for r in rows)
     assert {(r["column"], r.q): r.exact_q for r in rows} == e
     plan = checked._jdf.queryExecution().executedPlan().toString()
-    # exact quantiles come from the distinct-value pandas stage, not a
-    # raw-row exact percentile aggregation buffer
-    assert "FlatMapGroupsInPandas" in plan
+    # the returned relation is assembled from the distributed rank
+    # selection: no raw-row exact percentile aggregation buffer and no
+    # single-task per-column pandas group anywhere in the final plan
     assert "percentile(" not in plan.replace("approx_percentile(", "")
-    # exactly one sketch aggregation pair (partial + final)
-    assert plan.count("approx_percentile") >= 1
+    assert "FlatMapGroupsInPandas" not in plan
 
     with pytest.raises(ValueError, match="rank_margin"):
         quantiles_error_bound_relation(
             df, ["x"], (0.5,), accuracy=100, rank_margin=0.005
         )
+
+
+def test_exact_quantile_state_matches_sorted_oracle(spark):
+    """Randomized parity for the distributed histogram rank selection:
+    for adversarial value distributions (heavy duplicates, a hot
+    point mass that forces a refinement level, negatives, huge
+    magnitudes), _exact_quantile_state's (N, value-at-rank) must equal
+    a full driver-side sort + _percentile_from_sorted lookups, and
+    quantiles_relation must equal Spark's exact percentile bit-for-bit."""
+    import random
+
+    import numpy as np
+
+    from xpshacl_spark.operators.profile import (
+        _exact_quantile_state,
+        _percentile_from_sorted,
+        _rank_targets,
+        quantiles_relation,
+    )
+
+    rng = random.Random(60_601)
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    for trial, pool in enumerate(
+        [
+            [rng.uniform(-1e9, 1e9) for _ in range(500)],
+            [float(rng.randint(0, 8)) for _ in range(500)],
+            # point mass: 90% identical values in one tiny bucket
+            [3.25] * 450 + [rng.uniform(3.0, 3.5) for _ in range(50)],
+        ]
+    ):
+        rng.shuffle(pool)
+        df = spark.createDataFrame([(v,) for v in pool], "x double")
+        n_by, val_at, _ = _exact_quantile_state(
+            df, ["x"], list(qs), bucket_count=4, candidate_limit=64,
+            max_depth=4,
+        )
+        assert n_by["x"] == len(pool)
+        v = np.sort(np.array(pool, dtype="float64"))
+        distinct, counts = np.unique(v, return_counts=True)
+        cum = np.cumsum(counts)
+        for rank in _rank_targets(len(pool), qs):
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            assert val_at[("x", rank)] == float(distinct[idx]), (
+                trial, rank,
+            )
+        got = {
+            r.q: r.quantile
+            for r in quantiles_relation(df, ["x"], qs).collect()
+        }
+        want = {q: _percentile_from_sorted(distinct, cum, q) for q in qs}
+        assert got == want, trial
 
 
 def test_error_bound_vacuous_below_resolution(spark):

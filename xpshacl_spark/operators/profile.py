@@ -219,6 +219,242 @@ def _value_counts_cells(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return cells.groupBy("column", "v").agg(F.count(F.lit(1)).alias("c"))
 
 
+def _rank_targets(n: int, qs_grid: Sequence[float]) -> set[int]:
+    """The 1-based cumulative-count ranks _percentile_from_sorted
+    would look up for each q over an n-value column: floor(p)+1 and
+    ceil(p)+1 with p = q * (n - 1)."""
+    import math
+
+    ranks: set[int] = set()
+    for q in qs_grid:
+        p = q * (n - 1)
+        ranks.add(math.floor(p) + 1)
+        ranks.add(math.ceil(p) + 1)
+    return ranks
+
+
+def _exact_quantile_state(
+    df: DataFrame,
+    columns: Sequence[str],
+    qs_grid: Sequence[float],
+    bucket_count: int = 8192,
+    candidate_limit: int = 1 << 18,
+    max_depth: int = 4,
+    extra_aggs: Sequence[Column] = (),
+):
+    """Distributed exact value-at-rank selection (optimization guide
+    §2.5 — parallel selection instead of a per-column straggler task):
+    returns ({column: non-null count N}, {(column, rank): value at
+    that 1-based rank of the ascending sorted multiset}) for exactly
+    the ranks `_percentile_from_sorted` would probe for qs_grid.
+
+    The pre-r06.2 plan shipped every (column, value, count) cell of a
+    column into ONE applyInPandas task — a 4-6M-distinct column at
+    sf1.0 made a single task pay the whole shuffle read + Arrow
+    transfer + sort (measured 6.6-11.3 s); a range-sort variant pays
+    a full sort + checkpoint of the cells (6.5 s). This path never
+    sorts and never shuffles more than histogram rows:
+
+    1. one fused min/max/count agg over the raw columns (bounds and N);
+    2. one equi-width histogram agg per refinement level — bucket id
+       is a monotone function of the value, so per-bucket ROW counts
+       give the exact cumulative row offset below every bucket, which
+       locates each target rank's bucket; buckets holding more rows
+       than `candidate_limit` are re-histogrammed within their value
+       interval (same formula, narrowed bounds) — each level divides
+       the candidate set by `bucket_count`, so depth is effectively
+       <= 2 on real data (8192^2 buckets over the double range);
+    3. one selection agg collects the distinct (value, count) cells of
+       ONLY the target buckets (~rows/bucket_count values per rank),
+       and the driver finishes with the same
+       np.searchsorted(cum, rank, side='left') lookup over that
+       bucket's sorted values, offset by the bucket's exact row base.
+
+    All shuffles are histogram/candidate sized; the scans are plain
+    codegen'd column scans of the input. Values and ranks are
+    identical to the single-task stage's by monotonicity of the
+    bucket assignment (IEEE subtraction/division by a positive width
+    and floor are order-preserving; NaN is binned past the last
+    bucket exactly where both engines sort it).
+
+    `extra_aggs` ride along in the pass-1 fused agg (one scan pays for
+    both — e.g. the error-bound sketch) and come back as the third
+    element of the result tuple (a Row, or None when unused)."""
+    import math
+
+    import numpy as np
+
+    uniq = list(dict.fromkeys(columns))
+    d_cols = {c: F.col(c).cast("double") for c in uniq}
+    # pass 1: bounds + N per column, one fused agg (count(expr) skips
+    # nulls but keeps NaN, matching the cells filter it replaces)
+    bounds_aggs = []
+    for i, c in enumerate(uniq):
+        d = d_cols[c]
+        bounds_aggs += [
+            F.min(d).alias(f"_lo{i}"),
+            F.max(d).alias(f"_hi{i}"),
+            F.count(d).alias(f"_n{i}"),
+        ]
+    brow = df.agg(*bounds_aggs, *extra_aggs).collect()[0]
+    n_by_ci = {i: int(brow[f"_n{i}"]) for i in range(len(uniq))}
+    ranks_by_ci = {
+        ci: sorted(_rank_targets(n, qs_grid))
+        for ci, n in n_by_ci.items()
+        if n > 0
+    }
+
+    def _bucket_expr(ci: int, lo: float, width: float) -> Column:
+        v = d_cols[uniq[ci]]
+        if width <= 0.0 or not math.isfinite(width):
+            raw = F.lit(0)
+        else:
+            raw = F.floor((v - F.lit(lo)) / F.lit(width))
+        b = F.least(
+            F.greatest(raw.cast("long"), F.lit(0)),
+            F.lit(bucket_count - 1),
+        )
+        # NaN sorts after every number in both engines: own last bucket
+        return F.when(F.isnan(v), F.lit(bucket_count)).otherwise(b)
+
+    # refinement state: (ci, interval_lo, width, base_rank, ranks,
+    # membership predicate); lo==hi / all-NaN / infinite-range columns
+    # degenerate to width 0 = a single bucket, resolved by the
+    # selection pass directly
+    jobs = []
+    for ci, ranks in ranks_by_ci.items():
+        lo, hi = brow[f"_lo{ci}"], brow[f"_hi{ci}"]
+        lo_f = float(lo) if lo is not None else 0.0
+        hi_f = float(hi) if hi is not None else 0.0
+        width = (hi_f - lo_f) / bucket_count
+        if not math.isfinite(width) or width <= 0.0:
+            width = 0.0
+        jobs.append((ci, lo_f, width, 0, tuple(ranks), None))
+
+    val_at: dict[tuple[str, int], float] = {}
+    depth = 0
+    while jobs:
+        # one histogram agg for every open subproblem at this level
+        hist_structs = []
+        for j, (ci, lo, width, base, ranks, pred) in enumerate(jobs):
+            v = d_cols[uniq[ci]]
+            member = v.isNotNull() if pred is None else pred
+            hist_structs.append(
+                F.struct(
+                    F.lit(j).alias("jid"),
+                    F.when(member, _bucket_expr(ci, lo, width))
+                    .otherwise(F.lit(None))
+                    .alias("b"),
+                )
+            )
+        hist = (
+            df.select(F.inline(F.array(*hist_structs)))
+            .where(F.col("b").isNotNull())
+            .groupBy("jid", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_job: dict[int, list] = {}
+        for r in hist:
+            per_job.setdefault(r["jid"], []).append((r["b"], r["c"]))
+        collect_jobs = []  # (ci, pred, bucket base ranks)
+        next_jobs = []
+        for j, (ci, lo, width, base, ranks, pred) in enumerate(jobs):
+            buckets = sorted(per_job.get(j, []))
+            cum = base
+            bucket_base = {}
+            for b, c in buckets:
+                bucket_base[b] = cum
+                cum += c
+            counts = dict(buckets)
+            # group target ranks by the bucket containing them
+            by_bucket: dict[int, list[int]] = {}
+            for rank in ranks:
+                # first bucket whose cumulative end >= rank
+                for b, c in buckets:
+                    if bucket_base[b] < rank <= bucket_base[b] + c:
+                        by_bucket.setdefault(b, []).append(rank)
+                        break
+            for b, rks in by_bucket.items():
+                v = d_cols[uniq[ci]]
+                bpred = _bucket_expr(ci, lo, width) == b
+                member = (
+                    v.isNotNull() & bpred if pred is None else pred & bpred
+                )
+                if (
+                    counts[b] > candidate_limit
+                    and depth + 1 < max_depth
+                    and width > 0.0
+                ):
+                    sub_lo = lo + b * width
+                    sub_w = width / bucket_count
+                    if math.isfinite(sub_w) and sub_w > 0.0:
+                        next_jobs.append(
+                            (ci, sub_lo, sub_w, bucket_base[b],
+                             tuple(rks), member)
+                        )
+                        continue
+                collect_jobs.append((ci, member, bucket_base[b], rks))
+        if collect_jobs:
+            sel_structs = []
+            for j, (ci, member, base, rks) in enumerate(collect_jobs):
+                sel_structs.append(
+                    F.struct(
+                        F.lit(j).alias("jid"),
+                        F.when(member, d_cols[uniq[ci]])
+                        .otherwise(F.lit(None))
+                        .alias("v"),
+                    )
+                )
+            cells = (
+                df.select(F.inline(F.array(*sel_structs)))
+                .where(F.col("v").isNotNull())
+                .groupBy("jid", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            per_sel: dict[int, list] = {}
+            for r in cells:
+                per_sel.setdefault(r["jid"], []).append((r["v"], r["c"]))
+            for j, (ci, member, base, rks) in enumerate(collect_jobs):
+                vs = per_sel.get(j, [])
+                v_arr = np.array([t[0] for t in vs], dtype="float64")
+                c_arr = np.array([t[1] for t in vs], dtype="int64")
+                order = np.argsort(v_arr, kind="stable")
+                v_arr = v_arr[order]
+                cum = base + np.cumsum(c_arr[order])
+                for rank in rks:
+                    idx = int(np.searchsorted(cum, rank, side="left"))
+                    val_at[(uniq[ci], rank)] = float(v_arr[idx])
+        jobs = next_jobs
+        depth += 1
+
+    n_by_col = {uniq[ci]: n for ci, n in n_by_ci.items() if n > 0}
+    return n_by_col, val_at, (brow if extra_aggs else None)
+
+
+def _percentile_from_ranks(
+    col: str,
+    n: int,
+    val_at: dict[tuple[str, int], float],
+    q: float,
+):
+    """_percentile_from_sorted's arithmetic over the pre-selected rank
+    values (same double-op order, same early returns)."""
+    import math
+
+    p = q * (n - 1)
+    lower = math.floor(p)
+    higher = math.ceil(p)
+    v_lo = val_at[(col, lower + 1)]
+    if higher == lower:
+        return v_lo
+    v_hi = val_at[(col, higher + 1)]
+    if v_hi == v_lo:
+        return v_lo
+    return (higher - p) * v_lo + (p - lower) * v_hi
+
+
 def _qgrid_literal(spark, columns, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
@@ -229,49 +465,38 @@ def quantiles_relation(
     """Exact interpolated quantiles per column as a relation
     (column, q, quantile) — same semantics as ANSI quantile_cont /
     Spark's exact `percentile` (position q*(n-1), linear
-    interpolation), computed scalably in two keyed stages instead of
-    one giant aggregation buffer:
+    interpolation), computed by the distributed histogram rank
+    selection of `_exact_quantile_state` — bucket-count aggs locate
+    each target rank's bucket, one selection agg fetches only that
+    bucket's distinct values, and the driver finishes with
+    `_percentile_from_ranks` (Spark's Percentile.getPercentile
+    arithmetic bit-for-bit).
 
-    1. (column, value) distinct counts: one scan, one codegen'd
-       map-side-combined hash agg (`_value_counts_cells`). This is the
-       only corpus-sized shuffle, and it moves distinct values, not
-       rows.
-    2. per-column quantile assembly: one applyInPandas group per
-       column sorts its DISTINCT values in numpy and replicates
-       Spark's Percentile.getPercentile arithmetic bit-for-bit
-       (`_percentile_from_sorted`).
-
-    The old single `percentile(col, array(qs))` agg fed every raw row
-    through a boxed value->count map in ONE task (sf1.0 measured:
-    17.7 s for one 4.6M-distinct column; this path: < 3 s for three).
-    Columns with no non-null values surface as NULL quantiles via the
-    literal (column, q) grid left join — the same rows the old plan
-    emitted."""
+    History: the original single `percentile(col, array(qs))` agg fed
+    every raw row through a boxed value->count map in ONE task (sf1.0
+    measured: 17.7 s for one 4.6M-distinct column); the first r06 fix
+    (distinct-value counts -> one applyInPandas group per column)
+    still made the widest column a single straggler task (6.6-11.3 s
+    at sf1.0); the rank selection does neither — every shuffle is
+    histogram-sized. Columns with no non-null values surface as NULL
+    quantiles via the literal (column, q) grid left join — the same
+    rows the old plans emitted."""
     spark = df.sparkSession
     q_list = [float(q) for q in qs]
-
-    def _quants(pdf):
-        import numpy as np
-        import pandas as pd
-
-        col = pdf["column"].iloc[0]
-        v = pdf["v"].to_numpy(dtype="float64")
-        c = pdf["c"].to_numpy(dtype="int64")
-        order = np.argsort(v, kind="stable")
-        v = v[order]
-        cum = np.cumsum(c[order])
-        return pd.DataFrame(
-            {
-                "column": [col] * len(q_list),
-                "q": np.array(q_list, dtype="float64"),
-                "quantile": [
-                    _percentile_from_sorted(v, cum, q) for q in q_list
-                ],
-            }
+    n_by_col, val_at, _ = _exact_quantile_state(df, columns, q_list)
+    rows = [
+        (
+            c,
+            q,
+            _percentile_from_ranks(c, n_by_col[c], val_at, q)
+            if c in n_by_col
+            else None,
         )
-
-    computed = _value_counts_cells(df, columns).groupBy("column").applyInPandas(
-        _quants, schema="column string, q double, quantile double"
+        for c in dict.fromkeys(columns)
+        for q in q_list
+    ]
+    computed = _qgrid_literal(
+        spark, columns, rows, "column string, q double, quantile double"
     )
     grid = _qgrid_literal(
         spark,
@@ -350,87 +575,71 @@ def quantiles_error_bound_relation(
              min(1.0, float(q) + rank_margin))
         )
 
-    # exact side: the scalable two-stage exact-quantile path (see
-    # quantiles_relation) — per column, one pandas group emits the
-    # whole [q-m, q, q+m] grid plus the non-null count N from the
-    # same sorted distinct-value array
-    def _quants(pdf):
-        import numpy as np
-        import pandas as pd
-
-        col = pdf["column"].iloc[0]
-        v = pdf["v"].to_numpy(dtype="float64")
-        c = pdf["c"].to_numpy(dtype="int64")
-        order = np.argsort(v, kind="stable")
-        v = v[order]
-        cum = np.cumsum(c[order])
-        n = int(cum[-1])
-        return pd.DataFrame(
-            {
-                "column": [col] * len(grid),
-                "q": np.array([t[1] for t in grid], dtype="float64"),
-                "_lo": [_percentile_from_sorted(v, cum, t[0]) for t in grid],
-                "_ex": [_percentile_from_sorted(v, cum, t[1]) for t in grid],
-                "_hi": [_percentile_from_sorted(v, cum, t[2]) for t in grid],
-                "_n": np.array([n] * len(grid), dtype="int64"),
-            }
-        )
-
-    exact = _value_counts_cells(df, columns).groupBy("column").applyInPandas(
-        _quants,
-        schema=(
-            "column string, q double, _lo double, _ex double, "
-            "_hi double, _n bigint"
-        ),
+    # exact side: the scalable exact-quantile path (see
+    # quantiles_relation) — the distributed rank selection of
+    # `_exact_quantile_state` over the whole [q-m, q, q+m] grid, plus
+    # the non-null count N from the same totals pass. The approx
+    # sketch rides the SAME pass-1 fused agg (extra_aggs), so the
+    # whole relation costs one fused agg + the histogram/selection
+    # passes — no separate sketch scan.
+    qs_grid = sorted({b for t in grid for b in t})
+    uniq = list(dict.fromkeys(columns))
+    sketch_aggs = [
+        F.approx_percentile(
+            F.col(c).cast("double"),
+            F.array(*[F.lit(float(q)) for q in qs]),
+            F.lit(accuracy),
+        ).alias(f"_a{i}")
+        for i, c in enumerate(uniq)
+    ]
+    n_by_col, val_at, sk_row = _exact_quantile_state(
+        df, columns, qs_grid, extra_aggs=sketch_aggs
     )
-    lit_grid = _qgrid_literal(
+    # assembly (driver-side over the grid-sized state, same arithmetic
+    # as the old in-plan expressions): per (column, q), exact grid
+    # values from the rank lookups, sketch value from the fused-agg
+    # row, the resolution guard, and the bound check
+    q_list = [float(q) for q in qs]
+    out_rows = []
+    for ci, c in enumerate(uniq):
+        sk_vals = sk_row[f"_a{ci}"]
+        for lo_q, mid_q, hi_q in grid:
+            if c in n_by_col:
+                n = n_by_col[c]
+                v_lo = _percentile_from_ranks(c, n, val_at, lo_q)
+                v_ex = _percentile_from_ranks(c, n, val_at, mid_q)
+                v_hi = _percentile_from_ranks(c, n, val_at, hi_q)
+            else:
+                n, v_lo, v_ex, v_hi = 0, None, None, None
+            ap = (
+                float(sk_vals[q_list.index(mid_q)])
+                if sk_vals is not None
+                else None
+            )
+            # resolution guard (docstring): the check binds only when
+            # (N-1)*m - N/accuracy >= 1; under that it is vacuous-true
+            resolvable = (
+                (n - 1) * rank_margin - n / float(accuracy)
+            ) >= 1
+            within = (not resolvable) or (
+                ap is not None
+                and v_lo is not None
+                and v_lo <= ap <= v_hi
+            )
+            out_rows.append((c, mid_q, v_ex, within))
+    # duplicate listed columns re-emit their rows, as the old grid
+    # left-join did
+    by_col: dict[str, list] = {}
+    for r in out_rows:
+        by_col.setdefault(r[0], []).append(r)
+    final_rows = [r for c in columns for r in by_col[c]] if (
+        len(uniq) != len(list(columns))
+    ) else out_rows
+    return _qgrid_literal(
         spark,
         columns,
-        [(c, t[1]) for c in columns for t in grid],
-        "column string, q double",
-    )
-    # approx side: one fused sketch agg over the raw table (constant
-    # memory per column); its single row broadcast-joins to the
-    # grid-sized exact relation
-    uniq = list(dict.fromkeys(columns))
-    sk_row = df.agg(
-        *[
-            F.approx_percentile(
-                F.col(c).cast("double"),
-                F.array(*[F.lit(float(q)) for q in qs]),
-                F.lit(accuracy),
-            ).alias(f"_a{i}")
-            for i, c in enumerate(uniq)
-        ]
-    )
-    joined = lit_grid.join(exact, ["column", "q"], "left").join(
-        F.broadcast(sk_row)
-    )
-    q_index = F.array(*[F.lit(float(q)) for q in qs])
-    ap_by_col = None
-    for i, c in enumerate(uniq):
-        sk = F.col(f"_a{i}").getItem(
-            F.array_position(q_index, F.col("q")).cast("int") - 1
-        ).cast("double")
-        cond = F.col("column") == c
-        ap_by_col = (
-            F.when(cond, sk) if ap_by_col is None
-            else ap_by_col.when(cond, sk)
-        )
-    n = F.coalesce(F.col("_n"), F.lit(0).cast("bigint"))
-    # resolution guard (docstring): the check binds only when
-    # (N-1)*m - N/accuracy >= 1; under that it is vacuous-true
-    resolvable = (
-        (n - 1) * F.lit(rank_margin) - n / F.lit(float(accuracy))
-    ) >= 1
-    ap = ap_by_col
-    return joined.select(
-        "column",
-        "q",
-        F.col("_ex").alias("exact_q"),
-        (
-            ~resolvable | ((ap >= F.col("_lo")) & (ap <= F.col("_hi")))
-        ).alias("within_bound"),
+        final_rows,
+        "column string, q double, exact_q double, within_bound boolean",
     )
 
 
