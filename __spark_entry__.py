@@ -1740,8 +1740,23 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xpshacl_spark.operators.sample import hash_sample
 
     d = _load(spark, sf_dir, "documents")
-    qual = tx.analyze(d, "text").where(
-        F.col("lang").isin("en", "es", "de", "fr") & (F.col("quality") >= 0.5)
+    # r06: the lang gate is a BASE column — applied under analyze() so
+    # it reaches the parquet scan (PushedFilters); the quality gate is
+    # a COMPUTED column — filtered above a projected lazy-checkpoint
+    # barrier, because Catalyst otherwise pushes the predicate below
+    # analyze's rebalance, inlining the whole tokenization into a
+    # pre-rebalance Filter that runs at input-file parallelism AND
+    # re-evaluates it in the projection (guide §4.4's duplicated-eval
+    # trap, measured 4.0 s -> 0.6 s for this side at the x10 scale).
+    # The barrier materializes only (doc_id, lang, quality) — column
+    # pruning drops analyze's heavy unused outputs — per invocation.
+    qual = (
+        tx.analyze(
+            d.where(F.col("lang").isin("en", "es", "de", "fr")), "text"
+        )
+        .select("doc_id", "lang", "quality")
+        .localCheckpoint(eager=False)
+        .where(F.col("quality") >= 0.5)
     )
     clusters = duplicate_clusters(
         jaccard_pairs(

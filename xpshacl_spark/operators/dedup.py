@@ -328,7 +328,10 @@ def _minlabel_pointer_jump(edges: DataFrame, max_iter: int) -> DataFrame:
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 20, local_contract: bool = True
+    pairs: DataFrame,
+    max_iter: int = 20,
+    local_contract: bool = True,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) where
     cluster_id is the MIN id reachable through the pair graph. This is
@@ -356,6 +359,20 @@ def duplicate_clusters(
        local min is a vertex of the contracted graph, so composing
        id -> lroot -> global label reproduces exactly the
        min-reachable-id labeling of the recursive-CTE oracle.
+
+    3b. **Driver finish for metadata-sized boundary graphs** (r06,
+       guide §1.2 fixed costs): the contracted graph has one vertex
+       per partition-local subcomponent, so after contraction it is
+       usually tiny (10^1-10^5 edges even for corpora with millions of
+       near-dup pairs). When it holds <= driver_max_edges rows
+       (checked with a limit probe, never an unbounded count), the
+       driver runs the same min-root union-find the local pass uses
+       and broadcasts the labels back — replacing 4-6 distributed
+       pointer-jump rounds (each a join + agg + checkpoint + count
+       action: measured 5.5 s of pure round overhead on a 10k-edge
+       pair set at the x10 bench scale) with one bounded collect. A
+       boundary graph past the cap still runs the distributed loop —
+       the collect is bounded by construction, not by hope.
 
     local_contract=False falls back to pointer jumping over the raw
     edge list (same fixpoint; used by tests to pin the round count).
@@ -418,7 +435,39 @@ def duplicate_clusters(
         g.select(F.explode("rs").alias("src"), F.col("mr").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    groots = _minlabel_pointer_jump(contracted, max_iter)
+    groots = None
+    if driver_max_edges:
+        head = contracted.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            parent2: dict = {}
+
+            def find2(x):
+                r = x
+                while parent2.get(r, r) != r:
+                    r = parent2[r]
+                while parent2.get(x, x) != r:
+                    parent2[x], x = r, parent2[x]
+                return r
+
+            nodes = set()
+            for e in head:
+                a, b = e["src"], e["dst"]
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find2(a), find2(b)
+                if ra == rb:
+                    continue
+                if ra < rb:
+                    parent2[rb] = ra
+                else:
+                    parent2[ra] = rb
+            spark = pairs.sparkSession
+            groots = spark.createDataFrame(
+                [(i, find2(i)) for i in sorted(nodes)],
+                schema=f"id {idt}, label {idt}",
+            )
+    if groots is None:
+        groots = _minlabel_pointer_jump(contracted, max_iter)
     return (
         g.join(groots, g["mr"] == groots["id"], "left")
         .select(
