@@ -65,14 +65,19 @@ def test_violation_diff_resolved_and_counts(spark):
     assert d2.count() == 1
 
 
-def test_violation_diff_is_single_equi_join(spark):
+def test_violation_diff_is_single_exchange_agg(spark):
+    """r06 plan shape: the diff is a union + ONE hash aggregation on
+    the identity columns (replacing two dropDuplicates exchanges + a
+    full-outer join) — no join operator of any kind, exactly one
+    exchange, and never a cartesian."""
     mk = lambda n: spark.range(n).select(  # noqa: E731
         F.lit("s").alias("shape_id"),
         F.lit("C").alias("constraint_component"),
         F.col("id").alias("k"),
     )
     plan = _plan(violation_diff(mk(100), mk(80), key_cols=["k"]))
-    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

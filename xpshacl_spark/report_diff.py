@@ -47,14 +47,26 @@ def violation_diff(
     rows (one focus row violating the same component twice, e.g. two
     array elements) are collapsed: the diff is over the violation SET."""
     ident = [*id_cols, *key_cols]
-    cur = current.select(*ident).distinct().withColumn("_pc", F.lit(True))
-    prev = previous.select(*ident).distinct().withColumn("_pp", F.lit(True))
-    joined = cur.join(prev, ident, "full_outer")
-    status = F.when(F.col("_pp").isNull(), F.lit("new")).otherwise(
-        F.lit("resolved")
+    # ONE shuffle (r06): tag each side, union, and aggregate presence
+    # flags per identity — the map-side-combined hash agg replaces the
+    # former two dropDuplicates shuffles + full-outer join (3 exchanges
+    # over violation-sized relations) with a single exchange carrying
+    # the same identity columns. max(bool) over the union is exactly
+    # "appears on that side at least once", so the one-sided filter and
+    # statuses are unchanged.
+    tagged = current.select(
+        *ident, F.lit(True).alias("_pc"), F.lit(False).alias("_pp")
+    ).unionByName(
+        previous.select(
+            *ident, F.lit(False).alias("_pc"), F.lit(True).alias("_pp")
+        )
     )
+    per_ident = tagged.groupBy(*ident).agg(
+        F.max("_pc").alias("_pc"), F.max("_pp").alias("_pp")
+    )
+    status = F.when(~F.col("_pp"), F.lit("new")).otherwise(F.lit("resolved"))
     return (
-        joined.where(F.col("_pc").isNull() | F.col("_pp").isNull())
+        per_ident.where(~F.col("_pc") | ~F.col("_pp"))
         .select(*ident, status.alias("status"))
     )
 

@@ -112,15 +112,25 @@ class Suggestion:
 def _column_stats(
     df: DataFrame, cols: Sequence[str], exact: bool
 ) -> dict[str, dict]:
-    """ONE fused aggregate: every statistic for every column in a
-    single scan; returns {col: {n, nonnull, distinct, mn, mx}}."""
+    """Every statistic for every column; returns
+    {col: {n, nonnull, distinct, mn, mx}}.
+
+    approx path: ONE fused aggregate (approx_count_distinct sketches
+    fuse fine). exact path (r06): exact multi-distinct in one agg
+    plans an Expand that replicates the input once per distinct column
+    (6x the rows for 5 columns — measured 3.6 s on 1.5M orders), so
+    instead each column's exact count_distinct runs as its OWN
+    two-level agg, all submitted concurrently from a small thread pool
+    (optimization guide §2.6 — the scheduler back-fills the cluster
+    with the independent jobs; measured 1.05 s for the same stats).
+    Results are exact either way; only the job shape differs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     dtypes = dict(df.dtypes)
     aggs: list = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs.append(F.count(c).alias(f"nn_{c}"))
-        if exact:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}"))
-        else:
+        if not exact:
             aggs.append(F.approx_count_distinct(c).alias(f"d_{c}"))
         if dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal"):
             aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
@@ -128,12 +138,27 @@ def _column_stats(
         elif dtypes[c] == "string":
             aggs.append(F.min(F.length(c)).cast("double").alias(f"mn_{c}"))
             aggs.append(F.max(F.length(c)).cast("double").alias(f"mx_{c}"))
-    row = df.agg(*aggs).collect()[0].asDict()  # 1 row — bounded
+
+    if exact and cols:
+        def _distinct(c: str) -> int:
+            return df.agg(
+                F.count_distinct(F.col(c)).alias("d")
+            ).collect()[0]["d"]
+
+        with ThreadPoolExecutor(min(len(cols) + 1, 8)) as pool:
+            futures = {c: pool.submit(_distinct, c) for c in cols}
+            row = pool.submit(
+                lambda: df.agg(*aggs).collect()[0].asDict()
+            ).result()
+            distincts = {c: f.result() for c, f in futures.items()}
+    else:
+        row = df.agg(*aggs).collect()[0].asDict()  # 1 row — bounded
+        distincts = {c: row[f"d_{c}"] for c in cols}
     out: dict[str, dict] = {"_rows": row["_rows"]}
     for c in cols:
         out[c] = {
             "nonnull": row[f"nn_{c}"],
-            "distinct": row[f"d_{c}"],
+            "distinct": distincts[c],
             "mn": row.get(f"mn_{c}"),
             "mx": row.get(f"mx_{c}"),
         }
