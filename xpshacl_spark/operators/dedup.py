@@ -1226,27 +1226,44 @@ def duplicate_span_stats(
     cookie banners, license footers) — the standard filter drops docs
     above a dup_ratio threshold before training.
 
-    Plan: distinct (doc, span) relation -> one span-keyed groupBy for
-    corpus doc-frequency (map-side combined; the relation is distinct
-    per doc so count(*) IS the doc frequency) -> equi-join back ->
-    per-doc agg. Unlike the pairwise dedup operators this has NO
-    quadratic fan-out — the df join emits exactly one row per (doc,
-    span) however hot the span — so no stop-shingle cap is needed;
-    hot-span shuffle skew is absorbed by map-side combine. Returns
-    (id, n_spans, n_dup_spans, dup_ratio) with zero-span docs retained
-    at ratio NULL.
+    Plan (r06): NO join-back of the wide (doc, span) relation. The
+    relation is distinct per doc, so a span with corpus doc-frequency
+    1 belongs to exactly ONE document — and that owner rides the SAME
+    span-keyed agg as the frequency (min(doc_id) of a 1-doc group is
+    the doc). Per-doc duplicated counts are then
+    n_dup = n_spans - n_unique:
+      * span-keyed agg: (span) -> (df, min_doc) — map-side combined,
+        hot-span skew absorbed by the combine;
+      * doc-keyed agg over the df==1 SLICE of that output -> n_unique
+        per doc (vocabulary-sized input);
+      * doc-keyed agg over the span relation -> n_spans (50k-group
+        map-side combine, near-zero shuffle).
+    The pre-r06 equi-join back emitted one row per (doc, span) and
+    re-shuffled the full string relation a second time just to count
+    it. No quadratic fan-out anywhere, no stop-shingle cap needed.
+    Returns (id, n_spans, n_dup_spans, dup_ratio) with zero-span docs
+    retained at ratio NULL.
     """
-    # the span relation feeds BOTH the doc-frequency agg and the join
-    # back — checkpoint so the explode chain runs once per action, not
-    # once per consumer (r6; same rationale as jaccard_pairs)
+    # the span relation feeds BOTH keyed aggs — checkpoint so the
+    # explode chain runs once per action, not once per consumer (r6)
     sh = shingles(df, id_col, text_col, n=n).localCheckpoint(eager=False)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(dfreq, "shingle")
+    uniq_per_doc = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_spans"),
-            F.sum((F.col("df") >= 2).cast("int")).cast("int").alias("n_dup_spans"),
+        .agg(F.count(F.lit(1)).cast("int").alias("_n_uniq"))
+    )
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_spans"))
+        .join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            (
+                F.col("n_spans") - F.coalesce(F.col("_n_uniq"), F.lit(0))
+            ).cast("int").alias("n_dup_spans"),
         )
     )
     return (
@@ -1756,47 +1773,48 @@ def strip_dup_spans(
     span relation — the span extraction, which is the scale-relevant
     part, is shared.
 
-    Plan: spans -> explode to covered positions (linear in covered
-    words) -> left-anti against the positioned word scan -> per-doc
-    rebuild via array_sort(collect_list(struct(pos, word))) — per-doc
-    arrays are doc-length bounded, never corpus-sized.
+    Plan (r06): spans -> ONE per-doc collect_list agg (span lists are
+    doc-bounded) -> keyed join back onto the word arrays (the span
+    side is spans-per-doc sized, so AQE broadcasts it when it fits) ->
+    per-ROW higher-order filter drops covered positions and rebuilds
+    the text in place. The earlier form exploded every WORD of every
+    document into (doc, pos) rows and ran a left-anti join plus a
+    collect_list rebuild agg — three corpus-word-sized exchanges that
+    the in-row filter replaces with zero (only the span relation
+    shuffles).
     """
     spans = exact_dup_spans(df, id_col, text_col, n=n, min_count=min_count)
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start_word"), F.col("end_word"))
-        ).alias("pos"),
-    ).select("doc_id", F.col("pos").cast("int").alias("pos"))
-    word_rows = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
-            "_i", "word"
-        ),
-    ).select("doc_id", (F.col("_i") + 1).cast("int").alias("pos"), "word")
-    kept = word_rows.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "word"))
-            ).alias("_pw")
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.transform(F.col("_pw"), lambda s: s["word"])
-            ).alias("clean_text"),
-        )
+    span_sets = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("start_word", "end_word")
+        ).alias("_spans")
     )
-    # docs whose every word was covered (or empty docs) keep an empty
-    # clean_text rather than vanishing
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
-        )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    ).join(span_sets, "doc_id", "left")
+    kept = F.filter(
+        F.transform(
+            F.col("_ws"),
+            lambda w, i: F.struct(
+                w.alias("word"), (i + 1).alias("pos")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["pos"] >= sp["start_word"])
+            & (s["pos"] <= sp["end_word"]),
+        ),
+    )
+    clean = F.when(
+        F.col("_spans").isNull(),
+        F.concat_ws(" ", F.col("_ws")),
+    ).otherwise(
+        F.concat_ws(" ", F.transform(kept, lambda s: s["word"]))
+    )
+    # null-text docs keep an empty clean_text rather than vanishing
+    return base.select(
+        "doc_id", F.coalesce(clean, F.lit("")).alias("clean_text")
     )
 
 

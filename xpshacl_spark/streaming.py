@@ -128,12 +128,13 @@ def streaming_dedup(
     key_cols: Sequence[str],
     content_col: str = "text",
     emit_duplicates: bool = False,
+    shards: int | None = None,
 ) -> DataFrame:
     """Stateful exact dedup over an unbounded stream.
 
-    Groups by the md5 content fingerprint (operators.text.normalize_text
-    semantics, same key as batch `dedup.exact_duplicates`) and keeps one
-    long per distinct fingerprint in state via applyInPandasWithState.
+    Keys state on the md5 content fingerprint (operators.text.
+    normalize_text semantics, same key as batch `dedup.exact_duplicates`)
+    via applyInPandasWithState.
 
     * emit_duplicates=False: pass through only the FIRST occurrence of
       each content ever seen (streaming dedup for training-data feeds).
@@ -144,6 +145,22 @@ def streaming_dedup(
     Within a micro-batch, occurrence order is made deterministic by
     sorting on key_cols. State is one counter per distinct content —
     bounded by distinct fingerprints, not rows.
+
+    r06 (optimization guide §2.5 coarser keys / §4.2 vectorize): the
+    stream groups by a deterministic SHARD of the fingerprint, not the
+    raw fingerprint — grouping by fingerprint called the Python state
+    function once per distinct content (50k Python invocations per
+    micro-batch at the x10 bench scale, each paying concat +
+    per-group overhead), where the shard form calls it `shards` times
+    and handles each shard's fingerprints vectorized (groupby cumcount
+    in pandas). Per-shard state is the (fingerprint -> count) slice as
+    two parallel arrays; `shards` bounds state-value size — size it so
+    fingerprints/shards stays ~10^3 (default: 8x shuffle partitions
+    locally; a 100 TB corpus raises it so per-shard state stays flat,
+    trading state-store value size against per-group overhead).
+    Emitted rows are byte-identical to the per-fingerprint form: the
+    within-batch order and cross-batch counters are per fingerprint
+    either way.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType
@@ -151,32 +168,54 @@ def streaming_dedup(
     from xpshacl_spark.operators.dedup import fingerprint_col
 
     keys = list(key_cols)
-    tagged = stream_df.withColumn("_fp", fingerprint_col(content_col))
-    out_schema = StructType(
-        tagged.schema.fields + [StructField("n_prior", LongType())]
+    spark = stream_df.sparkSession
+    if shards is None:
+        shards = 8 * max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    tagged = stream_df.withColumn(
+        "_fp", fingerprint_col(content_col)
+    ).withColumn(
+        "_shard", F.pmod(F.xxhash64("_fp"), F.lit(shards)).cast("long")
     )
+    fields = [f for f in tagged.schema.fields if f.name != "_shard"]
+    out_schema = StructType(fields + [StructField("n_prior", LongType())])
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        seen = state.get[0] if state.exists else 0
+        if state.exists:
+            fps, counts = state.get
+            seen = dict(zip(fps, counts))
+        else:
+            seen = {}
         batch = pd.concat(list(pdfs))
         if len(batch) == 0:
-            state.update((seen,))
+            state.update((list(seen), list(seen.values())))
             return
-        batch = batch.sort_values(keys, kind="mergesort").reset_index(drop=True)
-        batch["n_prior"] = batch.index + seen
-        state.update((seen + len(batch),))
+        batch = batch.sort_values(
+            ["_fp", *keys], kind="mergesort"
+        ).reset_index(drop=True)
+        prior = batch["_fp"].map(seen).fillna(0).astype("int64")
+        batch["n_prior"] = prior + batch.groupby("_fp").cumcount()
+        totals = batch.groupby("_fp").size()
+        for fp, cnt in totals.items():
+            seen[fp] = seen.get(fp, 0) + int(cnt)
+        state.update((list(seen), list(seen.values())))
         out = (
             batch[batch["n_prior"] > 0]
             if emit_duplicates
             else batch[batch["n_prior"] == 0]
         )
         if len(out):
-            yield out
+            yield out.drop(columns=["_shard"])
 
-    return tagged.groupBy("_fp").applyInPandasWithState(
-        fn, out_schema, "seen long", "append", GroupStateTimeout.NoTimeout
+    return tagged.groupBy("_shard").applyInPandasWithState(
+        fn,
+        out_schema,
+        "fps array<string>, counts array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 
@@ -185,6 +224,7 @@ def streaming_monotonic(
     group_by: Sequence[str],
     order_col: str,
     ts_col: str = "ts",
+    shards: int | None = None,
 ) -> DataFrame:
     """Stateful per-key ordering check: the streaming analog of the
     batch `Monotonic` (lag-window) constraint.
@@ -196,6 +236,16 @@ def streaming_monotonic(
     assumed to arrive in coarse order per key (true for append-style
     transcript feeds; out-of-order arrivals compare against the latest
     seen ts, exactly like the batch lag over arrival order).
+
+    r06 (same redesign as :func:`streaming_dedup`): when every group
+    column is an atomic string/integer type, the stream groups by a
+    deterministic SHARD of the key instead of the raw key — one
+    Python state call per shard instead of per group (15k groups per
+    batch at the x10 bench scale), with the per-group lag computed
+    vectorized inside the shard. Per-shard state is the
+    (json-encoded key -> last epoch-us) slice as two parallel arrays
+    (json round-trips ints and strings exactly); exotic key types
+    fall back to the per-group form unchanged.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
@@ -206,6 +256,83 @@ def streaming_monotonic(
         [in_schema[g] for g in groups]
         + [in_schema[order_col], in_schema[ts_col]]
     ).add("prev_ts", in_schema[ts_col].dataType)
+
+    atomic = {"string", "int", "bigint", "smallint", "tinyint"}
+    shardable = all(
+        in_schema[g].dataType.simpleString() in atomic for g in groups
+    )
+    if shardable:
+        spark = stream_df.sparkSession
+        if shards is None:
+            shards = 8 * max(
+                1,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            )
+        tagged = stream_df.withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(*[F.col(g) for g in groups]), F.lit(shards))
+            .cast("long"),
+        )
+
+        def fn_shard(key, pdfs, state):
+            import json
+
+            import pandas as pd
+
+            if state.exists:
+                ks, vs = state.get
+                last = dict(zip(ks, vs))
+            else:
+                last = {}
+            batch = pd.concat(list(pdfs))
+            if len(batch) == 0:
+                state.update((list(last), list(last.values())))
+                return
+            batch = batch.sort_values(
+                [*groups, order_col], kind="mergesort"
+            ).reset_index(drop=True)
+            gb = batch.groupby(groups, sort=False)
+            prev = batch[ts_col].shift(1)
+            # first row of each group must not inherit the previous
+            # group's ts: overwrite with that group's carried state.
+            # Keys are json-encoded ONLY at group heads/tails (one per
+            # group per batch), never per row.
+            head_idx = list(gb.head(1).index)
+            tail_idx = list(gb.tail(1).index)
+
+            def _key_at(i: int) -> str:
+                vals = [
+                    v.item() if hasattr(v, "item") else v
+                    for v in (batch[g].iloc[i] for g in groups)
+                ]
+                return json.dumps(vals, separators=(",", ":"))
+
+            for i in head_idx:
+                lus = last.get(_key_at(i))
+                prev.iloc[i] = (
+                    pd.Timestamp(lus * 1000) if lus is not None else pd.NaT
+                )
+            viol = (
+                batch[ts_col].notna() & prev.notna() & (batch[ts_col] < prev)
+            )
+            for i in tail_idx:
+                t = batch[ts_col].iloc[i]
+                last[_key_at(i)] = (
+                    int(t.value // 1000) if pd.notna(t) else None
+                )
+            state.update((list(last), list(last.values())))
+            out = batch.loc[viol, groups + [order_col, ts_col]].copy()
+            out["prev_ts"] = prev[viol]
+            if len(out):
+                yield out
+
+        return tagged.groupBy("_shard").applyInPandasWithState(
+            fn_shard,
+            out_schema,
+            "ks array<string>, last_us array<long>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
 
     def fn(key, pdfs, state):
         import pandas as pd
