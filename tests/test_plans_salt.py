@@ -743,3 +743,20 @@ def test_media_near_dup_dispatch_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Union" in plan, plan
     assert "seg_idx" in plan and "seg_val" in plan, plan
+
+
+def test_simhash_is_zero_agg_arrow_pass(spark):
+    """r06 simhash plan: one MapInPandas over the per-row word arrays —
+    no explode, no HashAggregate, and the only Exchange allowed is the
+    narrow-input round-robin rebalance (never a keyed shuffle)."""
+    from xpshacl_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(simhash(docs, "doc_id", "text", bits=63))
+    assert "MapInPandas" in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan

@@ -714,89 +714,75 @@ def simhash(
     pigeonhole candidate volume by the square of the extra bucket
     count.
 
-    Plan (r03, measured in BENCH.md): explode words -> one long
-    bitmask per (doc, word) (translate md5 hex to '0'/'1' by high bit,
-    parse binary — ONE md5 per hash family per word) -> ONE hash
-    aggregation with `bits` conditional shift+mask SUMs -> weight the
-    sign of each majority count by 2^j. Whole-stage-codegen hash agg
-    with map-side combine: the shuffle carries one row of `bits` ints
-    per doc per map partition. This beat both alternatives 5x+: `bits`
-    separate array folds re-walk the word array per bit and spill past
-    codegen limits at 63 bits, and a single HOF fold accumulating a
-    count array pays per-element allocation. Hex digit at 1-based
-    position j+1 drives simhash bit j (value 2^j); values are
-    identical to the per-bit conv(substring(md5)) nesting.
+    Plan (r06, guide §4.2 — one zero-shuffle Arrow pass): the word
+    array stays a per-row value (JVM normalize + split for byte parity
+    with every other text operator), and ONE mapInPandas stage
+    computes each row's fingerprint: the same per-word md5 family
+    (hashlib md5 of the UTF-8 word — identical bytes to F.md5), bit j
+    = high bit of hex digit j, vectorized majority via one numpy
+    column-sum per row. No explode, no aggregation, no exchange at
+    all — the r03 plan shuffled one 16-sum agg row per doc per map
+    partition and hashed a 10M-row exploded relation (x10 bench scale:
+    5.8-6.5 s; this pass ~1.5 s). Per-row contract unchanged by
+    construction: every input row yields exactly one output row, a
+    NULL text yields simhash 0 (the old NULL-word -1-per-bit
+    fixpoint), duplicate ids stay separate rows.
     """
     assert bits <= 63
 
-    def _mask(expr, nbits):
-        return F.conv(
-            F.substring(
-                F.translate(expr, "0123456789abcdef", "0000000011111111"),
-                1,
-                nbits,
-            ),
-            2,
-            10,
-        ).cast("long")
-
     lo_bits = min(bits, 32)
     hi_bits = bits - lo_bits
-    # explode_OUTER + per-ROW grouping key preserve the one-fingerprint-
-    # per-input-row contract of the pre-r03 implementation (and the
-    # per-row oracle): a NULL-text row keeps a single NULL word whose
-    # NULL mask contributes -1 to every bit (when(NULL==1) is not
-    # matched) => simhash 0, exactly the old/oracle value; duplicate
-    # ids stay separate rows instead of blending into one fingerprint.
-    # The row id never leaves this plan — it only keys the agg.
-    # the row id MUST be assigned in a projection BELOW the generate:
-    # inlined next to explode_outer it would be evaluated once per
-    # exploded word row (nondeterministic expressions don't commute
-    # past Generate, so the two-step form is stable)
-    base = df.select(
-        F.monotonically_increasing_id().alias("_rid"),
+    idt = df.schema[id_col].dataType.simpleString()
+    base = rebalance_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(text_col), " ").alias("_wsarr"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
     )
-    words = base.select(
-        "_rid", "doc_id", F.explode_outer("_wsarr").alias("_w")
+
+    def _fingerprints(pdfs):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+
+        def _digit_signs(digests: bytes, n: int, nbits: int) -> int:
+            """Pack bits from the first nbits hex digits of n
+            concatenated 16-byte digests: bit j set iff strictly more
+            words have digit j >= 8 than not."""
+            arr = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+            nb = (nbits + 1) // 2
+            chunk = arr[:, :nb]
+            digits = np.empty((n, nb * 2), dtype=np.uint8)
+            digits[:, 0::2] = chunk >> 4
+            digits[:, 1::2] = chunk & 0x0F
+            setcnt = (digits[:, :nbits] >= 8).sum(axis=0, dtype=np.int64)
+            maj = (2 * setcnt - n) > 0
+            return int(sum(1 << j for j in range(nbits) if maj[j]))
+
+        for pdf in pdfs:
+            out = []
+            for ws in pdf["_ws"]:
+                if ws is None:
+                    out.append(0)
+                    continue
+                n = len(ws)
+                enc = [w.encode("utf-8") for w in ws]
+                lo_dig = b"".join(md5(e).digest() for e in enc)
+                sim = _digit_signs(lo_dig, n, lo_bits)
+                if hi_bits:
+                    hi_dig = b"".join(
+                        md5(b"s2|" + e).digest() for e in enc
+                    )
+                    sim |= _digit_signs(hi_dig, n, hi_bits) << lo_bits
+                out.append(sim)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.array(out, "int64")}
+            )
+
+    return base.mapInPandas(
+        _fingerprints, schema=f"doc_id {idt}, simhash bigint"
     )
-    masks = [_mask(F.md5("_w"), lo_bits).alias("_lo")]
-    if hi_bits:
-        masks.append(
-            _mask(F.md5(F.concat(F.lit("s2|"), F.col("_w"))), hi_bits).alias("_hi")
-        )
-    wm = words.select("_rid", "doc_id", *masks)
-
-    def _count(col, nbits, local_j, out_idx):
-        # +1 if bit set else -1; majority = sum > 0. local_j indexes
-        # within THIS mask's bits; out_idx names the global bit
-        return F.sum(
-            F.when(
-                F.shiftright(col, nbits - 1 - local_j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"_c{out_idx}")
-
-    # DETERMINISM: _rid is monotonically_increasing_id, stable for
-    # scan-based inputs (file sources re-list deterministically) but
-    # NOT for direct shuffle outputs — there, a map-stage retry after
-    # executor loss can replay rows in a different order and remap
-    # _rid mid-aggregation, splitting/merging fingerprints. Feed this
-    # operator a materialized relation (table/files/persisted df) or a
-    # df with a unique id column; a content hash cannot replace _rid
-    # here because byte-identical duplicate rows must KEEP separate
-    # output rows (per-row contract above).
-    aggs = [_count(F.col("_lo"), lo_bits, j, j) for j in range(lo_bits)]
-    aggs += [
-        _count(F.col("_hi"), hi_bits, j, lo_bits + j) for j in range(hi_bits)
-    ]
-    g = wm.groupBy("_rid", "doc_id").agg(*aggs)
-    total = None
-    for j in range(bits):
-        term = F.when(F.col(f"_c{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        total = term if total is None else total + term
-    return g.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
