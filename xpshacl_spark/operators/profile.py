@@ -334,7 +334,15 @@ def _exact_quantile_state(
     val_at: dict[tuple[str, int], float] = {}
     depth = 0
     while jobs:
-        # one histogram agg for every open subproblem at this level
+        # one histogram agg for every open subproblem at this level.
+        # An approx_count_distinct rider steers the refinement choice:
+        # the selection collect is DISTINCT-value bounded, so a bucket
+        # with millions of rows of a handful of values (a discrete
+        # column's point mass) must be collected, never refined — a
+        # sub-histogram cannot split a single repeated value and would
+        # loop to max_depth re-scanning the input (measured 13.6 s on
+        # one 11-distinct-value column at the x10 scale). The sketch
+        # only steers job shape; collected values stay exact.
         hist_structs = []
         for j, (ci, lo, width, base, ranks, pred) in enumerate(jobs):
             v = d_cols[uniq[ci]]
@@ -345,19 +353,29 @@ def _exact_quantile_state(
                     F.when(member, _bucket_expr(ci, lo, width))
                     .otherwise(F.lit(None))
                     .alias("b"),
+                    F.when(member, v).otherwise(F.lit(None)).alias("v"),
                 )
             )
         hist = (
             df.select(F.inline(F.array(*hist_structs)))
             .where(F.col("b").isNotNull())
             .groupBy("jid", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.approx_count_distinct("v").alias("ad"),
+            )
             .collect()
         )
         per_job: dict[int, list] = {}
+        approx_d: dict[tuple, int] = {}
         for r in hist:
             per_job.setdefault(r["jid"], []).append((r["b"], r["c"]))
-        collect_jobs = []  # (ci, pred, bucket base ranks)
+            approx_d[(r["jid"], r["b"])] = r["ad"]
+        # per refinement job: which buckets hold target ranks; ONE
+        # selection struct per JOB (bucket-set membership), never one
+        # per bucket — a 9-point grid over 3 columns would otherwise
+        # inline ~54 structs per input row
+        collect_jobs = []  # (job_idx, {bucket: (base, ranks)})
         next_jobs = []
         for j, (ci, lo, width, base, ranks, pred) in enumerate(jobs):
             buckets = sorted(per_job.get(j, []))
@@ -375,17 +393,21 @@ def _exact_quantile_state(
                     if bucket_base[b] < rank <= bucket_base[b] + c:
                         by_bucket.setdefault(b, []).append(rank)
                         break
+            sel_buckets: dict[int, tuple] = {}
             for b, rks in by_bucket.items():
-                v = d_cols[uniq[ci]]
-                bpred = _bucket_expr(ci, lo, width) == b
-                member = (
-                    v.isNotNull() & bpred if pred is None else pred & bpred
-                )
                 if (
                     counts[b] > candidate_limit
+                    and approx_d.get((j, b), 0) > candidate_limit // 2
                     and depth + 1 < max_depth
                     and width > 0.0
                 ):
+                    v = d_cols[uniq[ci]]
+                    bpred = _bucket_expr(ci, lo, width) == b
+                    member = (
+                        v.isNotNull() & bpred
+                        if pred is None
+                        else pred & bpred
+                    )
                     sub_lo = lo + b * width
                     sub_w = width / bucket_count
                     if math.isfinite(sub_w) and sub_w > 0.0:
@@ -394,38 +416,55 @@ def _exact_quantile_state(
                              tuple(rks), member)
                         )
                         continue
-                collect_jobs.append((ci, member, bucket_base[b], rks))
+                sel_buckets[b] = (bucket_base[b], tuple(rks))
+            if sel_buckets:
+                collect_jobs.append((j, sel_buckets))
         if collect_jobs:
             sel_structs = []
-            for j, (ci, member, base, rks) in enumerate(collect_jobs):
+            for k, (j, sel_buckets) in enumerate(collect_jobs):
+                ci, lo, width, base, ranks, pred = jobs[j]
+                v = d_cols[uniq[ci]]
+                bexpr = _bucket_expr(ci, lo, width)
+                member = bexpr.isin(*sel_buckets.keys())
+                member = (
+                    v.isNotNull() & member
+                    if pred is None
+                    else pred & member
+                )
                 sel_structs.append(
                     F.struct(
-                        F.lit(j).alias("jid"),
-                        F.when(member, d_cols[uniq[ci]])
+                        F.lit(k).alias("jid"),
+                        F.when(member, bexpr)
                         .otherwise(F.lit(None))
-                        .alias("v"),
+                        .cast("long")
+                        .alias("b"),
+                        F.when(member, v).otherwise(F.lit(None)).alias("v"),
                     )
                 )
             cells = (
                 df.select(F.inline(F.array(*sel_structs)))
-                .where(F.col("v").isNotNull())
-                .groupBy("jid", "v")
+                .where(F.col("v").isNotNull() & F.col("b").isNotNull())
+                .groupBy("jid", "b", "v")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .collect()
             )
-            per_sel: dict[int, list] = {}
+            per_sel: dict[tuple, list] = {}
             for r in cells:
-                per_sel.setdefault(r["jid"], []).append((r["v"], r["c"]))
-            for j, (ci, member, base, rks) in enumerate(collect_jobs):
-                vs = per_sel.get(j, [])
-                v_arr = np.array([t[0] for t in vs], dtype="float64")
-                c_arr = np.array([t[1] for t in vs], dtype="int64")
-                order = np.argsort(v_arr, kind="stable")
-                v_arr = v_arr[order]
-                cum = base + np.cumsum(c_arr[order])
-                for rank in rks:
-                    idx = int(np.searchsorted(cum, rank, side="left"))
-                    val_at[(uniq[ci], rank)] = float(v_arr[idx])
+                per_sel.setdefault((r["jid"], r["b"]), []).append(
+                    (r["v"], r["c"])
+                )
+            for k, (j, sel_buckets) in enumerate(collect_jobs):
+                ci = jobs[j][0]
+                for b, (base, rks) in sel_buckets.items():
+                    vs = per_sel.get((k, b), [])
+                    v_arr = np.array([t[0] for t in vs], dtype="float64")
+                    c_arr = np.array([t[1] for t in vs], dtype="int64")
+                    order = np.argsort(v_arr, kind="stable")
+                    v_arr = v_arr[order]
+                    cum = base + np.cumsum(c_arr[order])
+                    for rank in rks:
+                        idx = int(np.searchsorted(cum, rank, side="left"))
+                        val_at[(uniq[ci], rank)] = float(v_arr[idx])
         jobs = next_jobs
         depth += 1
 
