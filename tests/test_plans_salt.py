@@ -43,7 +43,12 @@ def test_row_scan_predicate_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<k:bigint,qty:double>" in plan
 
 
-def test_fk_is_broadcast_anti_join(spark):
+def test_fk_small_dims_inline_big_dims_broadcast_anti(spark):
+    """r06 FK compilation split: dims at or under FK_INLINE_MAX rows
+    fuse into ONE shared isin filter scan (no join at all — the
+    transcript suite paid two scans + two joins for two tiny dims);
+    dims past the threshold keep the broadcast LEFT ANTI join and
+    never a sort-merge."""
     df = transcripts(spark, n_convs=50)
     engine = ValidationEngine(
         spark, dims={"roles": roles_dim(spark), "tools": tools_dim(spark)}
@@ -51,8 +56,20 @@ def test_fk_is_broadcast_anti_join(spark):
     shapes = [s for s in transcript_shapes() if "RefShape" in s.shape_id]
     rep = engine.validate(df, shapes, key_cols=["conv_id", "turn_idx"])
     plan = _plan(rep.violations)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan
+    assert "INSET" in plan or " IN (" in plan, plan
+
+    big = spark.range(5000).select(F.col("id").alias("tool"))
+    engine_big = ValidationEngine(spark, dims={"tools": big})
+    shape = [s for s in transcript_shapes() if "ToolRef" in s.shape_id]
+    rep2 = engine_big.validate(
+        df.withColumn("tool", F.col("turn_idx").cast("long")),
+        shape,
+        key_cols=["conv_id", "turn_idx"],
+    )
+    plan2 = _plan(rep2.violations)
+    assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2
+    assert "SortMergeJoin" not in plan2
 
 
 def test_group_checks_share_one_aggregation(spark):

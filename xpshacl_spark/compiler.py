@@ -197,9 +197,41 @@ class ValidationEngine:
     def __init__(self, spark: SparkSession, dims: Optional[dict] = None):
         self.spark = spark
         self.dims: dict[str, DataFrame] = dict(dims or {})
+        # per-engine memo of small-dim FK membership probes: dim
+        # metadata (bounded by FK_INLINE_MAX), never query results;
+        # invalidated whenever the dim is re-registered
+        self._fk_probe_cache: dict[tuple, Optional[list]] = {}
 
     def register_dim(self, name: str, df: DataFrame) -> None:
         self.dims[name] = df
+        self._fk_probe_cache = {
+            k: v for k, v in self._fk_probe_cache.items() if k[0] != name
+        }
+
+    def _fk_inline_values(self, c) -> Optional[list]:
+        """Collected distinct non-null ref values for a single-column
+        FK whose dim holds <= FK_INLINE_MAX rows (probed with a limit
+        collect — bounded by the threshold, not the dim), or None when
+        the constraint must take the broadcast anti-join path. Memoized
+        per engine: the probe re-runs only when the dim is
+        re-registered."""
+        if len(c.columns) != 1:
+            return None
+        key = (c.ref_table, c.ref_columns[0])
+        if key not in self._fk_probe_cache:
+            head = (
+                self._dim(c.ref_table)
+                .select(F.col(c.ref_columns[0]).alias("_v"))
+                .dropDuplicates()
+                .limit(self.FK_INLINE_MAX + 1)
+                .collect()
+            )
+            self._fk_probe_cache[key] = (
+                [r["_v"] for r in head if r["_v"] is not None]
+                if len(head) <= self.FK_INLINE_MAX
+                else None
+            )
+        return self._fk_probe_cache[key]
 
     def _dim(self, name: str) -> DataFrame:
         if name not in self.dims:
@@ -339,6 +371,33 @@ class ValidationEngine:
                         _violation_struct(
                             shape, c, c.value_col(df), _ctx_map(c.context_cols(df))
                         ),
+                    )
+                )
+            # small-dim single-column FKs ride the SAME fused scan as a
+            # literal membership test (r06, guide §2.4): one pass for
+            # the row constraints AND these — _compile_fk_checks skips
+            # them. NULL fks pass (an equi join never matches NULL);
+            # the struct is byte-identical to the anti-join path's.
+            for c in shape.join_constraints():
+                vals = self._fk_inline_values(c)
+                if vals is None:
+                    continue
+                fk = F.col(c.columns[0])
+                miss = ~fk.isin(vals) if vals else F.lit(True)
+                violated = target & fk.isNotNull() & miss
+                any_violated = (
+                    violated
+                    if any_violated is None
+                    else (any_violated | violated)
+                )
+                ctx = F.create_map(
+                    F.lit("refTable"), F.lit(c.ref_table),
+                    F.lit("refColumns"), F.lit(",".join(c.ref_columns)),
+                )
+                structs.append(
+                    F.when(
+                        violated,
+                        _violation_struct(shape, c, fk.cast("string"), ctx),
                     )
                 )
         if not structs:
@@ -631,12 +690,27 @@ class ValidationEngine:
     # referential integrity: broadcast LEFT ANTI joins
     # ------------------------------------------------------------------
 
+    #: single-column FK dims at or under this row count are inlined as
+    #: literal membership sets into ONE fused filter scan (probed with
+    #: a limit collect, so the probe is bounded by the threshold, not
+    #: the dim)
+    FK_INLINE_MAX = 1024
+
     def _compile_fk_checks(
         self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
     ) -> list[DataFrame]:
+        """ForeignKey checks via broadcast LEFT ANTI join — the
+        at-scale shape for real dims. Small single-column dims (r06,
+        guide §2.4) are NOT compiled here: `_compile_row_checks`
+        inlines them into the fused row scan as literal membership
+        tests (a transcript suite with two 4-20-row dims was paying
+        two full input scans plus two joins for what is an isin); the
+        `_fk_inline_values` probe decides, memoized per engine."""
         outs = []
         for shape in shapes:
             for c in shape.join_constraints():
+                if self._fk_inline_values(c) is not None:
+                    continue
                 dim = self._dim(c.ref_table)
                 # rename dim cols to fk names so the anti join is an equi
                 # join on the fk columns themselves

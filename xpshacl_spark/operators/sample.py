@@ -127,7 +127,15 @@ def cap_per_group(
     from pyspark.sql.window import Window
 
     keys = [F.col(c) for c in key_cols]
-    base = df.withColumn("_h", hash_bucket(key_cols, seed))
+    # ORDER-ONLY key: the 8-hex sampling coordinate parsed to a long.
+    # Lowercase fixed-width hex is order-isomorphic to its integer
+    # value, so every window below selects exactly the rows the
+    # hex-string order (the oracle's ROW_NUMBER coordinate) selects —
+    # ties map to ties — while the rank-limit sort compares 8-byte
+    # longs instead of strings (r06, guide §2.3 narrower types).
+    base = df.withColumn(
+        "_h", F.conv(hash_bucket(key_cols, seed), 16, 10).cast("long")
+    )
     if salt > 0:
         sk = F.pmod(F.xxhash64(*keys), F.lit(salt))
         w1 = (
