@@ -582,19 +582,36 @@ def contamination_pairs(
     shingle (eval side broadcasts when it fits), count per pair. The
     stop-shingle cap bounds hot boilerplate shingles on the TRAIN side,
     where the k^2-free cross join can still fan out k_train x k_eval.
-    Filter training docs by anti-joining the returned train_ids."""
-    # raw train shingles feed the hot-set agg AND the anti-join left
-    # side — checkpoint so the train explode runs once (r6; same
-    # rationale as jaccard_pairs)
-    sh_t = _maybe_prune_stop_shingles(
-        shingles(train, id_col, text_col, n).localCheckpoint(eager=False),
-        max_doc_freq,
-    )
+    Filter training docs by anti-joining the returned train_ids.
+
+    r06 (guide §3.2 reduce the big side first): train shingles are
+    restricted to the eval set's distinct shingles BEFORE any
+    frequency work. Only eval-matching shingles can ever reach the
+    pair count, and — because the train relation is distinct per doc —
+    a matching shingle's row count in the restricted relation IS its
+    full train doc-frequency, so the stop-shingle cap applies
+    identically. The old plan aggregated and anti-joined the WHOLE
+    train shingle relation (the corpus-sized part) to prune shingles
+    the eval join would drop anyway; now the df agg, the prune, and
+    the checkpoint all run on the matched slice (eval-sized x df)."""
+    sh_t = shingles(train, id_col, text_col, n)
     sh_e = shingles(eval_df, id_col, text_col, n).withColumnRenamed(
         "doc_id", "eval_id"
     )
+    eval_keys = sh_e.select("shingle").dropDuplicates()
+    # matched feeds the df agg, the anti join AND the pair join —
+    # checkpoint the small slice, not the corpus relation
+    matched = sh_t.join(eval_keys, "shingle").localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        hot = (
+            matched.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        matched = matched.join(hot, "shingle", "left_anti")
     return (
-        sh_t.join(sh_e, "shingle")
+        matched.join(sh_e, "shingle")
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
