@@ -777,3 +777,40 @@ def test_simhash_is_zero_agg_arrow_pass(spark):
     assert "HashAggregate" not in plan, plan
     assert "Generate" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_unique_rides_window_exchange(spark):
+    """r06 fusion: a Unique whose columns equal a window-family spec's
+    (group key + order col) AND the validation key compiles into that
+    family's branch — ONE hashpartitioning exchange for the whole
+    window+unique family — and its violation rows are identical to the
+    standalone groupBy form's."""
+    from xpshacl_spark.suites import transcript_shapes
+
+    df = transcripts(spark, n_convs=60)
+    keys = ["conv_id", "turn_idx"]
+    shapes = [
+        s
+        for s in transcript_shapes()
+        if s.name in ("TurnKeyShape", "TsOrderShape", "TurnSeqShape")
+    ]
+    engine = ValidationEngine(spark)
+    rep = engine.validate(df, shapes, key_cols=keys)
+    plan = _plan(rep.violations)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    uniq_rows = sorted(
+        map(
+            repr,
+            rep.violations.where(
+                F.col("constraint_component")
+                == "UniquenessConstraintComponent"
+            ).collect(),
+        )
+    )
+    solo = engine.validate(
+        df,
+        [s for s in shapes if s.name == "TurnKeyShape"],
+        key_cols=keys,
+    )
+    want = sorted(map(repr, solo.violations.collect()))
+    assert uniq_rows == want and len(want) > 0

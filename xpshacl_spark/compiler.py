@@ -282,8 +282,40 @@ class ValidationEngine:
         if row_df is not None:
             parts.append(row_df)
         parts.extend(self._compile_group_checks(df, shapes, key_cols, salt_partitions))
-        parts.extend(self._compile_unique_checks(df, shapes, key_cols))
-        parts.extend(self._compile_monotonic_checks(df, shapes, key_cols))
+        # a Unique whose columns are exactly a window-family spec's
+        # (group key + order col) AND the validation key rides that
+        # family's existing exchange+sort instead of its own groupBy
+        # shuffle (r06, guide §2.4) — see _compile_monotonic_checks
+        window_specs = {
+            (tuple(c.group_by), c.order_by)
+            for s in shapes
+            for c in s.group_constraints()
+            if isinstance(c, (Monotonic, DenseIndex, Transition, MaxGap))
+        }
+        fused_uniques: set = set()
+        for s in shapes:
+            for c in s.group_constraints():
+                if (
+                    isinstance(c, Unique)
+                    and sorted(c.columns) == sorted(key_cols)
+                ):
+                    for gkey, ob in window_specs:
+                        if (
+                            set(c.columns) == set(gkey) | {ob}
+                            and len(c.columns) == len(gkey) + 1
+                        ):
+                            fused_uniques.add((s.shape_id, c))
+                            break
+        parts.extend(
+            self._compile_unique_checks(
+                df, shapes, key_cols, skip=fused_uniques
+            )
+        )
+        parts.extend(
+            self._compile_monotonic_checks(
+                df, shapes, key_cols, fused_uniques=fused_uniques
+            )
+        )
         parts.extend(self._compile_fk_checks(df, shapes, key_cols))
         parts.extend(self._compile_fd_checks(df, shapes, key_cols))
         parts.extend(self._compile_dataset_checks(df, shapes, key_cols))
@@ -518,12 +550,18 @@ class ValidationEngine:
     # ------------------------------------------------------------------
 
     def _compile_unique_checks(
-        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+        self,
+        df: DataFrame,
+        shapes: Sequence[Shape],
+        key_cols: list[str],
+        skip: "set | frozenset" = frozenset(),
     ) -> list[DataFrame]:
         outs = []
         for shape in shapes:
             for c in shape.group_constraints():
                 if not isinstance(c, Unique):
+                    continue
+                if (shape.shape_id, c) in skip:
                     continue
                 cols = list(c.columns)
                 target = _target_col(shape)
@@ -551,7 +589,11 @@ class ValidationEngine:
     # ------------------------------------------------------------------
 
     def _compile_monotonic_checks(
-        self, df: DataFrame, shapes: Sequence[Shape], key_cols: list[str]
+        self,
+        df: DataFrame,
+        shapes: Sequence[Shape],
+        key_cols: list[str],
+        fused_uniques: "set | frozenset" = frozenset(),
     ) -> list[DataFrame]:
         by_spec: dict[tuple, list] = {}
         for shape in shapes:
@@ -560,6 +602,18 @@ class ValidationEngine:
                     by_spec.setdefault((tuple(c.group_by), c.order_by), []).append(
                         (shape, c)
                     )
+        fused_by_spec: dict[tuple, list] = {}
+        if fused_uniques:
+            shape_by_id = {s.shape_id: s for s in shapes}
+            for gkey, ob in by_spec:
+                for sid, c in fused_uniques:
+                    if set(c.columns) == set(gkey) | {ob} and len(
+                        c.columns
+                    ) == len(gkey) + 1:
+                        fused_by_spec.setdefault((gkey, ob), []).append(
+                            (shape_by_id[sid], c)
+                        )
+        claimed: set = set()
         outs = []
         for (gkey, order_by), pairs in by_spec.items():
             w = Window.partitionBy(*gkey).orderBy(order_by)
@@ -678,6 +732,45 @@ class ValidationEngine:
                     )
                 structs.append(
                     F.when(violated, _violation_struct(shape, c, cur, ctx))
+                )
+            # fused Unique (r06): key = (gkey..., order_by). The count
+            # window's partition columns are a superset of the branch
+            # window's, so hashpartitioning(gkey) already satisfies its
+            # clustering and the (gkey, order) sort already satisfies
+            # its ordering — no second exchange, no second sort (plan
+            # pin: test_unique_rides_window_exchange). One row per
+            # duplicated key is emitted at the key's FIRST row in sort
+            # order (group opener or order-value change — deterministic
+            # in values); the count is target-conditional, exactly the
+            # where(target).groupBy().count() of the standalone form.
+            for ushape, uc in fused_by_spec.get((gkey, order_by), ()):
+                if (ushape.shape_id, uc) in claimed:
+                    continue
+                claimed.add((ushape.shape_id, uc))
+                w_key = Window.partitionBy(*gkey, order_by)
+                i = len(claimed)
+                proj = proj.withColumn(
+                    f"_uqn_{i}",
+                    F.count(
+                        F.when(_target_col(ushape), F.lit(1))
+                    ).over(w_key),
+                ).withColumn(f"_uqp_{i}", F.lag(order_by).over(w))
+                ucnt = F.col(f"_uqn_{i}")
+                first_of_key = is_first | ~F.col(f"_uqp_{i}").eqNullSafe(
+                    F.col(order_by)
+                )
+                violated = first_of_key & (ucnt > 1)
+                value = F.concat_ws(
+                    "|", *[F.col(x).cast("string") for x in uc.columns]
+                )
+                uctx = F.create_map(
+                    F.lit("actualCount"), ucnt.cast("string")
+                )
+                structs.append(
+                    F.when(
+                        violated,
+                        _violation_struct(ushape, uc, value, uctx),
+                    )
                 )
             arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
             out = proj.select(*key_cols, F.explode(arr).alias("_v")).select(
