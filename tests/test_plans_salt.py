@@ -814,3 +814,39 @@ def test_unique_rides_window_exchange(spark):
     )
     want = sorted(map(repr, solo.violations.collect()))
     assert uniq_rows == want and len(want) > 0
+
+
+def test_profile_relation_exact_distinct_no_expand(spark):
+    """profile_relation's exact count_distincts must not fuse into one
+    multi-distinct aggregate: that plans an Expand replicating every
+    input row (len(columns)+1)x before aggregating (the same trap
+    suggest._column_stats hit, r6). Each distinct runs as its own
+    single-distinct agg attached by a 1-row cross-join, so the plan
+    must contain no Expand and the values must match the fused form."""
+    from xpshacl_spark.operators.profile import profile_relation
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 3), None if i % 5 == 0 else float(i))
+         for i in range(200)],
+        "a double, b double, c double",
+    )
+    rel = profile_relation(df, ["a", "b", "c"])
+    plan = _plan(rel)
+    assert "Expand" not in plan, plan
+    got = {r.column: r for r in rel.collect()}
+    fused = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[x for cname in ("a", "b", "c") for x in (
+            F.count(F.col(cname)).alias(f"c_{cname}"),
+            F.min(F.col(cname)).cast("double").alias(f"mn_{cname}"),
+            F.max(F.col(cname)).cast("double").alias(f"mx_{cname}"),
+            F.count_distinct(F.col(cname)).alias(f"d_{cname}"),
+        )],
+    ).collect()[0]
+    for cname in ("a", "b", "c"):
+        r = got[cname]
+        assert (r.n_rows, r.n_nulls, r.min_value, r.max_value,
+                r.n_distinct) == (
+            fused["n"], fused["n"] - fused[f"c_{cname}"],
+            fused[f"mn_{cname}"], fused[f"mx_{cname}"], fused[f"d_{cname}"],
+        )

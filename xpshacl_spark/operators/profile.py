@@ -108,11 +108,21 @@ def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Per-column stats as a RELATION (one row per column), for numeric
     columns: (column, n_rows, n_nulls, min_value, max_value, n_distinct).
 
-    Same single-pass fused-agg design as `profile`, reshaped via an
-    array-of-structs explode so the result stays a DataFrame plan.
-    Distinct counts are EXACT here (count_distinct) so a SQL oracle can
-    reproduce them; the dict-returning `profile` uses HLL
-    (approx_count_distinct) for the 100 TB path — swap deliberately.
+    Fused-agg design as `profile`, reshaped via an array-of-structs
+    explode so the result stays a DataFrame plan. Distinct counts are
+    EXACT here (count_distinct) so a SQL oracle can reproduce them; the
+    dict-returning `profile` uses HLL (approx_count_distinct) for the
+    100 TB path — swap deliberately.
+
+    The count/min/max stats share ONE fused agg, but each exact
+    count_distinct runs as its OWN single-distinct aggregation attached
+    by a 1-row cross-join (the scalar-attach idiom): multiple distinct
+    aggregates fused into one agg plan an Expand that replicates every
+    input row (len(columns)+1)x before aggregating (the guide §4.4-class
+    trap suggest._column_stats hit, r6), while a single-distinct agg
+    plans as a plain two-level aggregation with no row replication —
+    and the independent subtrees' stages run concurrently inside the
+    one action. Values are identical either way.
     """
     aggs = [F.count(F.lit(1)).alias("_total")]
     for i, c in enumerate(columns):
@@ -120,8 +130,11 @@ def profile_relation(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         aggs.append(F.count(e).alias(f"_c{i}"))
         aggs.append(F.min(e).cast("double").alias(f"_min{i}"))
         aggs.append(F.max(e).cast("double").alias(f"_max{i}"))
-        aggs.append(F.count_distinct(e).alias(f"_d{i}"))
     row = df.agg(*aggs)
+    for i, c in enumerate(columns):
+        row = row.crossJoin(
+            df.agg(F.count_distinct(F.col(c)).alias(f"_d{i}"))
+        )
     structs = [
         F.struct(
             F.lit(c).alias("column"),
